@@ -1,0 +1,454 @@
+"""ValidationEngine — orchestrates constraint-DAG evaluation over Ray Data.
+
+The Ray-Data recast of the reference's main pipeline
+(/root/reference/shaclapi/api.py:73-236, traced in SURVEY.md §3.1):
+
+reference stage               | here
+------------------------------|-----------------------------------------------
+CONTACT_SOURCE (endpoint)     | ray.data.read_parquet(pages, columns=pruned)
+VALIDATION (backend engine)   | Pass A: fused map_batches column predicates;
+                              | Pass B: link extraction + hash-partitioned
+                              |         referential joins; global constraints
+                              |         (uniqueness counts, drift digests)
+prepare_validation reductions | ConstraintDAG.reduce / project / node_order /
+                              | push_target_filter (driver-side)
+XJOIN (Xgoptional ⟕)          | annotate(): pages ⟕ verdict_agg on url
+POST_PROCESSING + OUTPUT      | test_output(): verdict collection into
+                              | validTargets/invalidTargets/advanced* sets
+
+Early pass/fail short-circuiting: per-batch target-mask skip in Pass A, and
+DAG-level pruning before any cluster work (shapes unreachable from the
+target are never evaluated — the reference's shape-network reduction).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from shaclapi_ray.shapes.dag import ConstraintDAG
+from shaclapi_ray.shapes.ir import (
+    DriftConstraint,
+    Pred,
+    RefConstraint,
+    Shape,
+    UniqueConstraint,
+    load_schema_dir,
+)
+from shaclapi_ray.stages.links import extract_links
+from shaclapi_ray.stages.predicates import EVENTS_SCHEMA, ColumnShapeEvaluator
+from shaclapi_ray.stages.referential import (
+    child_valid_urls,
+    combine_ref_verdicts,
+    plain_link_counts,
+    qualified_counts,
+)
+from shaclapi_ray.state.sketches import TDigest, ks_statistic
+
+
+@dataclass
+class JobConfig:
+    """Engine job spec (≙ the reference's ~25-option config dict,
+    /root/reference/shaclapi/config.py:5-331 — kept to the options that
+    change semantics; execution knobs are explicit Ray parameters)."""
+
+    target_shape: str | None = None
+    row_filter: Pred | None = None  # ANDed onto the target shape's target
+    prune: bool = True  # ≙ prune_shape_network
+    requested_columns: set[str] | None = None  # ≙ remove_constraints
+    replace_target_query: bool = True  # apply row_filter pushdown
+    ref_strategy: str = "auto"  # broadcast | bucket | auto
+    num_partitions: int = 32
+    salt_k: int = 0  # >1 => salted bucket join
+    bloom_prefilter: bool = False
+    batch_size: int = 8192
+    concurrency: Any = None  # actor-pool size for pass A; None => tasks
+    drift_threshold: float = 0.25
+
+
+@dataclass
+class ValidationResult:
+    events: ray.data.Dataset  # EVENTS_SCHEMA, materialized
+    dag: ConstraintDAG
+    target_shape: str | None
+    order: list[str]
+    timings: dict[str, float] = field(default_factory=dict)
+
+    def verdicts(self) -> ray.data.Dataset:
+        return _filter_events(self.events, kind="verdict").select_columns(
+            ["url", "shape_id", "valid", "reason"]
+        )
+
+    def violations(self) -> ray.data.Dataset:
+        return _filter_events(self.events, kind="violation").select_columns(
+            ["url", "shape_id", "constraint", "offending_value"]
+        )
+
+    def test_output(self) -> dict[str, list[tuple[str, str]]]:
+        """The reference's test-format result dict
+        (/root/reference/shaclapi/multiprocessing/functions.py:119,152-173):
+        valid/invalid × target/advanced, sorted by (url, shape_id).
+        Partition-level verdicts (url like 'host:...') are excluded —
+        they're engine-level additions, reported via metrics."""
+        tbl = _collect(self.verdicts())
+        out: dict[str, list[tuple[str, str]]] = {
+            "validTargets": [],
+            "invalidTargets": [],
+            "advancedValid": [],
+            "advancedInvalid": [],
+        }
+        rows = sorted(
+            zip(
+                tbl["url"].to_pylist(),
+                tbl["shape_id"].to_pylist(),
+                tbl["valid"].to_pylist(),
+                tbl["reason"].to_pylist(),
+            )
+        )
+        for url, shape_id, valid, reason in rows:
+            if url.startswith("host:"):
+                continue
+            is_target = self.target_shape is None or shape_id == self.target_shape
+            if is_target:
+                key = "validTargets" if valid else "invalidTargets"
+            else:
+                key = "advancedValid" if valid else "advancedInvalid"
+            out[key].append((url, reason))
+        return out
+
+    def verdict_counts(self) -> pa.Table:
+        """Per-shape valid/invalid counts (≙ the /validation route's
+        {shape: {valid, invalid}} summary,
+        /root/reference/shaclapi/api.py:372-387)."""
+        ds = self.verdicts().groupby(["shape_id", "valid"]).aggregate(
+            Count(alias_name="n")
+        )
+        return _collect(ds).sort_by([("shape_id", "ascending"), ("valid", "ascending")])
+
+    def annotate(self, pages_ds: ray.data.Dataset, num_partitions: int = 32):
+        """pages ⟕ target-shape verdicts on url — the Xgoptional left-outer
+        join (/root/reference/shaclapi/multiprocessing/Xgoptional/
+        Xgoptional.py:23-256): rows never targeted flow through with null
+        verdict columns."""
+        v = self.verdicts()
+        if self.target_shape is not None:
+            v = _filter_events(
+                self.events, kind="verdict", shape_id=self.target_shape
+            ).select_columns(["url", "valid", "reason"])
+        else:
+            v = v.select_columns(["url", "valid", "reason"])
+        v = v.map_batches(
+            lambda t: pa.table(
+                {"v_url": t["url"], "valid": t["valid"], "reason": t["reason"]}
+            ),
+            batch_format="pyarrow",
+        )
+        from shaclapi_ray.stages.referential import clamp_partitions
+
+        return pages_ds.join(
+            v,
+            join_type="left_outer",
+            num_partitions=clamp_partitions(num_partitions),
+            on=("url",),
+            right_on=("v_url",),
+        )
+
+
+def _filter_events(events: ray.data.Dataset, **conds) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, val in conds.items():
+            m = pc.equal(batch[col], val)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(pc.fill_null(mask, False))
+
+    return events.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    refs = ds.to_arrow_refs()
+    tables = [ray.get(r) for r in refs]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return ds.schema().base_schema.empty_table() if hasattr(
+            ds.schema(), "base_schema"
+        ) else EVENTS_SCHEMA.empty_table()
+    return pa.concat_tables(tables).combine_chunks()
+
+
+class ValidationEngine:
+    def __init__(self, shapes: list[Shape] | str, config: JobConfig | None = None):
+        if isinstance(shapes, str):
+            shapes = load_schema_dir(shapes)
+        self.config = config or JobConfig()
+        dag = ConstraintDAG.from_shapes(shapes)
+        dag.validate()
+        cfg = self.config
+        targets = [cfg.target_shape] if cfg.target_shape else None
+        if cfg.prune and targets:
+            dag = dag.reduce(targets)
+        if cfg.requested_columns is not None:
+            dag = dag.project(cfg.requested_columns, targets)
+        if cfg.replace_target_query and cfg.target_shape and cfg.row_filter:
+            dag = dag.push_target_filter(cfg.target_shape, cfg.row_filter)
+        self.dag = dag
+        self.order = dag.node_order(targets)
+
+    # -- column selection for the pruned read --------------------------------
+    def pass_a_columns(self) -> list[str]:
+        """Columns pass A must read: target predicates + column constraints.
+
+        ``html`` is normally excluded (RefConstraints read it via the
+        dedicated link-extraction pass), but a column constraint that
+        genuinely matches on html (e.g. a 'has no links' regex option)
+        pulls it in."""
+        from shaclapi_ray.shapes.ir import pred_columns
+
+        cols = {"url"}
+        for s in self.dag.shapes.values():
+            cols |= pred_columns(s.target)
+            for c in s.constraints:
+                if not isinstance(c, (RefConstraint, DriftConstraint)):
+                    cols |= c.columns()
+        return sorted(cols)
+
+    def needs_links(self) -> bool:
+        return any(
+            isinstance(c, RefConstraint)
+            for s in self.dag.shapes.values()
+            for c in s.constraints
+        )
+
+    # -- main ----------------------------------------------------------------
+    def run(self, pages_path: str | ray.data.Dataset) -> ValidationResult:
+        cfg = self.config
+        timings: dict[str, float] = {}
+        t0 = time.monotonic()
+
+        shapes = self.dag.shapes
+        drift_only = {
+            sid
+            for sid, s in shapes.items()
+            if any(isinstance(c, DriftConstraint) for c in s.constraints)
+        }
+        pass_a_shapes = [s for sid, s in shapes.items() if sid not in drift_only]
+
+        # ---- source(s): prune at the read ---------------------------------
+        if isinstance(pages_path, str):
+            pages_a = ray.data.read_parquet(pages_path, columns=self.pass_a_columns())
+            pages_links = (
+                ray.data.read_parquet(pages_path, columns=["url", "html"])
+                if self.needs_links()
+                else None
+            )
+            drift_cols = sorted(
+                {"url"}
+                | {
+                    c.column
+                    for s in shapes.values()
+                    for c in s.constraints
+                    if isinstance(c, DriftConstraint)
+                }
+            )
+            pages_drift = (
+                ray.data.read_parquet(pages_path, columns=drift_cols)
+                if drift_only
+                else None
+            )
+        else:
+            pages_a = pages_path
+            pages_links = pages_path if self.needs_links() else None
+            pages_drift = pages_path if drift_only else None
+
+        # ---- pass A: fused column predicates ------------------------------
+        mb_kwargs: dict[str, Any] = {}
+        if cfg.concurrency is not None:
+            mb_kwargs["concurrency"] = cfg.concurrency
+            events_a = pages_a.map_batches(
+                ColumnShapeEvaluator,
+                fn_constructor_args=(pass_a_shapes,),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                zero_copy_batch=True,
+                **mb_kwargs,
+            )
+        else:
+            evaluator = ColumnShapeEvaluator(pass_a_shapes)
+            events_a = pages_a.map_batches(
+                evaluator,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                zero_copy_batch=True,
+            )
+        events = events_a.materialize()
+        timings["pass_a_s"] = time.monotonic() - t0
+
+        # ---- pass B: referential + global constraints in DAG order --------
+        t1 = time.monotonic()
+        links_ds = None
+        if pages_links is not None:
+            links_ds = extract_links(
+                pages_links, batch_size=min(cfg.batch_size, 2048)
+            ).materialize()
+
+        for sid in self.order:
+            shape = shapes[sid]
+            refs = [c for c in shape.constraints if isinstance(c, RefConstraint)]
+            uniqs = [c for c in shape.constraints if isinstance(c, UniqueConstraint)]
+            drifts = [c for c in shape.constraints if isinstance(c, DriftConstraint)]
+            if drifts:
+                if refs or uniqs:
+                    raise ValueError(
+                        f"shape {sid}: drift constraints cannot be mixed with "
+                        "ref/unique constraints"
+                    )
+                drift_events = self._eval_drift(pages_drift, sid, drifts[0])
+                events = events.union(drift_events).materialize()
+                continue
+            if not refs and not uniqs:
+                continue  # column-only: final verdict already in events
+            colpart = _filter_events(events, kind="colpart", shape_id=sid)
+            counts_and_constraints = []
+            for c in refs:
+                if c.shape is None:
+                    counts = plain_link_counts(links_ds)
+                else:
+                    child_urls = child_valid_urls(events, c.shape)
+                    counts = qualified_counts(
+                        links_ds,
+                        child_urls,
+                        strategy=cfg.ref_strategy,
+                        num_partitions=cfg.num_partitions,
+                        salt_k=cfg.salt_k,
+                        bloom_prefilter=cfg.bloom_prefilter,
+                    )
+                counts_and_constraints.append((counts, c))
+            for c in uniqs:
+                counts = self._column_value_counts(pages_a, c.column)
+                counts_and_constraints.append(
+                    (counts, RefConstraint(name=c.name, min=1, max=1, shape=None))
+                )
+            combined = combine_ref_verdicts(
+                colpart,
+                counts_and_constraints,
+                sid,
+                num_partitions=cfg.num_partitions,
+            )
+            events = events.union(combined).materialize()
+        timings["pass_b_s"] = time.monotonic() - t1
+
+        # drop consumed colpart rows
+        events = _filter_events_not_kind(events, "colpart").materialize()
+        timings["total_s"] = time.monotonic() - t0
+        return ValidationResult(
+            events=events,
+            dag=self.dag,
+            target_shape=cfg.target_shape,
+            order=self.order,
+            timings=timings,
+        )
+
+    # -- helpers -------------------------------------------------------------
+    @staticmethod
+    def _column_value_counts(pages_ds, column: str):
+        """(url, qcount) of occurrences of each value of ``column`` —
+        partial per-batch counts, then a small groupby-sum (pre-aggregation
+        before the shuffle, SURVEY.md §4)."""
+
+        def partial(batch: pa.Table) -> pa.Table:
+            col = pc.fill_null(pc.cast(batch[column], pa.string()), "null")
+            g = pa.table({"url": col}).group_by("url").aggregate([("url", "count")])
+            return pa.table({"url": g["url"], "cnt": g["url_count"]})
+
+        partials = pages_ds.map_batches(partial, batch_format="pyarrow")
+        agg = partials.groupby("url").aggregate(Sum("cnt", alias_name="qcount"))
+        return agg.map_batches(
+            lambda t: pa.table(
+                {"url": t["url"], "qcount": pc.cast(t["qcount"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _eval_drift(self, pages_drift, sid: str, c: DriftConstraint):
+        """Per-host t-digest drift check -> partition-level verdict rows.
+
+        Partials are computed data-parallel (one serialized digest per
+        (batch, host)), merged on the driver (hosts are few), KS vs the
+        global merged digest. Returns a small in-memory events Dataset."""
+        import re as _re
+
+        host_re = _re.compile(c.partition_regex)
+        use_length = c.use_length
+
+        def partial(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            if use_length:
+                vals = pc.utf8_length(batch[c.column]).to_pylist()
+            else:
+                vals = batch[c.column].to_pylist()
+            groups: dict[str, list[float]] = {}
+            for u, v in zip(urls, vals):
+                if v is None:
+                    continue
+                m = host_re.match(u) if u else None
+                key = m.group(1) if m else ""
+                groups.setdefault(key, []).append(float(v))
+            hosts, blobs = [], []
+            for h, arr in groups.items():
+                td = TDigest()
+                td.add_array(arr)
+                hosts.append(h)
+                blobs.append(td.to_bytes())
+            return pa.table(
+                {
+                    "host": pa.array(hosts, type=pa.string()),
+                    "digest": pa.array(blobs, type=pa.binary()),
+                }
+            )
+
+        per_host: dict[str, TDigest] = {}
+        glob = TDigest()
+        parts = pages_drift.map_batches(partial, batch_format="pyarrow")
+        for batch in parts.iter_batches(batch_format="pyarrow"):
+            for h, raw in zip(batch["host"].to_pylist(), batch["digest"].to_pylist()):
+                td = TDigest.loads(raw)
+                if h in per_host:
+                    per_host[h].merge(td)
+                else:
+                    per_host[h] = td
+                glob.merge(TDigest.loads(raw))
+        rows = {k: [] for k in EVENTS_SCHEMA.names}
+        for h in sorted(per_host):
+            ks = ks_statistic(per_host[h], glob)
+            ok = ks <= c.threshold
+            rows["url"].append(f"host:{h}")
+            rows["shape_id"].append(sid)
+            rows["kind"].append("verdict")
+            rows["valid"].append(ok)
+            rows["reason"].append(sid)
+            rows["constraint"].append(None)
+            rows["offending_value"].append(None)
+            if not ok:
+                rows["url"].append(f"host:{h}")
+                rows["shape_id"].append(sid)
+                rows["kind"].append("violation")
+                rows["valid"].append(False)
+                rows["reason"].append(sid)
+                rows["constraint"].append(c.name)
+                rows["offending_value"].append(f"{ks:.4f}")
+        tbl = pa.table(rows, schema=EVENTS_SCHEMA)
+        return ray.data.from_arrow(tbl)
+
+
+def _filter_events_not_kind(events: ray.data.Dataset, kind: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["kind"], kind))
+
+    return events.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

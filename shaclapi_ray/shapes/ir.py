@@ -1,0 +1,388 @@
+"""Shape IR: declarative row predicates + constraints, compiled to vectorized
+pyarrow.compute evaluation.
+
+Replaces the reference's SPARQL-query/shape-file machinery
+(/root/reference/shaclapi/query.py:14-114, JSON shape format at
+/root/reference/examples/lubm/shapes/FullProfessor.json) with a declarative
+IR over the pages table. A shape has:
+
+- ``shape_id``
+- ``target``: a row predicate selecting the entities the shape applies to
+  (≙ the shape's targetDef / target query; the engine ANDs a job-level row
+  filter onto it — the reference's target-query intersection,
+  /root/reference/shaclapi/query.py:194-244);
+- ``constraints``: conjunction of Constraint objects (the reference's
+  ``constraintDef.conjunctions`` outer list is a disjunction of
+  conjunctions; we model a single conjunction whose members may be
+  OrConstraints, which covers the reference's test corpus incl. tc6).
+
+Predicates are JSON-able dicts, e.g.::
+
+    {"op": "regex", "column": "url", "pattern": "^https?://"}
+    {"op": "and", "args": [...]}, {"op": "in", "column": "lang", "values": [...]}
+
+and evaluate to a null-free boolean mask over a pyarrow batch — null input
+compares as False (matching SPARQL/SHACL semantics where an unbound value
+fails a value constraint but satisfies a max-only cardinality).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+Pred = dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# predicate evaluation
+# ---------------------------------------------------------------------------
+
+
+def _coerce_scalar(value: Any, typ: pa.DataType) -> pa.Scalar:
+    if pa.types.is_timestamp(typ) and isinstance(value, str):
+        value = datetime.fromisoformat(value.replace("Z", "+00:00")).replace(tzinfo=None)
+    return pa.scalar(value, type=typ)
+
+
+def eval_pred(pred: Pred | None, batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """Evaluate a predicate to a null-free boolean mask over ``batch``."""
+    n = batch.num_rows
+    if pred is None or pred.get("op") == "true":
+        return pa.array([True] * n, type=pa.bool_())
+    op = pred["op"]
+    if op == "and":
+        out = eval_pred(pred["args"][0], batch)
+        for sub in pred["args"][1:]:
+            out = pc.and_(out, eval_pred(sub, batch))
+        return out
+    if op == "or":
+        out = eval_pred(pred["args"][0], batch)
+        for sub in pred["args"][1:]:
+            out = pc.or_(out, eval_pred(sub, batch))
+        return out
+    if op == "not":
+        return pc.invert(eval_pred(pred["arg"], batch))
+
+    col = batch[pred["column"]]
+    if op == "not_null":
+        return pc.is_valid(col)
+    if op == "is_null":
+        return pc.is_null(col)
+    if op == "regex":
+        m = pc.match_substring_regex(col, pred["pattern"])
+    elif op == "in":
+        m = pc.is_in(col, value_set=pa.array(pred["values"], type=col.type))
+    elif op in ("==", "eq"):
+        m = pc.equal(col, _coerce_scalar(pred["value"], col.type))
+    elif op in ("!=", "ne"):
+        m = pc.not_equal(col, _coerce_scalar(pred["value"], col.type))
+    elif op == "range":
+        m = None
+        if pred.get("min") is not None:
+            m = pc.greater_equal(col, _coerce_scalar(pred["min"], col.type))
+        if pred.get("max") is not None:
+            hi = pc.less_equal(col, _coerce_scalar(pred["max"], col.type))
+            m = hi if m is None else pc.and_(m, hi)
+        if m is None:
+            m = pa.array([True] * n, type=pa.bool_())
+    elif op == "len_range":
+        ln = pc.utf8_length(col) if pa.types.is_string(col.type) else pc.binary_length(col)
+        m = None
+        if pred.get("min") is not None:
+            m = pc.greater_equal(ln, pa.scalar(pred["min"]))
+        if pred.get("max") is not None:
+            hi = pc.less_equal(ln, pa.scalar(pred["max"]))
+            m = hi if m is None else pc.and_(m, hi)
+        if m is None:
+            m = pa.array([True] * n, type=pa.bool_())
+    else:
+        raise ValueError(f"unknown predicate op: {op!r}")
+    return pc.fill_null(m, False)
+
+
+def pred_columns(pred: Pred | None) -> set[str]:
+    """Columns a predicate reads (for projection pushdown / constraint removal)."""
+    if pred is None:
+        return set()
+    op = pred.get("op")
+    if op in ("and", "or"):
+        out: set[str] = set()
+        for sub in pred["args"]:
+            out |= pred_columns(sub)
+        return out
+    if op == "not":
+        return pred_columns(pred["arg"])
+    if op == "true":
+        return set()
+    return {pred["column"]}
+
+
+def pred_to_sql(pred: Pred | None, dialect: str = "duckdb") -> str:
+    """Render a predicate as an ANSI/DuckDB SQL boolean expression.
+
+    Used by the oracle machinery so the Ray predicate and the SQL oracle
+    derive from ONE definition and cannot drift.
+    """
+    if pred is None or pred.get("op") == "true":
+        return "TRUE"
+    op = pred["op"]
+    if op == "and":
+        return "(" + " AND ".join(pred_to_sql(a) for a in pred["args"]) + ")"
+    if op == "or":
+        return "(" + " OR ".join(pred_to_sql(a) for a in pred["args"]) + ")"
+    if op == "not":
+        return f"(NOT {pred_to_sql(pred['arg'])})"
+    c = pred["column"]
+    if op == "not_null":
+        return f"({c} IS NOT NULL)"
+    if op == "is_null":
+        return f"({c} IS NULL)"
+
+    def lit(v: Any) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    if op == "regex":
+        return f"COALESCE(regexp_matches({c}, {lit(pred['pattern'])}), FALSE)"
+    if op == "in":
+        vals = ", ".join(lit(v) for v in pred["values"])
+        return f"COALESCE({c} IN ({vals}), FALSE)"
+    if op in ("==", "eq"):
+        return f"COALESCE({c} = {lit(pred['value'])}, FALSE)"
+    if op in ("!=", "ne"):
+        return f"COALESCE({c} <> {lit(pred['value'])}, FALSE)"
+    if op == "range":
+        parts = []
+        cast = f"CAST({lit(pred['min'] or pred['max'])} AS TIMESTAMP)"  # probe type
+        is_ts = isinstance(pred.get("min") or pred.get("max"), str) and "T" in str(
+            pred.get("min") or pred.get("max")
+        )
+
+        def rlit(v: Any) -> str:
+            if is_ts:
+                return f"TIMESTAMP '{str(v).replace('T', ' ').replace('Z', '')}'"
+            return lit(v)
+
+        _ = cast
+        if pred.get("min") is not None:
+            parts.append(f"{c} >= {rlit(pred['min'])}")
+        if pred.get("max") is not None:
+            parts.append(f"{c} <= {rlit(pred['max'])}")
+        return "COALESCE(" + " AND ".join(parts) + ", FALSE)" if parts else "TRUE"
+    if op == "len_range":
+        parts = []
+        if pred.get("min") is not None:
+            parts.append(f"length({c}) >= {pred['min']}")
+        if pred.get("max") is not None:
+            parts.append(f"length({c}) <= {pred['max']}")
+        return "COALESCE(" + " AND ".join(parts) + ", FALSE)" if parts else "TRUE"
+    raise ValueError(f"unknown predicate op: {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# constraints
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Constraint:
+    """Base class. ``name`` goes into violation rows' ``constraint`` column."""
+
+    name: str
+
+    def columns(self) -> set[str]:
+        raise NotImplementedError
+
+    def referenced_shapes(self) -> list[str]:
+        return []
+
+
+@dataclass
+class PredicateConstraint(Constraint):
+    """Row-level column predicate (≙ the reference backend's value/Datatype
+    constraints; asserted shapes at /root/reference/tests/test_main.py:305-328).
+
+    ``offending_column`` names the column whose value is reported in the
+    violation row's ``offending_value``.
+    """
+
+    pred: Pred = field(default_factory=dict)
+    offending_column: str | None = None
+
+    def columns(self) -> set[str]:
+        return pred_columns(self.pred)
+
+    def evaluate(self, batch: pa.Table):
+        return eval_pred(self.pred, batch)
+
+
+@dataclass
+class OrConstraint(Constraint):
+    """Disjunction of predicate options (≙ ``sh:or`` / constraintDef
+    ``options``; reduction semantics at
+    /root/reference/shaclapi/reduction/travshacl/ReducedShapeParser.py:100-106:
+    removing options collapses — all removed => constraint vanishes, one left
+    => promoted to a plain constraint)."""
+
+    options: list[PredicateConstraint] = field(default_factory=list)
+
+    def columns(self) -> set[str]:
+        out: set[str] = set()
+        for o in self.options:
+            out |= o.columns()
+        return out
+
+    def evaluate(self, batch: pa.Table):
+        out = self.options[0].evaluate(batch)
+        for o in self.options[1:]:
+            out = pc.or_(out, o.evaluate(batch))
+        return out
+
+
+@dataclass
+class RefConstraint(Constraint):
+    """Qualified link-cardinality constraint (≙ min/max + ``shape`` ref in the
+    reference's constraintDef; inter-shape dependency edges at
+    /root/reference/shaclapi/reduction/travshacl/ReducedShapeParser.py:124-138).
+
+    Counts links extracted from ``html`` whose target url (a) exists in the
+    table and (b) satisfies the referenced child shape; valid iff
+    ``min <= count <= max`` (either bound optional; max-only with zero links
+    is valid — the tc5 semantics,
+    /root/reference/tests/tc5/shapes/shapeA.ttl).
+
+    ``shape=None`` means plain link cardinality (no child-shape filter, and
+    existence in the table is not required).
+    """
+
+    min: int | None = None
+    max: int | None = None
+    shape: str | None = None
+
+    def columns(self) -> set[str]:
+        return {"html"}
+
+    def referenced_shapes(self) -> list[str]:
+        return [self.shape] if self.shape else []
+
+
+@dataclass
+class UniqueConstraint(Constraint):
+    """Global uniqueness of a column (url). Exact check via partial-count +
+    groupby-sum; HLL sketch reported in metrics (north_star)."""
+
+    column: str = "url"
+
+    def columns(self) -> set[str]:
+        return {self.column}
+
+
+@dataclass
+class DriftConstraint(Constraint):
+    """Distribution-drift check: t-digest of ``length(column)`` (or the raw
+    numeric value) per partition key, KS statistic vs the global merged
+    digest. Verdict rows are keyed ``partition:<key>`` — the per-partition
+    pass/fail of the north rule."""
+
+    column: str = "text"
+    partition_regex: str = r"https?://([^/]+)/"  # partition key = host(url)
+    threshold: float = 0.25
+    use_length: bool = True
+
+    def columns(self) -> set[str]:
+        return {self.column, "url"}
+
+
+# ---------------------------------------------------------------------------
+# shape + schema files
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Shape:
+    shape_id: str
+    target: Pred | None = None  # None => targets every row
+    constraints: list[Constraint] = field(default_factory=list)
+
+    def referenced_shapes(self) -> list[str]:
+        out: list[str] = []
+        for c in self.constraints:
+            out.extend(c.referenced_shapes())
+        return out
+
+    def columns(self) -> set[str]:
+        out = pred_columns(self.target)
+        for c in self.constraints:
+            out |= c.columns()
+        return out
+
+    def is_column_only(self) -> bool:
+        return all(
+            isinstance(c, (PredicateConstraint, OrConstraint)) for c in self.constraints
+        )
+
+
+def _constraint_from_dict(d: dict[str, Any], idx: int, shape_id: str) -> Constraint:
+    kind = d.get("constraint", "pred" if "pred" in d else None)
+    name = d.get("name", f"{shape_id}_c{idx}")
+    if "options" in d:
+        opts = [
+            PredicateConstraint(name=f"{name}_opt{i}", pred=o["pred"],
+                                offending_column=o.get("offending_column"))
+            for i, o in enumerate(d["options"])
+        ]
+        return OrConstraint(name=name, options=opts)
+    if kind in (None, "pred") and "pred" in d:
+        return PredicateConstraint(
+            name=name, pred=d["pred"], offending_column=d.get("offending_column")
+        )
+    if kind == "ref" or "shape" in d or "min" in d or "max" in d:
+        return RefConstraint(
+            name=name, min=d.get("min"), max=d.get("max"), shape=d.get("shape")
+        )
+    if kind == "unique":
+        return UniqueConstraint(name=name, column=d.get("column", "url"))
+    if kind == "drift":
+        return DriftConstraint(
+            name=name,
+            column=d.get("column", "text"),
+            threshold=d.get("threshold", 0.25),
+            use_length=d.get("use_length", True),
+        )
+    raise ValueError(f"cannot parse constraint dict: {d!r}")
+
+
+def shape_from_dict(d: dict[str, Any]) -> Shape:
+    """Parse the JSON shape format (mirrors the reference's
+    name/targetDef/constraintDef layout,
+    /root/reference/examples/lubm/shapes/FullProfessor.json:1-24; single
+    conjunction)."""
+    shape_id = d["name"]
+    target = (d.get("targetDef") or {}).get("filter")
+    conjs = (d.get("constraintDef") or {}).get("conjunctions") or [[]]
+    if len(conjs) != 1:
+        raise ValueError("only a single conjunction is supported (matches test corpus)")
+    constraints = [
+        _constraint_from_dict(c, i, shape_id) for i, c in enumerate(conjs[0])
+    ]
+    return Shape(shape_id=shape_id, target=target, constraints=constraints)
+
+
+def load_schema_dir(schema_dir: str) -> list[Shape]:
+    """Read every ``*.json`` shape file in a directory (≙ the backend's
+    ``parse_shapes_from_dir`` driven at
+    /root/reference/shaclapi/reduction/travshacl/ReducedShapeParser.py:28-36)."""
+    import json
+    import os
+
+    shapes = []
+    for f in sorted(os.listdir(schema_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(schema_dir, f)) as fh:
+                shapes.append(shape_from_dict(json.load(fh)))
+    return shapes

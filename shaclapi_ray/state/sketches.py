@@ -1,0 +1,290 @@
+"""Mergeable sketches: Bloom filter, HyperLogLog, t-digest.
+
+Pure-numpy implementations of standard public algorithms (Bloom 1970;
+Flajolet et al. 2007 HyperLogLog; Dunning & Ertl t-digest). All three are
+commutative-merge structures, which is what makes them the checkpoint unit
+of the engine (north_star): per-batch/per-actor partials are serialized,
+merged order-insensitively, and persisted in the run manifest.
+
+The reference has no sketch analog — its closest structure is the join's
+in-memory RJT hash tables (/root/reference/shaclapi/multiprocessing/Xgjoin/
+Xgjoin.py:24-26); sketches are the scale path the north rule adds
+(uniqueness, referential membership, distribution drift at 10^12 rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash64_array(values: list[str | None]) -> np.ndarray:
+    """Deterministic 64-bit hashes (blake2b) of strings; None -> hash of b''."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = hashlib.blake2b(
+            v.encode() if isinstance(v, str) else b"", digest_size=8
+        ).digest()
+        out[i] = int.from_bytes(h, "little")
+    return out
+
+
+def _column_values(col) -> list:
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        return col.to_pylist()
+    return list(col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Standard k-hash Bloom filter over a bit array; merge = bitwise OR."""
+
+    def __init__(self, m: int, k: int, bits: np.ndarray | None = None):
+        self.m = int(m)
+        self.k = int(k)
+        self.bits = (
+            bits if bits is not None else np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        )
+
+    @classmethod
+    def sized(cls, n: int, fp_rate: float = 0.01) -> "BloomFilter":
+        m = max(64, int(-n * math.log(fp_rate) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2))) if n else 1
+        return cls(m=m, k=min(k, 16))
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, m: int, k: int) -> "BloomFilter":
+        return cls(m=m, k=k, bits=np.frombuffer(raw, dtype=np.uint8).copy())
+
+    def _positions(self, values: list) -> np.ndarray:
+        h = _hash64_array(values)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = h >> np.uint64(32)
+        ks = np.arange(self.k, dtype=np.uint64)
+        # double hashing: pos_i = (h1 + i*h2) % m  (Kirsch-Mitzenmacher)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def add_array(self, col) -> None:
+        values = _column_values(col)
+        if not values:
+            return
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+
+    def contains_array(self, col) -> np.ndarray:
+        values = _column_values(col)
+        if not values:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        bitvals = (self.bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        return bitvals.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps({"m": self.m, "k": self.k, "bits": self.bits.tobytes()})
+
+    @classmethod
+    def loads(cls, raw: bytes) -> "BloomFilter":
+        d = pickle.loads(raw)
+        return cls.from_bytes(d["bits"], m=d["m"], k=d["k"])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+class HyperLogLog:
+    """HLL with 2^p registers; merge = elementwise max. Standard bias-free
+    variant with small/large range corrections (Flajolet et al. 2007)."""
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_array(self, col) -> None:
+        values = _column_values(col)
+        if not values:
+            return
+        h = _hash64_array(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of remaining 64-p bits, +1
+        lz = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            # bit_length via log2 is unsafe for uint64; use np.frexp-free loop
+            # over the (vector) values with numpy: 64 - floor(log2(rest)) is
+            # fine since rest != 0 and we only need <= 51 significant bits of
+            # precision for the exponent
+            r = rest[nz]
+            exp = np.zeros(r.shape, dtype=np.int64)
+            rr = r.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                mask = rr >= (np.uint64(1) << np.uint64(shift))
+                exp[mask] += shift
+                rr[mask] >>= np.uint64(shift)
+            lz_nz = (63 - exp + 1).astype(np.uint8)
+            lz[nz] = lz_nz
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * math.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps({"p": self.p, "registers": self.registers.tobytes()})
+
+    @classmethod
+    def loads(cls, raw: bytes) -> "HyperLogLog":
+        d = pickle.loads(raw)
+        return cls(p=d["p"], registers=np.frombuffer(d["registers"], dtype=np.uint8).copy())
+
+
+# ---------------------------------------------------------------------------
+# t-digest (simplified merging digest)
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl): centroids compressed against the
+    k1 scale function. merge = concatenate + recompress (commutative up to
+    compression error; deterministic given sorted centroid input)."""
+
+    def __init__(self, compression: float = 100.0):
+        self.compression = compression
+        self.means = np.zeros(0, dtype=np.float64)
+        self.weights = np.zeros(0, dtype=np.float64)
+
+    def add_array(self, values) -> None:
+        arr = np.asarray(
+            [v for v in _column_values(values) if v is not None], dtype=np.float64
+        )
+        if arr.size == 0:
+            return
+        self.means = np.concatenate([self.means, arr])
+        self.weights = np.concatenate([self.weights, np.ones(arr.size)])
+        if self.means.size > 8 * self.compression:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if self.means.size == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        q0 = 0.0
+        cur_m, cur_w = means[0], weights[0]
+        for m, w in zip(means[1:], weights[1:]):
+            q = q0 + (cur_w + w) / total
+            limit = total * self._k_limit(q0)
+            if cur_w + w <= limit:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q0 += cur_w / total
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def _k_limit(self, q: float) -> float:
+        # k1 scale: centroid size limit 4 * q(1-q) / compression-ish
+        return max(4.0 * q * (1 - q) / self.compression, 1e-9)
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        order = np.argsort(self.means, kind="stable")
+        means, weights = self.means[order], self.weights[order]
+        cum = np.cumsum(weights) - weights / 2
+        target = q * weights.sum()
+        return float(np.interp(target, cum, means))
+
+    def cdf(self, x: np.ndarray) -> np.ndarray:
+        if self.means.size == 0:
+            return np.zeros_like(np.asarray(x, dtype=np.float64))
+        order = np.argsort(self.means, kind="stable")
+        means, weights = self.means[order], self.weights[order]
+        cum = np.cumsum(weights) - weights / 2
+        return np.interp(np.asarray(x, dtype=np.float64), means, cum / weights.sum())
+
+    def to_bytes(self) -> bytes:
+        self._compress()
+        return pickle.dumps(
+            {
+                "compression": self.compression,
+                "means": self.means.tobytes(),
+                "weights": self.weights.tobytes(),
+            }
+        )
+
+    @classmethod
+    def loads(cls, raw: bytes) -> "TDigest":
+        d = pickle.loads(raw)
+        td = cls(compression=d["compression"])
+        td.means = np.frombuffer(d["means"], dtype=np.float64).copy()
+        td.weights = np.frombuffer(d["weights"], dtype=np.float64).copy()
+        return td
+
+
+def ks_statistic(a: TDigest, b: TDigest, n_points: int = 256) -> float:
+    """Approximate two-sample KS statistic from two digests' CDFs."""
+    if a.means.size == 0 or b.means.size == 0:
+        return 0.0
+    lo = min(a.means.min(), b.means.min())
+    hi = max(a.means.max(), b.means.max())
+    xs = np.linspace(lo, hi, n_points)
+    return float(np.max(np.abs(a.cdf(xs) - b.cdf(xs))))
+
+
+def psi_statistic(a: TDigest, b: TDigest, n_bins: int = 10) -> float:
+    """Population-stability index between two digests over a's deciles."""
+    if a.means.size == 0 or b.means.size == 0:
+        return 0.0
+    edges = [a.quantile(i / n_bins) for i in range(n_bins + 1)]
+    edges = np.unique(np.asarray(edges))
+    if edges.size < 2:
+        return 0.0
+    pa_ = np.diff(a.cdf(edges))
+    pb = np.diff(b.cdf(edges))
+    pa_ = np.clip(pa_, 1e-6, None)
+    pb = np.clip(pb, 1e-6, None)
+    return float(np.sum((pa_ - pb) * np.log(pa_ / pb)))
