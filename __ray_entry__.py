@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship validation pipeline (referential shape schema) over the
+  deterministic pages table derived from sf0.001.
+- queries(): one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data operators); each callable takes sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL per query (generated from the SAME
+  shape IR via shaclapi_ray.oracles, so Ray code and SQL cannot drift).
+  Pages-table oracles read the generated parquet via read_parquet();
+  documents/embeddings/events use the driver's pre-registered views.
 """
 
 from __future__ import annotations
@@ -18,27 +18,406 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+KNN_QUERY_IDS = list(range(8))
+KNN_K = 10
+WINDOW_S = 300
+SESSION_GAP_S = 1800
+
+
+def _pages(sf_dir: str) -> str:
+    from shaclapi_ray.pagegen import ensure_pages
+
+    return ensure_pages(sf_dir)
+
+
+def _sorted(ds, cols):
+    """Deterministic output ordering (small results only)."""
+    import pandas as pd
+
+    if hasattr(ds, "to_pandas"):
+        df = ds.to_pandas()
+    elif isinstance(ds, pd.DataFrame):
+        df = ds
+    else:  # pyarrow.Table
+        df = ds.to_pandas()
+    if df.empty and not set(cols) <= set(df.columns):
+        return df  # empty Dataset.to_pandas() loses the schema
+    return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: referential validation (LinkedPageShape -> TargetPageShape)
+    over the sf0.001-derived pages table; returns the verdicts Dataset."""
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import referential_schema
+
+    pages = _pages(SF001)
+    res = ValidationEngine(
+        referential_schema(), JobConfig(target_shape="LinkedPageShape")
+    ).run(pages)
+    return res.verdicts()
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def _shape_verdict_query(shape_fn):
+    def q(sf_dir: str):
+        from shaclapi_ray.engine import JobConfig, ValidationEngine
+
+        res = ValidationEngine([shape_fn()], JobConfig()).run(_pages(sf_dir))
+        return _sorted(res.verdicts().select_columns(["url", "valid"]), ["url", "valid"])
+
+    return q
+
+
+def _q_column_violations(sf_dir: str):
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import column_schema
+
+    res = ValidationEngine(column_schema(), JobConfig()).run(_pages(sf_dir))
+    return _sorted(res.violations(), ["url", "shape_id", "constraint"])
+
+
+def _q_links(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.stages.links import extract_links
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    return _sorted(extract_links(pages), ["url", "target_url"])
+
+
+def _q_linked_page_verdicts(sf_dir: str):
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import referential_schema
+
+    res = ValidationEngine(
+        referential_schema(), JobConfig(target_shape="LinkedPageShape")
+    ).run(_pages(sf_dir))
+    v = res.verdicts().to_pandas()
+    v = v[v.shape_id == "LinkedPageShape"][["url", "valid"]]
+    return _sorted(v, ["url", "valid"])
+
+
+def _q_unique_url_verdicts(sf_dir: str):
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import unique_url_shape
+
+    res = ValidationEngine([unique_url_shape()], JobConfig()).run(_pages(sf_dir))
+    return _sorted(res.verdicts().select_columns(["url", "valid"]), ["url", "valid"])
+
+
+def _q_verdict_counts(sf_dir: str):
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import column_schema
+
+    res = ValidationEngine(column_schema(), JobConfig()).run(_pages(sf_dir))
+    return _sorted(res.verdict_counts(), ["shape_id", "valid"])
+
+
+def _q_reduce_schema(sf_dir: str):
+    import pandas as pd
+
+    from shaclapi_ray.fixtures import full_schema
+    from shaclapi_ray.shapes.dag import ConstraintDAG
+
+    dag = ConstraintDAG.from_shapes(full_schema()).reduce(["LinkedPageShape"])
+    return pd.DataFrame({"shape_id": sorted(dag.shapes)})
+
+
+def _q_annotated_pages(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import fresh_page_shape
+
+    pages_dir = _pages(sf_dir)
+    res = ValidationEngine(
+        [fresh_page_shape()], JobConfig(target_shape="FreshPageShape")
+    ).run(pages_dir)
+    pages = ray.data.read_parquet(pages_dir, columns=["url", "lang"])
+    ann = res.annotate(pages).to_pandas()[["url", "lang", "valid", "reason"]]
+    return ann.sort_values(
+        ["url", "lang"], na_position="first", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _q_drift_verdicts(sf_dir: str):
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import drift_shape
+
+    res = ValidationEngine([drift_shape()], JobConfig()).run(_pages(sf_dir))
+    return _sorted(res.verdicts().select_columns(["url", "valid"]), ["url", "valid"])
+
+
+def _q_hll_distinct_urls(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from shaclapi_ray.state.sketches import HyperLogLog
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url"])
+
+    def partial(batch):
+        import pyarrow as pa
+
+        h = HyperLogLog(p=12)
+        h.add_array(batch["url"])
+        return pa.table({"sketch": pa.array([h.to_bytes()], type=pa.binary())})
+
+    merged = HyperLogLog(p=12)
+    for b in pages.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b["sketch"].to_pylist():
+            merged.merge(HyperLogLog.loads(raw))
+    return pd.DataFrame({"distinct_est": [int(round(merged.estimate()))]})
+
+
+# documents / embeddings / events ------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_token_count(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import token_count
+
+    return _sorted(token_count(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_quality_signals(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import quality_signals
+
+    return _sorted(quality_signals(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_lang_id(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import lang_id
+
+    return _sorted(lang_id(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import fingerprint
+
+    return _sorted(fingerprint(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_rolling_fingerprint(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import rolling_fingerprint
+
+    return _sorted(rolling_fingerprint(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_exact_dedup(sf_dir: str):
+    from shaclapi_ray.pipelines.dedup import exact_dedup
+
+    return _sorted(exact_dedup(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_minhash_clusters(sf_dir: str):
+    from shaclapi_ray.pipelines.dedup import minhash_lsh_clusters
+
+    return _sorted(minhash_lsh_clusters(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_simhash(sf_dir: str):
+    from shaclapi_ray.pipelines.dedup import simhash_signatures
+
+    return _sorted(simhash_signatures(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from shaclapi_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return _sorted(ngram_jaccard_pairs(_docs(sf_dir)), ["a", "b"])
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from shaclapi_ray.pipelines.dedup import embedding_neardup_pairs
+
+    return _sorted(embedding_neardup_pairs(_emb(sf_dir), tau=0.9), ["a", "b"])
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    from shaclapi_ray.pipelines.knn import knn_bruteforce
+
+    return _sorted(
+        knn_bruteforce(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K), ["query_id", "rank"]
+    )
+
+
+def _q_knn_ivf(sf_dir: str):
+    from shaclapi_ray.pipelines.knn import knn_ivf
+
+    return _sorted(
+        knn_ivf(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K), ["query_id", "rank"]
+    )
+
+
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_tumbling_window(sf_dir: str):
+    from shaclapi_ray.pipelines.events import tumbling_window
+
+    return _sorted(tumbling_window(_events(sf_dir), WINDOW_S), ["user_id", "window_start"])
+
+
+def _q_sessionize(sf_dir: str):
+    from shaclapi_ray.pipelines.events import sessionize
+
+    return _sorted(sessionize(_events(sf_dir), SESSION_GAP_S), ["user_id", "session_id"])
+
+
+def _q_event_type_stats(sf_dir: str):
+    from shaclapi_ray.pipelines.events import event_type_stats
+
+    return _sorted(event_type_stats(_events(sf_dir)), ["event_type"])
+
+
+def _q_media_metadata(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.multimodal import media_metadata
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    df = media_metadata(pages).to_pandas()
+    return df.sort_values(
+        ["url"], na_position="first", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _q_featurize_media(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.multimodal import featurize_media
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    df = featurize_media(pages).to_pandas()
+    return df.sort_values(["url"], na_position="first", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _q_or_shape_verdicts(sf_dir: str):
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import or_shape
+
+    res = ValidationEngine([or_shape()], JobConfig()).run(_pages(sf_dir))
+    return _sorted(res.verdicts().select_columns(["url", "valid"]), ["url", "valid"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from shaclapi_ray.fixtures import (
+        fresh_page_shape,
+        lang_shape,
+        target_page_shape,
+        url_shape,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # validation engine (SURVEY.md §2 core)
+        "url_shape_verdicts": _shape_verdict_query(url_shape),
+        "fresh_page_verdicts": _shape_verdict_query(fresh_page_shape),
+        "lang_shape_verdicts": _shape_verdict_query(lang_shape),
+        "target_page_verdicts": _shape_verdict_query(target_page_shape),
+        "or_shape_verdicts": _q_or_shape_verdicts,
+        "column_violations": _q_column_violations,
+        "links": _q_links,
+        "linked_page_verdicts": _q_linked_page_verdicts,
+        "unique_url_verdicts": _q_unique_url_verdicts,
+        "verdict_counts": _q_verdict_counts,
+        "reduce_schema": _q_reduce_schema,
+        "annotated_pages": _q_annotated_pages,
+        "drift_verdicts": _q_drift_verdicts,
+        "hll_distinct_urls": _q_hll_distinct_urls,
+        # text analysis
+        "token_count": _q_token_count,
+        "quality_signals": _q_quality_signals,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        # dedup
+        "exact_dedup": _q_exact_dedup,
+        "minhash_clusters": _q_minhash_clusters,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        # similarity search
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_ivf": _q_knn_ivf,
+        # stream-shaped
+        "tumbling_window": _q_tumbling_window,
+        "sessionize": _q_sessionize,
+        "event_type_stats": _q_event_type_stats,
+        # multimodal
+        "media_metadata": _q_media_metadata,
+        "featurize_media": _q_featurize_media,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_sql_for(SF01)  # driver compares at sf=0.01
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    from shaclapi_ray import oracles as o
+    from shaclapi_ray.fixtures import (
+        fresh_page_shape,
+        lang_shape,
+        target_page_shape,
+        url_shape,
+    )
+
+    pages_dir = _pages(sf_dir)
+    return {
+        "url_shape_verdicts": o.shape_verdicts_sql(url_shape(), pages_dir),
+        "fresh_page_verdicts": o.shape_verdicts_sql(fresh_page_shape(), pages_dir),
+        "lang_shape_verdicts": o.shape_verdicts_sql(lang_shape(), pages_dir),
+        "target_page_verdicts": o.shape_verdicts_sql(target_page_shape(), pages_dir),
+        "or_shape_verdicts": o.or_shape_verdicts_sql(pages_dir),
+        "column_violations": o.violations_sql(o.all_column_shapes(), pages_dir),
+        "links": o.links_sql(pages_dir),
+        "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),
+        "unique_url_verdicts": o.unique_url_verdicts_sql(pages_dir),
+        "verdict_counts": o.verdict_counts_sql(o.all_column_shapes(), pages_dir),
+        "reduce_schema": o.reduce_schema_sql(["LinkedPageShape", "TargetPageShape"]),
+        "annotated_pages": o.annotated_pages_sql(pages_dir),
+        "token_count": o.token_count_sql(),
+        "quality_signals": o.quality_signals_sql(),
+        "lang_id": o.lang_id_sql(),
+        "fingerprint": o.fingerprint_sql(),
+        "exact_dedup": o.exact_dedup_sql(),
+        "knn_bruteforce": o.knn_bruteforce_sql(KNN_QUERY_IDS, KNN_K),
+        "tumbling_window": o.tumbling_window_sql(WINDOW_S),
+        "sessionize": o.sessionize_sql(SESSION_GAP_S),
+        "event_type_stats": o.event_type_stats_sql(),
+        "media_metadata": o.media_metadata_sql(pages_dir),
+        # intentionally no oracle (non-SQL-expressible / approximate):
+        # drift_verdicts, hll_distinct_urls, rolling_fingerprint,
+        # minhash_clusters, simhash, ngram_jaccard, embedding_neardup,
+        # knn_ivf, featurize_media
+    }

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS CPUs (default 32) and prints ONE
+JSON line:
+
+  {"metric": "validated_docs_per_sec", "value": <headline sec>,
+   "unit": "sec", "queries": {...per-stage sec...}, "sf": ...,
+   "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: runs the headline in two FRESH processes (8 then 32 CPUs — the
+sandbox proxy for N vs 4N cluster sizes per BASELINE.md) on the same input
+and prints throughput at both plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import (
+        column_schema,
+        referential_schema,
+        unique_url_shape,
+    )
+    from shaclapi_ray.pagegen import ensure_pages, n_rows_for_sf_dir
+    from shaclapi_ray.pipelines.events import tumbling_window
+    from shaclapi_ray.pipelines.knn import knn_bruteforce
+    from shaclapi_ray.pipelines.textstats import lang_id, quality_signals
+    from shaclapi_ray.stages.links import extract_links
+
+    pages_dir = ensure_pages(sf_dir)
+    n_docs = n_rows_for_sf_dir(sf_dir)
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    ray.data.read_parquet(pages_dir).count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: full referential validation end-to-end (read -> fused
+    # predicates -> link extraction -> semi-join -> combine -> verdicts)
+    def headline():
+        res = ValidationEngine(
+            referential_schema(), JobConfig(target_shape="LinkedPageShape")
+        ).run(pages_dir)
+        return res.verdicts().count()
+
+    timed("referential_validation", headline)
+
+    def col_only():
+        res = ValidationEngine(column_schema(), JobConfig()).run(pages_dir)
+        return res.verdicts().count()
+
+    timed("column_validation", col_only)
+
+    timed(
+        "unique_validation",
+        lambda: ValidationEngine([unique_url_shape()], JobConfig())
+        .run(pages_dir)
+        .verdicts()
+        .count(),
+    )
+
+    timed(
+        "link_extraction",
+        lambda: extract_links(
+            ray.data.read_parquet(pages_dir, columns=["url", "html"])
+        ).count(),
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    timed("quality_signals", lambda: quality_signals(docs).count())
+    timed("lang_id", lambda: lang_id(docs).count())
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    timed("knn_bruteforce", lambda: knn_bruteforce(emb, list(range(8)), k=10).count())
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    timed("tumbling_window", lambda: tumbling_window(events).count())
+
+    headline_sec = queries["referential_validation"]
+    result = {
+        "metric": "validated_docs_per_sec",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_dir,
+        f"docs_per_sec_{lo}": tp_lo,
+        f"docs_per_sec_{hi}": tp_hi,
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        "cpus": [lo, hi],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -1,0 +1,323 @@
+"""DuckDB oracle-SQL builders.
+
+Generates, from the SAME shape IR the engine executes, the equivalent SQL
+the driver runs side-by-side (CORRECTNESS gate). Column names match the
+Ray outputs exactly; value formatting contracts (offending_value, 'null'
+sentinel for null urls, integer counts) are shared with
+stages/predicates.py.
+
+The pages table is the deterministic generated one; oracles reference it
+with read_parquet over the generated directory.
+"""
+
+from __future__ import annotations
+
+from shaclapi_ray.fixtures import (
+    fresh_page_shape,
+    lang_shape,
+    or_shape,
+    target_page_shape,
+    url_shape,
+)
+from shaclapi_ray.pipelines.textstats import (
+    DIGIT_RE,
+    PUNCT_RE,
+    STOPWORDS,
+    TOKEN_RE,
+    _word_alt_pattern,
+)
+from shaclapi_ray.shapes.ir import (
+    OrConstraint,
+    PredicateConstraint,
+    Shape,
+    pred_to_sql,
+)
+
+# html is binary in parquet; regex predicates over it need a decode
+COL_MAP = {"html": "decode(html)"}
+
+
+def pages_rel(pages_dir: str) -> str:
+    return f"read_parquet('{pages_dir}/part-*.parquet')"
+
+
+URLX = "COALESCE(url, 'null')"
+
+
+def _shape_valid_sql(shape: Shape) -> str:
+    """Boolean SQL expression: all column constraints hold."""
+    parts = []
+    for c in shape.constraints:
+        if isinstance(c, OrConstraint):
+            parts.append(
+                "("
+                + " OR ".join(pred_to_sql(o.pred, COL_MAP) for o in c.options)
+                + ")"
+            )
+        elif isinstance(c, PredicateConstraint):
+            parts.append(pred_to_sql(c.pred, COL_MAP))
+        else:
+            raise ValueError(f"non-column constraint in {shape.shape_id}")
+    return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
+
+
+def shape_verdicts_sql(shape: Shape, pages_dir: str) -> str:
+    """(url, valid) for one column-only shape."""
+    tgt = pred_to_sql(shape.target, COL_MAP)
+    return (
+        f"SELECT {URLX} AS url, {_shape_valid_sql(shape)} AS valid\n"
+        f"FROM {pages_rel(pages_dir)}\nWHERE {tgt}\nORDER BY url, valid"
+    )
+
+
+def _offending_sql(c: PredicateConstraint) -> str:
+    col = c.offending_column or sorted(c.columns())[0]
+    if c.pred.get("op") == "len_range":
+        return f"CAST(length({col}) AS VARCHAR)"
+    if col == "warc_ts":
+        return "COALESCE(strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f'), 'null')"
+    expr = COL_MAP.get(col, col)
+    return f"COALESCE(substr(CAST({expr} AS VARCHAR), 1, 120), 'null')"
+
+
+def violations_sql(shapes: list[Shape], pages_dir: str) -> str:
+    """(url, shape_id, constraint, offending_value) for column constraints —
+    one UNION ALL branch per constraint, mirroring the engine's
+    per-constraint violation rows."""
+    branches = []
+    for s in shapes:
+        tgt = pred_to_sql(s.target, COL_MAP)
+        for c in s.constraints:
+            if isinstance(c, OrConstraint):
+                fail = (
+                    "NOT ("
+                    + " OR ".join(pred_to_sql(o.pred, COL_MAP) for o in c.options)
+                    + ")"
+                )
+                off = _offending_sql(c.options[0])
+                name = c.name
+            elif isinstance(c, PredicateConstraint):
+                fail = f"NOT {pred_to_sql(c.pred, COL_MAP)}"
+                off = _offending_sql(c)
+                name = c.name
+            else:
+                continue
+            branches.append(
+                f"SELECT {URLX} AS url, '{s.shape_id}' AS shape_id, "
+                f"'{name}' AS \"constraint\", {off} AS offending_value\n"
+                f"FROM {pages_rel(pages_dir)} WHERE {tgt} AND {fail}"
+            )
+    return "\nUNION ALL\n".join(branches) + "\nORDER BY url, shape_id, \"constraint\""
+
+
+def links_sql(pages_dir: str) -> str:
+    return (
+        "SELECT url,\n"
+        "       t.target_url,\n"
+        "       COALESCE(regexp_extract(t.target_url, '^https?://([^/]+)', 1), '') AS host\n"
+        f"FROM (SELECT url, unnest(regexp_extract_all(decode(html), 'href=\"([^\"]+)\"', 1)) AS target_url\n"
+        f"      FROM {pages_rel(pages_dir)} WHERE url IS NOT NULL) t\n"
+        "ORDER BY url, target_url"
+    )
+
+
+def linked_page_verdicts_sql(pages_dir: str) -> str:
+    child = target_page_shape()
+    child_valid = _shape_valid_sql(child)
+    return f"""
+WITH pages AS (SELECT * FROM {pages_rel(pages_dir)}),
+links AS (
+  SELECT url, unnest(regexp_extract_all(decode(html), 'href="([^"]+)"', 1)) AS target_url
+  FROM pages WHERE url IS NOT NULL
+),
+child_valid AS (
+  SELECT DISTINCT url FROM pages WHERE url IS NOT NULL AND {child_valid}
+),
+qcount AS (
+  SELECT l.url, count(*) AS q
+  FROM links l JOIN child_valid c ON l.target_url = c.url
+  GROUP BY l.url
+)
+SELECT {URLX.replace('url', 'p.url')} AS url, COALESCE(q.q, 0) >= 1 AS valid
+FROM pages p LEFT JOIN qcount q ON p.url = q.url
+WHERE p.lang = 'en'
+ORDER BY url, valid
+"""
+
+
+def unique_url_verdicts_sql(pages_dir: str) -> str:
+    return (
+        f"SELECT u AS url, cnt = 1 AS valid FROM (\n"
+        f"  SELECT {URLX} AS u, count(*) OVER (PARTITION BY {URLX}) AS cnt\n"
+        f"  FROM {pages_rel(pages_dir)}\n) ORDER BY url, valid"
+    )
+
+
+def verdict_counts_sql(shapes: list[Shape], pages_dir: str) -> str:
+    branches = [
+        f"SELECT '{s.shape_id}' AS shape_id, {_shape_valid_sql(s)} AS valid\n"
+        f"FROM {pages_rel(pages_dir)} WHERE {pred_to_sql(s.target, COL_MAP)}"
+        for s in shapes
+    ]
+    u = "\nUNION ALL\n".join(branches)
+    return (
+        f"SELECT shape_id, valid, count(*) AS n FROM (\n{u}\n) "
+        "GROUP BY shape_id, valid ORDER BY shape_id, valid"
+    )
+
+
+def annotated_pages_sql(pages_dir: str) -> str:
+    s = fresh_page_shape()
+    return f"""
+WITH pages AS (SELECT * FROM {pages_rel(pages_dir)}),
+v AS (
+  SELECT {URLX} AS v_url, {_shape_valid_sql(s)} AS valid,
+         CASE WHEN {_shape_valid_sql(s)} THEN 'FreshPageShape'
+              ELSE 'FreshPageShape' END AS reason
+  FROM pages WHERE {pred_to_sql(s.target, COL_MAP)}
+)
+SELECT p.url, p.lang, v.valid, v.reason
+FROM pages p LEFT JOIN v ON p.url = v.v_url
+ORDER BY p.url NULLS FIRST, p.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings / events oracles
+# ---------------------------------------------------------------------------
+
+
+def token_count_sql() -> str:
+    return (
+        f"SELECT doc_id, length(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ).replace("\\", "\\")
+
+
+def quality_signals_sql() -> str:
+    en = _word_alt_pattern(STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+       length(regexp_extract_all(text, '{PUNCT_RE}')) AS punct_count,
+       length(regexp_extract_all(text, '{DIGIT_RE}')) AS digit_count,
+       length(regexp_extract_all(text, '{en}')) AS stop_count_en
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(STOPWORDS)
+    counts = ",\n       ".join(
+        f"length(regexp_extract_all(text, '{_word_alt_pattern(STOPWORDS[lang])}')) AS c_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN c_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+       {counts}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {greatest} = 0 THEN 'und'
+            {cases}
+       END AS lang_pred,
+       {greatest} AS lang_score
+FROM c ORDER BY doc_id
+"""
+
+
+def fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+        "FROM documents GROUP BY md5(text) ORDER BY doc_id"
+    )
+
+
+def knn_bruteforce_sql(query_ids: list[int], k: int) -> str:
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ({ids})),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def tumbling_window_sql(window_s: int) -> str:
+    return f"""
+SELECT user_id,
+       (epoch_us(ts) // ({window_s} * 1000000)) * {window_s} AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY user_id, window_start ORDER BY user_id, window_start
+"""
+
+
+def sessionize_sql(gap_s: int) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+         CASE WHEN lag(epoch_us(ts) // 1000000) OVER w IS NULL
+                OR (epoch_us(ts) // 1000000) - (lag(epoch_us(ts) // 1000000) OVER w) > {gap_s}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM e
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_s) AS first_ts_s, max(ts_s) AS last_ts_s
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def event_type_stats_sql() -> str:
+    return """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def media_metadata_sql(pages_dir: str) -> str:
+    return (
+        f"SELECT url, octet_length(html) AS n_bytes FROM {pages_rel(pages_dir)} "
+        "ORDER BY url NULLS FIRST"
+    )
+
+
+def reduce_schema_sql(shape_ids: list[str]) -> str:
+    rows = " UNION ALL ".join(f"SELECT '{s}' AS shape_id" for s in sorted(shape_ids))
+    return f"SELECT shape_id FROM ({rows}) ORDER BY shape_id"
+
+
+def all_column_shapes() -> list[Shape]:
+    return [url_shape(), fresh_page_shape(), lang_shape(), target_page_shape()]
+
+
+def or_shape_verdicts_sql(pages_dir: str) -> str:
+    return shape_verdicts_sql(or_shape(), pages_dir)

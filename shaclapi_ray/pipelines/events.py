@@ -1,0 +1,129 @@
+"""Stream-shaped operators over the events table (event_id, ts, user_id,
+event_type, value, props).
+
+Ray Data has no event-time windows; per the streaming recast (SURVEY.md
+§2.8), bounded window semantics become groupby + within-group pandas over
+ts-sorted rows. Tumbling windows pre-aggregate inside map_batches before
+the keyed shuffle (partial combine), so the all-to-all moves one row per
+(key, window, batch) instead of one per event.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def tumbling_window(events_ds, window_s: int = 300):
+    """(user_id, window_start, n_events, sum_value): fixed windows on ts.
+
+    Partial per-batch aggregation first; the groupby then shuffles only the
+    per-batch partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch["ts"], pa.int64())  # microseconds
+        win = pc.multiply(
+            pc.divide(epoch, 1_000_000 * window_s), pa.scalar(window_s, pa.int64())
+        )
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_start": win,
+                "value": batch["value"],
+            }
+        )
+        g = t.group_by(["user_id", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "window_start": g["window_start"],
+                "sum_value": g["value_sum"],
+                "n_events": pc.cast(g["value_count"], pa.int64()),
+            }
+        )
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_events", alias_name="n_events"),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["window_start"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": pc.round(t["sum_value"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sessionize(events_ds, gap_s: int = 1800):
+    """(user_id, session_id, n_events, first_ts, last_ts): gap-based
+    session windows per user. session_id is 1-based in ts order within
+    user — deterministic. groupby(user).map_groups over ts-sorted rows."""
+
+    def per_user(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        # normalize to ns first (pandas 2.x may keep us resolution), then
+        # to integer epoch seconds
+        ts_s = (
+            pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64").to_numpy()
+            // 1_000_000_000
+        )
+        new_session = np.ones(len(g), dtype=bool)
+        new_session[1:] = (ts_s[1:] - ts_s[:-1]) > gap_s
+        sid = np.cumsum(new_session)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "session_id": sid.astype("int64"),
+                    "ts_s": ts_s,
+                }
+            )
+            .groupby("session_id")
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("ts_s", "size"),
+                first_ts_s=("ts_s", "min"),
+                last_ts_s=("ts_s", "max"),
+            )
+            .reset_index()
+        )
+        return out[
+            ["user_id", "session_id", "n_events", "first_ts_s", "last_ts_s"]
+        ].astype({"n_events": "int64", "first_ts_s": "int64", "last_ts_s": "int64"})
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def event_type_stats(events_ds):
+    """(event_type, n, sum_value, min_value, max_value): keyed aggregate
+    with Ray-native partial+final combine."""
+    out = events_ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_value": pc.round(t["sum_value"], 6),
+                "min_value": pc.round(t["min_value"], 6),
+                "max_value": pc.round(t["max_value"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -121,22 +121,26 @@ def pred_columns(pred: Pred | None) -> set[str]:
     return {pred["column"]}
 
 
-def pred_to_sql(pred: Pred | None, dialect: str = "duckdb") -> str:
+def pred_to_sql(
+    pred: Pred | None, col_map: dict[str, str] | None = None
+) -> str:
     """Render a predicate as an ANSI/DuckDB SQL boolean expression.
 
     Used by the oracle machinery so the Ray predicate and the SQL oracle
-    derive from ONE definition and cannot drift.
+    derive from ONE definition and cannot drift. ``col_map`` rewrites
+    column references (e.g. html -> decode(html) for regex over binary).
     """
     if pred is None or pred.get("op") == "true":
         return "TRUE"
     op = pred["op"]
     if op == "and":
-        return "(" + " AND ".join(pred_to_sql(a) for a in pred["args"]) + ")"
+        return "(" + " AND ".join(pred_to_sql(a, col_map) for a in pred["args"]) + ")"
     if op == "or":
-        return "(" + " OR ".join(pred_to_sql(a) for a in pred["args"]) + ")"
+        return "(" + " OR ".join(pred_to_sql(a, col_map) for a in pred["args"]) + ")"
     if op == "not":
-        return f"(NOT {pred_to_sql(pred['arg'])})"
+        return f"(NOT {pred_to_sql(pred['arg'], col_map)})"
     c = pred["column"]
+    c = (col_map or {}).get(c, c)
     if op == "not_null":
         return f"({c} IS NOT NULL)"
     if op == "is_null":
@@ -158,7 +162,6 @@ def pred_to_sql(pred: Pred | None, dialect: str = "duckdb") -> str:
         return f"COALESCE({c} <> {lit(pred['value'])}, FALSE)"
     if op == "range":
         parts = []
-        cast = f"CAST({lit(pred['min'] or pred['max'])} AS TIMESTAMP)"  # probe type
         is_ts = isinstance(pred.get("min") or pred.get("max"), str) and "T" in str(
             pred.get("min") or pred.get("max")
         )
@@ -168,7 +171,6 @@ def pred_to_sql(pred: Pred | None, dialect: str = "duckdb") -> str:
                 return f"TIMESTAMP '{str(v).replace('T', ' ').replace('Z', '')}'"
             return lit(v)
 
-        _ = cast
         if pred.get("min") is not None:
             parts.append(f"{c} >= {rlit(pred['min'])}")
         if pred.get("max") is not None:

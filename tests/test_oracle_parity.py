@@ -1,0 +1,120 @@
+"""Driver-style side-by-side check: every queries() entry with an
+oracle_sql() entry must match DuckDB on the same inputs (sf0.001 —
+the driver runs the identical comparison at sf0.01)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def _norm_value(v):
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NA or v is pd.NaT:
+        return "__na__"
+    if isinstance(v, (bool, np.bool_)):
+        return "1" if v else "0"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return str(v)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        else:
+            df[c] = df[c].map(_norm_value)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _compare(name: str, ray_df, duck_df):
+    a = _normalize(pd.DataFrame(ray_df))
+    b = _normalize(duck_df)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            assert all(
+                math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6)
+                or (pd.isna(x) and pd.isna(y))
+                for x, y in zip(a[c], b[c])
+            ), f"{name}: float column {c} differs"
+        else:
+            same = (a[c].fillna("__na__") == b[c].fillna("__na__")).all()
+            assert same, (
+                f"{name}: column {c} differs\n"
+                f"{a[c][a[c].fillna('__na__') != b[c].fillna('__na__')].head()}\n"
+                f"{b[c][a[c].fillna('__na__') != b[c].fillna('__na__')].head()}"
+            )
+
+
+def _entry_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ENTRY = _entry_module()
+ORACLES = ENTRY.oracle_sql_for(SF)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(ray_session, name):
+    qs = ENTRY.queries()
+    ray_result = qs[name](SF)
+    duck_result = _duck(ORACLES[name])
+    _compare(name, ray_result, duck_result)
+
+
+def test_all_queries_run(ray_session):
+    """Queries without oracles still must run and return rows/schema."""
+    qs = ENTRY.queries()
+    no_oracle = set(qs) - set(ORACLES)
+    for name in sorted(no_oracle):
+        out = qs[name](SF)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        # zero-row results are legitimate (e.g. no near-dup pairs at this
+        # scale); the check is that the pipeline runs end-to-end
+        assert isinstance(df, pd.DataFrame), name
+
+
+def test_entry_smoke(ray_session):
+    ds = ENTRY.entry()
+    assert ds.count() > 0
