@@ -187,9 +187,9 @@ def _q_hll_distinct_urls(sf_dir: str):
 
 
 def _docs(sf_dir: str):
-    import ray.data
+    from shaclapi_ray.io import read_table_split
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_table_split(f"{sf_dir}/documents.parquet")
 
 
 def _q_token_count(sf_dir: str):
@@ -247,9 +247,9 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _emb(sf_dir: str):
-    import ray.data
+    from shaclapi_ray.io import read_table_split
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_table_split(f"{sf_dir}/embeddings.parquet")
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -275,9 +275,9 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _events(sf_dir: str):
-    import ray.data
+    from shaclapi_ray.io import read_table_split
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return read_table_split(f"{sf_dir}/events.parquet")
 
 
 def _q_tumbling_window(sf_dir: str):

@@ -97,18 +97,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed(
         "link_extraction",
         lambda: extract_links(
-            ray.data.read_parquet(pages_dir, columns=["url", "html"])
+            __import__("shaclapi_ray.io", fromlist=["read_parquet"]).read_parquet(
+                pages_dir, columns=["url", "html"]
+            )
         ).count(),
     )
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from shaclapi_ray.io import read_table_split
+
+    docs = read_table_split(f"{sf_dir}/documents.parquet")
     timed("quality_signals", lambda: quality_signals(docs).count())
     timed("lang_id", lambda: lang_id(docs).count())
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table_split(f"{sf_dir}/embeddings.parquet")
     timed("knn_bruteforce", lambda: knn_bruteforce(emb, list(range(8)), k=10).count())
 
-    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    events = read_table_split(f"{sf_dir}/events.parquet")
     timed("tumbling_window", lambda: tumbling_window(events).count())
 
     headline_sec = queries["referential_validation"]

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from shaclapi_ray.shapes.dag import ConstraintDAG
 from shaclapi_ray.shapes.ir import (
@@ -64,11 +64,12 @@ class JobConfig:
     prune: bool = True  # ≙ prune_shape_network
     requested_columns: set[str] | None = None  # ≙ remove_constraints
     replace_target_query: bool = True  # apply row_filter pushdown
-    ref_strategy: str = "auto"  # broadcast | bucket | auto
+    ref_strategy: str = "auto"  # broadcast | bucket | auto (semi-join side)
+    combine_strategy: str = "auto"  # broadcast | bucket | auto (counts join)
     num_partitions: int = 32
     salt_k: int = 0  # >1 => salted bucket join
     bloom_prefilter: bool = False
-    batch_size: int = 8192
+    batch_size: int | None = None  # None => block-sized batches
     concurrency: Any = None  # actor-pool size for pass A; None => tasks
     drift_threshold: float = 0.25
 
@@ -242,9 +243,16 @@ class ValidationEngine:
 
         # ---- source(s): prune at the read ---------------------------------
         if isinstance(pages_path, str):
-            pages_a = ray.data.read_parquet(pages_path, columns=self.pass_a_columns())
+            from shaclapi_ray.io import read_parquet as _read
+            from shaclapi_ray.io import target_blocks
+
+            # blocks ≈ CPUs: Ray's default read parallelism (~200) leaves
+            # the materialized events in hundreds of tiny blocks, and every
+            # downstream stage then pays per-task overhead x blocks
+            nb = target_blocks(factor=1)
+            pages_a = _read(pages_path, columns=self.pass_a_columns(), num_blocks=nb)
             pages_links = (
-                ray.data.read_parquet(pages_path, columns=["url", "html"])
+                _read(pages_path, columns=["url", "html"], num_blocks=nb)
                 if self.needs_links()
                 else None
             )
@@ -258,7 +266,7 @@ class ValidationEngine:
                 }
             )
             pages_drift = (
-                ray.data.read_parquet(pages_path, columns=drift_cols)
+                _read(pages_path, columns=drift_cols, num_blocks=nb)
                 if drift_only
                 else None
             )
@@ -269,14 +277,15 @@ class ValidationEngine:
 
         # ---- pass A: fused column predicates ------------------------------
         mb_kwargs: dict[str, Any] = {}
+        if cfg.batch_size is not None:
+            mb_kwargs["batch_size"] = cfg.batch_size
         if cfg.concurrency is not None:
-            mb_kwargs["concurrency"] = cfg.concurrency
             events_a = pages_a.map_batches(
                 ColumnShapeEvaluator,
                 fn_constructor_args=(pass_a_shapes,),
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
                 zero_copy_batch=True,
+                concurrency=cfg.concurrency,
                 **mb_kwargs,
             )
         else:
@@ -284,19 +293,23 @@ class ValidationEngine:
             events_a = pages_a.map_batches(
                 evaluator,
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
                 zero_copy_batch=True,
+                **mb_kwargs,
             )
-        events = events_a.materialize()
+        # event pieces accumulate per stage; unions over MATERIALIZED pieces
+        # are zero-copy block-ref concatenations (no recompute, no copy)
+        pieces: list[ray.data.Dataset] = [events_a.materialize()]
+
+        def all_events() -> ray.data.Dataset:
+            return pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
+
         timings["pass_a_s"] = time.monotonic() - t0
 
         # ---- pass B: referential + global constraints in DAG order --------
         t1 = time.monotonic()
         links_ds = None
         if pages_links is not None:
-            links_ds = extract_links(
-                pages_links, batch_size=min(cfg.batch_size, 2048)
-            ).materialize()
+            links_ds = extract_links(pages_links, batch_size=cfg.batch_size).materialize()
 
         for sid in self.order:
             shape = shapes[sid]
@@ -310,17 +323,17 @@ class ValidationEngine:
                         "ref/unique constraints"
                     )
                 drift_events = self._eval_drift(pages_drift, sid, drifts[0])
-                events = events.union(drift_events).materialize()
+                pieces.append(drift_events)
                 continue
             if not refs and not uniqs:
                 continue  # column-only: final verdict already in events
-            colpart = _filter_events(events, kind="colpart", shape_id=sid)
+            colpart = _filter_events(all_events(), kind="colpart", shape_id=sid)
             counts_and_constraints = []
             for c in refs:
                 if c.shape is None:
                     counts = plain_link_counts(links_ds)
                 else:
-                    child_urls = child_valid_urls(events, c.shape)
+                    child_urls = child_valid_urls(all_events(), c.shape)
                     counts = qualified_counts(
                         links_ds,
                         child_urls,
@@ -340,12 +353,13 @@ class ValidationEngine:
                 counts_and_constraints,
                 sid,
                 num_partitions=cfg.num_partitions,
+                strategy=cfg.combine_strategy,
             )
-            events = events.union(combined).materialize()
+            pieces.append(combined.materialize())
         timings["pass_b_s"] = time.monotonic() - t1
 
-        # drop consumed colpart rows
-        events = _filter_events_not_kind(events, "colpart").materialize()
+        # drop consumed colpart rows (lazy filter over materialized pieces)
+        events = _filter_events_not_kind(all_events(), "colpart")
         timings["total_s"] = time.monotonic() - t0
         return ValidationResult(
             events=events,
@@ -359,22 +373,18 @@ class ValidationEngine:
     @staticmethod
     def _column_value_counts(pages_ds, column: str):
         """(url, qcount) of occurrences of each value of ``column`` —
-        partial per-batch counts, then a small groupby-sum (pre-aggregation
-        before the shuffle, SURVEY.md §4)."""
+        partial per-batch counts, then combine (pre-aggregation before any
+        shuffle, SURVEY.md §4; driver-merge at small scale)."""
+        from shaclapi_ray.stages.aggregates import grouped_count
 
-        def partial(batch: pa.Table) -> pa.Table:
-            col = pc.fill_null(pc.cast(batch[column], pa.string()), "null")
-            g = pa.table({"url": col}).group_by("url").aggregate([("url", "count")])
-            return pa.table({"url": g["url"], "cnt": g["url_count"]})
-
-        partials = pages_ds.map_batches(partial, batch_format="pyarrow")
-        agg = partials.groupby("url").aggregate(Sum("cnt", alias_name="qcount"))
-        return agg.map_batches(
-            lambda t: pa.table(
-                {"url": t["url"], "qcount": pc.cast(t["qcount"], pa.int64())}
+        keyed = pages_ds.map_batches(
+            lambda batch: pa.table(
+                {"url": pc.fill_null(pc.cast(batch[column], pa.string()), "null")}
             ),
             batch_format="pyarrow",
+            zero_copy_batch=True,
         )
+        return grouped_count(keyed, "url", out_name="qcount", mode="auto")
 
     def _eval_drift(self, pages_drift, sid: str, c: DriftConstraint):
         """Per-host t-digest drift check -> partition-level verdict rows.

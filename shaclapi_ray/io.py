@@ -1,0 +1,57 @@
+"""Input helpers: parquet reads with explicit block-count control.
+
+Ray's parquet reader parallelizes across files and row groups; a
+single-file single-row-group table (like the driver's testdata parquet)
+arrives as ONE block, serializing every downstream map_batches. The
+helpers here size ``override_num_blocks`` to the cluster and, when the
+file structure cannot be split finer, repartition once after the read so
+the pipeline fans out (SURVEY.md §4: blocks ≈ 2-4x CPUs).
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+
+def target_blocks(factor: int = 2) -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus * factor)
+
+
+def read_parquet(path, columns=None, num_blocks: int | None = None):
+    """Plain pruned read. Ray's default block sizing (file/row-group
+    granularity) beats forced small blocks when per-task overhead is high;
+    pass ``num_blocks`` only to override deliberately."""
+    if num_blocks:
+        return ray.data.read_parquet(path, columns=columns, override_num_blocks=num_blocks)
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _metadata_rows(path: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def read_table_split(path, columns=None, min_rows_per_block: int = 500):
+    """Read + force fan-out for unsplittable single-row-group files.
+
+    The repartition is a one-pass block split (no key shuffle), sized from
+    parquet metadata (driver-local, cheap)."""
+    ds = read_parquet(path, columns=columns)
+    rows = _metadata_rows(path)
+    n = max(1, min(target_blocks(factor=1), rows // min_rows_per_block))
+    if n > 1:
+        ds = ds.repartition(n)
+    return ds

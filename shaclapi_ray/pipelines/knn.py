@@ -52,56 +52,67 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 10, concurrency=(1, 4)
     q_mat = _normalize(_to_matrix(qtbl["embedding"]))
     q_ref = ray.put((q_ids, q_mat))
 
-    class BatchTopK:
-        def __init__(self):
-            self.q_ids, self.q_mat = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            mat = _normalize(_to_matrix(batch["embedding"]))
-            sims = self.q_mat @ mat.T  # Q x B
-            rows = {"query_id": [], "neighbor_id": [], "sim": []}
-            kk = min(k, sims.shape[1])
-            for qi, qid in enumerate(self.q_ids):
-                s = sims[qi]
-                mask = ids != qid
-                cand = np.nonzero(mask)[0]
-                if cand.size == 0:
-                    continue
-                order = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
-                rows["query_id"].extend([int(qid)] * len(order))
-                rows["neighbor_id"].extend(ids[order].tolist())
-                rows["sim"].extend(s[order].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(rows["query_id"], type=pa.int64()),
-                    "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
-                    "sim": pa.array(rows["sim"], type=pa.float64()),
-                }
-            )
-
-    candidates = emb_ds.map_batches(
-        BatchTopK,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
-
-    def final_topk(group):
-        import pandas as pd
-
-        g = group.sort_values(
-            ["sim", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        return pd.DataFrame(
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(q_ref)  # plasma-cached, zero-copy per worker
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _normalize(_to_matrix(batch["embedding"]))
+        sims = q_mat @ mat.T  # Q x B
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        kk = min(k, sims.shape[1])
+        for qi, qid in enumerate(q_ids):
+            s = sims[qi]
+            mask = ids != qid
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            order = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+            rows["query_id"].extend([int(qid)] * len(order))
+            rows["neighbor_id"].extend(ids[order].tolist())
+            rows["sim"].extend(s[order].tolist())
+        return pa.table(
             {
-                "query_id": g["query_id"].astype("int64"),
-                "neighbor_id": g["neighbor_id"].astype("int64"),
-                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+                "sim": pa.array(rows["sim"], type=pa.float64()),
             }
         )
 
-    return candidates.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    candidates = emb_ds.map_batches(
+        batch_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _final_topk_driver(candidates, k)
+
+
+def _final_topk_driver(candidates, k: int):
+    """Merge per-batch candidate top-ks on the driver.
+
+    Candidates are bounded by num_batches x Q x k regardless of corpus
+    size (the per-batch cut is the reduction), so the driver merge is the
+    scale-correct final step — no keyed shuffle needed."""
+    import pandas as pd
+    import ray
+
+    tables = [ray.get(r) for r in candidates.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    import pyarrow as _pa
+
+    df = _pa.concat_tables(tables).to_pandas()
+    df = df.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return df[["query_id", "neighbor_id", "rank"]].astype("int64").reset_index(
+        drop=True
+    )
 
 
 def knn_ivf(
@@ -137,18 +148,13 @@ def knn_ivf(
         cent = _normalize(cent)
     cent_ref = ray.put(cent)
 
-    class Assigner:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
+    def assigner(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(_to_matrix(batch["embedding"]))
+        bucket = np.argmax(mat @ c.T, axis=1)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _normalize(_to_matrix(batch["embedding"]))
-            bucket = np.argmax(mat @ self.cent.T, axis=1)
-            return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
-
-    bucketed = emb_ds.map_batches(
-        Assigner, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
-    )
+    bucketed = emb_ds.map_batches(assigner, batch_format="pyarrow", zero_copy_batch=True)
 
     def pick_queries(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -168,49 +174,33 @@ def knn_ivf(
     }
     probe_ref = ray.put((q_ids, q_mat, q_buckets))
 
-    class ProbeTopK:
-        def __init__(self):
-            self.q_ids, self.q_mat, self.q_buckets = ray.get(probe_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            buckets = np.asarray(batch["bucket"].to_pylist(), dtype=np.int64)
-            mat = _normalize(_to_matrix(batch["embedding"]))
-            rows = {"query_id": [], "neighbor_id": [], "sim": []}
-            for qi, qid in enumerate(self.q_ids):
-                probe = self.q_buckets[int(qid)]
-                mask = np.isin(buckets, probe) & (ids != qid)
-                cand = np.nonzero(mask)[0]
-                if cand.size == 0:
-                    continue
-                s = mat[cand] @ self.q_mat[qi]
-                order = cand[np.lexsort((ids[cand], -s))][: min(k, cand.size)]
-                sims = mat[order] @ self.q_mat[qi]
-                rows["query_id"].extend([int(qid)] * len(order))
-                rows["neighbor_id"].extend(ids[order].tolist())
-                rows["sim"].extend(sims.tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(rows["query_id"], type=pa.int64()),
-                    "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
-                    "sim": pa.array(rows["sim"], type=pa.float64()),
-                }
-            )
-
-    candidates = bucketed.map_batches(
-        ProbeTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
-    )
-
-    def final_topk(group):
-        import pandas as pd
-
-        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame(
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        p_ids, p_mat, p_buckets = ray.get(probe_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        buckets = np.asarray(batch["bucket"].to_pylist(), dtype=np.int64)
+        mat = _normalize(_to_matrix(batch["embedding"]))
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(p_ids):
+            probe = p_buckets[int(qid)]
+            mask = np.isin(buckets, probe) & (ids != qid)
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            s = mat[cand] @ p_mat[qi]
+            order = cand[np.lexsort((ids[cand], -s))][: min(k, cand.size)]
+            sims = mat[order] @ p_mat[qi]
+            rows["query_id"].extend([int(qid)] * len(order))
+            rows["neighbor_id"].extend(ids[order].tolist())
+            rows["sim"].extend(sims.tolist())
+        return pa.table(
             {
-                "query_id": g["query_id"].astype("int64"),
-                "neighbor_id": g["neighbor_id"].astype("int64"),
-                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+                "sim": pa.array(rows["sim"], type=pa.float64()),
             }
         )
 
-    return candidates.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    candidates = bucketed.map_batches(
+        probe_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _final_topk_driver(candidates, k)

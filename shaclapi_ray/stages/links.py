@@ -25,45 +25,52 @@ HREF_RE = rb'href="([^"]+)"'
 HOST_RE = r"^https?://(?P<host>[^/]+)"
 
 
-class LinkExtractor:
-    """map_batches callable: explode href targets from html bytes."""
-
-    def __init__(self, href_pattern: bytes = HREF_RE):
-        self.href = re.compile(href_pattern)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        htmls = batch["html"].to_pylist()
-        out_url: list[str] = []
-        out_target: list[str] = []
-        find = self.href.findall
-        for u, h in zip(urls, htmls):
-            if u is None or h is None:
-                continue
-            for t in find(h):
-                out_url.append(u)
-                out_target.append(t.decode("utf-8", "replace"))
-        target_arr = pa.array(out_target, type=pa.string())
-        host = pc.struct_field(
-            pc.extract_regex(target_arr, HOST_RE), "host"
-        )
-        return pa.table(
-            {
-                "url": pa.array(out_url, type=pa.string()),
-                "target_url": target_arr,
-                "host": pc.fill_null(host, ""),
-            },
-            schema=LINKS_SCHEMA,
-        )
+_HREF_COMPILED = re.compile(HREF_RE)
 
 
-def extract_links(pages_ds, batch_size: int = 2048, concurrency=(1, 8)):
-    """pages Dataset (must contain url, html) -> links Dataset."""
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """Stateless task body: explode href targets from html bytes.
+
+    Module-level compiled regex (compiled once per worker process at
+    import); bytes scanned directly — no utf-8 decode of the full page."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    out_url: list[str] = []
+    out_target: list[str] = []
+    find = _HREF_COMPILED.findall
+    for u, h in zip(urls, htmls):
+        if u is None or h is None:
+            continue
+        for t in find(h):
+            out_url.append(u)
+            out_target.append(t.decode("utf-8", "replace"))
+    target_arr = pa.array(out_target, type=pa.string())
+    host = pc.struct_field(pc.extract_regex(target_arr, HOST_RE), "host")
+    return pa.table(
+        {
+            "url": pa.array(out_url, type=pa.string()),
+            "target_url": target_arr,
+            "host": pc.fill_null(host, ""),
+        },
+        schema=LINKS_SCHEMA,
+    )
+
+
+def extract_links(pages_ds, batch_size: int | None = None, concurrency=None):
+    """pages Dataset (must contain url, html) -> links Dataset.
+
+    Stateless tasks (elastic, no actor ramp-up). Default batch = whole
+    block (lowest per-task overhead); pass ``batch_size`` to bound memory
+    when html payloads are very large."""
     ds = pages_ds.select_columns(["url", "html"])
+    kwargs = {}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    if batch_size:
+        kwargs["batch_size"] = batch_size
     return ds.map_batches(
-        LinkExtractor,
+        extract_links_batch,
         batch_format="pyarrow",
-        batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
+        **kwargs,
     )

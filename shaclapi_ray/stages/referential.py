@@ -31,7 +31,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count
 
 from shaclapi_ray.shapes.ir import RefConstraint
 from shaclapi_ray.stages.predicates import EVENTS_SCHEMA
@@ -64,25 +63,26 @@ def child_valid_urls(verdicts_ds, child_shape_id: str):
     return verdicts_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
-class _BroadcastSemiFilter:
-    """Actor-pool callable: keep links whose target_url is in the broadcast
-    url set (fetched from the object store once per actor)."""
+def _broadcast_semi_filter(urls_ref):
+    """Stateless-task body: keep links whose target_url is in the broadcast
+    url set. ray.get on a plasma ObjectRef is zero-copy and cached per
+    worker — no actor pool needed."""
 
-    def __init__(self, urls_ref):
-        self.value_set = ray.get(urls_ref)  # pa.Array of urls
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["target_url"], value_set=self.value_set)
+    def fn(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(urls_ref)
+        mask = pc.is_in(batch["target_url"], value_set=value_set)
         return batch.filter(pc.fill_null(mask, False)).select(["url"])
 
+    return fn
 
-class _BloomPreFilter:
-    def __init__(self, bloom_ref):
-        self.bloom: BloomFilter = ray.get(bloom_ref)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = self.bloom.contains_array(batch["target_url"])
+def _bloom_pre_filter(bloom_ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        bloom: BloomFilter = ray.get(bloom_ref)
+        mask = bloom.contains_array(batch["target_url"])
         return batch.filter(pa.array(mask))
+
+    return fn
 
 
 def qualified_counts(
@@ -101,8 +101,13 @@ def qualified_counts(
     """
     num_partitions = clamp_partitions(num_partitions)
     if strategy == "auto":
+        # materialize once: the count decides the strategy and the same
+        # blocks feed whichever path wins (no recompute)
+        child_urls_ds = child_urls_ds.materialize()
         n_child = child_urls_ds.count()
         strategy = "broadcast" if n_child <= BROADCAST_LIMIT else "bucket"
+    elif strategy == "broadcast":
+        child_urls_ds = child_urls_ds.materialize()
 
     if strategy == "broadcast":
         refs = child_urls_ds.to_arrow_refs()
@@ -114,22 +119,18 @@ def qualified_counts(
             urls_arr = pa.array([], type=pa.string())
         urls_ref = ray.put(urls_arr)
         qualified = links_ds.map_batches(
-            _BroadcastSemiFilter,
-            fn_constructor_args=(urls_ref,),
+            _broadcast_semi_filter(urls_ref),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=concurrency,
         )
     elif strategy == "bucket":
         if bloom_prefilter:
             bloom = build_bloom(child_urls_ds)
             bloom_ref = ray.put(bloom)
             links_ds = links_ds.map_batches(
-                _BloomPreFilter,
-                fn_constructor_args=(bloom_ref,),
+                _bloom_pre_filter(bloom_ref),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                concurrency=concurrency,
             )
         child = child_urls_ds.map_batches(
             lambda t: pa.table({"c_url": pc.unique(t["url"].combine_chunks())}),
@@ -168,12 +169,20 @@ def qualified_counts(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    return qualified.groupby("url").aggregate(Count(alias_name="qcount"))
+    return _url_counts(qualified)
+
+
+def _url_counts(urls_ds):
+    """(url, qcount): pre-aggregate per batch, then combine (driver-merge
+    below DRIVER_MERGE_LIMIT partial rows, Ray shuffle groupby above)."""
+    from shaclapi_ray.stages.aggregates import grouped_count
+
+    return grouped_count(urls_ds, "url", out_name="qcount", mode="auto")
 
 
 def plain_link_counts(links_ds):
     """(url, qcount) for un-qualified cardinality (no child filter)."""
-    return links_ds.groupby("url").aggregate(Count(alias_name="qcount"))
+    return _url_counts(links_ds.select_columns(["url"]))
 
 
 def _stable_hash_array(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -220,8 +229,15 @@ def combine_ref_verdicts(
     counts_and_constraints: list[tuple[object, RefConstraint]],
     shape_id: str,
     num_partitions: int = 32,
+    strategy: str = "auto",
 ):
     """colpart(url, valid, reason) ⟕ each (url, qcount) -> final events.
+
+    strategy 'broadcast': each counts table is collected once, ray.put, and
+    left-joined per batch with pyarrow's C++ hash join — no shuffle; right
+    for counts sides up to BROADCAST_LIMIT rows. strategy 'bucket': Ray
+    hash-partitioned Dataset.join — the both-sides-large scale path.
+    'auto' picks per counts table by size.
 
     Returns a Dataset in EVENTS_SCHEMA with kind='verdict' (one row per
     targeted url) and kind='violation' rows for failing ref constraints.
@@ -239,21 +255,52 @@ def combine_ref_verdicts(
         zero_copy_batch=True,
     )
     qcount_cols = []
+    broadcast_refs = []  # (col, object_ref) pairs resolved inside the stage
     for i, (counts_ds, _c) in enumerate(counts_and_constraints):
         col = f"qcount_{i}"
-        renamed = counts_ds.map_batches(
-            lambda t, col=col: pa.table({"j_url": t["url"], col: t["qcount"]}),
-            batch_format="pyarrow",
+        if strategy != "bucket":
+            counts_ds = counts_ds.materialize()
+        use_broadcast = strategy == "broadcast" or (
+            strategy == "auto" and counts_ds.count() <= BROADCAST_LIMIT
         )
-        base = base.join(
-            renamed,
-            join_type="left_outer",
-            num_partitions=num_partitions,
-            on=("url",),
-            right_on=("j_url",),
-        )
+        if use_broadcast:
+            tables = [ray.get(r) for r in counts_ds.to_arrow_refs()]
+            tables = [t for t in tables if t.num_rows] or [
+                pa.table(
+                    {"url": pa.array([], pa.string()), "qcount": pa.array([], pa.int64())}
+                )
+            ]
+            counts_tbl = pa.concat_tables(tables).combine_chunks()
+            counts_tbl = counts_tbl.rename_columns(["url", col])
+            broadcast_refs.append((col, ray.put(counts_tbl)))
+        else:
+            renamed = counts_ds.map_batches(
+                lambda t, col=col: pa.table({"j_url": t["url"], col: t["qcount"]}),
+                batch_format="pyarrow",
+            )
+            base = base.join(
+                renamed,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("url",),
+                right_on=("j_url",),
+            )
+            base = base.select_columns(
+                ["url", "cp_valid", "cp_reason", *[c for c, _ in broadcast_refs], col]
+            )
         qcount_cols.append(col)
-        base = base.select_columns(["url", "cp_valid", "cp_reason", *qcount_cols])
+
+    if broadcast_refs:
+
+        def broadcast_join(batch: pa.Table) -> pa.Table:
+            for _c, ref in broadcast_refs:
+                tbl = ray.get(ref)
+                batch = batch.join(tbl, keys=["url"], join_type="left outer")
+            return batch
+
+        base = base.map_batches(
+            broadcast_join, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     constraints = [c for (_ds, c) in counts_and_constraints]
 

@@ -74,7 +74,12 @@ def test_referential_bucket_join_matches_broadcast(ray_session, small_pages_dir)
     ).run(small_pages_dir)
     bk = ValidationEngine(
         referential_schema(),
-        JobConfig(ref_strategy="bucket", num_partitions=8, bloom_prefilter=True),
+        JobConfig(
+            ref_strategy="bucket",
+            combine_strategy="bucket",
+            num_partitions=8,
+            bloom_prefilter=True,
+        ),
     ).run(small_pages_dir)
     assert _engine_verdicts(bc, "LinkedPageShape") == _engine_verdicts(
         bk, "LinkedPageShape"
