@@ -1,0 +1,185 @@
+"""Library API mirroring the reference's entry-point surface
+(/root/reference/shaclapi/api.py, /root/reference/run.py routes):
+
+reference                         | here
+----------------------------------|--------------------------------------
+POST /multiprocessing /
+  api.run_multiprocessing(config) | run_job(config) — full validation +
+                                  | joined/annotated output
+POST /validation /
+  api.validation_and_statistics   | validation_and_statistics(config) —
+                                  | per-shape valid/invalid counts
+POST /reduce /
+  api.only_reduce_shape_schema    | only_reduce_shape_schema(config)
+api.overlap_reduced_schemas       | overlap_reduced_schemas(c1, c2)
+config camelCase/snake aliases    | _norm_config (the reference accepts
+ (config.py:5-331)                | both spellings for every option)
+stats CSV                         | stats dict in the result + optional
+ (statsCalculation.py:156-170)    | write_stats file
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any
+
+from shaclapi_ray.engine import JobConfig, ValidationEngine
+from shaclapi_ray.shapes.dag import ConstraintDAG
+from shaclapi_ray.shapes.ir import Shape, load_schema_dir
+
+_ALIASES = {
+    # camelCase -> snake_case, mirroring the reference's dual spellings
+    "schemaDir": "schema_dir",
+    "targetShape": "target_shape",
+    "rowFilter": "row_filter",
+    "pruneShapeNetwork": "prune_shape_network",
+    "removeConstraints": "remove_constraints",
+    "requestedColumns": "requested_columns",
+    "replaceTargetQuery": "replace_target_query",
+    "outputFormat": "output_format",
+    "writeStats": "write_stats",
+    "statsOutFile": "stats_out_file",
+    "refStrategy": "ref_strategy",
+    "combineStrategy": "combine_strategy",
+    "saltK": "salt_k",
+    "bloomPrefilter": "bloom_prefilter",
+    "pagesDir": "pages_dir",
+}
+
+_DEFAULTS = {
+    "schema_dir": None,
+    "shapes": None,
+    "pages_dir": None,
+    "target_shape": None,
+    "row_filter": None,
+    "prune_shape_network": True,
+    "remove_constraints": False,
+    "requested_columns": None,
+    "replace_target_query": True,
+    "output_format": "test",  # test | simple (≙ reference outputs)
+    "write_stats": False,
+    "stats_out_file": None,
+    "ref_strategy": "auto",
+    "combine_strategy": "auto",
+    "salt_k": 0,
+    "bloom_prefilter": False,
+}
+
+
+def _norm_config(config: dict[str, Any]) -> dict[str, Any]:
+    out = dict(_DEFAULTS)
+    for k, v in config.items():
+        out[_ALIASES.get(k, k)] = v
+    # invariant checks (≙ /root/reference/shaclapi/config.py:39-45)
+    if out["remove_constraints"] and not out["prune_shape_network"]:
+        raise ValueError("remove_constraints requires prune_shape_network")
+    if out["remove_constraints"] and out["requested_columns"] is None:
+        raise ValueError("remove_constraints requires requested_columns")
+    if out["schema_dir"] is None and out["shapes"] is None:
+        raise ValueError("one of schema_dir / shapes is required")
+    return out
+
+
+def _shapes(cfg: dict[str, Any]) -> list[Shape]:
+    if cfg["shapes"] is not None:
+        return cfg["shapes"]
+    return load_schema_dir(cfg["schema_dir"])
+
+
+def _job_config(cfg: dict[str, Any]) -> JobConfig:
+    return JobConfig(
+        target_shape=cfg["target_shape"],
+        row_filter=cfg["row_filter"],
+        prune=cfg["prune_shape_network"],
+        requested_columns=(
+            set(cfg["requested_columns"]) if cfg["remove_constraints"] else None
+        ),
+        replace_target_query=cfg["replace_target_query"],
+        ref_strategy=cfg["ref_strategy"],
+        combine_strategy=cfg["combine_strategy"],
+        salt_k=cfg["salt_k"],
+        bloom_prefilter=cfg["bloom_prefilter"],
+    )
+
+
+def run_job(config: dict[str, Any]) -> dict[str, Any]:
+    """≙ api.run_multiprocessing: validate and return the joined result.
+
+    output_format 'test' -> the reference's test-format dict
+    (validTargets/invalidTargets/advancedValid/advancedInvalid);
+    'simple' -> violation rows + verdict counts (the report-triples
+    analog)."""
+    cfg = _norm_config(config)
+    t_start = time.time()
+    engine = ValidationEngine(_shapes(cfg), _job_config(cfg))
+    res = engine.run(cfg["pages_dir"])
+    if cfg["output_format"] == "test":
+        result: Any = res.test_output()
+    else:
+        result = {
+            "violations": res.violations().to_pandas().to_dict("records"),
+            "counts": res.verdict_counts().to_pylist(),
+        }
+    stats = {
+        "total_execution_time": time.time() - t_start,
+        "query_time": res.timings.get("pass_a_s", 0.0),
+        "network_validation_time": res.timings.get("pass_b_s", 0.0),
+        "join_time": res.timings.get("total_s", 0.0)
+        - res.timings.get("pass_a_s", 0.0)
+        - res.timings.get("pass_b_s", 0.0),
+    }
+    if cfg["write_stats"] and cfg["stats_out_file"]:
+        _write_stats_csv(cfg["stats_out_file"], stats)
+    return {"result": result, "stats": stats, "order": res.order}
+
+
+def validation_and_statistics(config: dict[str, Any]) -> dict[str, Any]:
+    """≙ api.validation_and_statistics (/validation route): pure
+    validation; per-shape valid/invalid counts
+    (/root/reference/shaclapi/api.py:372-387)."""
+    cfg = _norm_config(config)
+    engine = ValidationEngine(_shapes(cfg), _job_config(cfg))
+    res = engine.run(cfg["pages_dir"])
+    counts = res.verdict_counts().to_pylist()
+    out: dict[str, dict[str, int]] = {}
+    for row in counts:
+        d = out.setdefault(row["shape_id"], {"valid": 0, "invalid": 0})
+        d["valid" if row["valid"] else "invalid"] = row["n"]
+    return out
+
+
+def only_reduce_shape_schema(config: dict[str, Any]) -> list[str]:
+    """≙ api.only_reduce_shape_schema (/reduce route): parse + prune only;
+    returns the ordered shape ids of the reduced schema
+    (/root/reference/shaclapi/api.py:265-283). No cluster work."""
+    cfg = _norm_config(config)
+    dag = ConstraintDAG.from_shapes(_shapes(cfg))
+    targets = [cfg["target_shape"]] if cfg["target_shape"] else None
+    if cfg["prune_shape_network"] and targets:
+        dag = dag.reduce(targets)
+    return dag.node_order(targets)
+
+
+def overlap_reduced_schemas(
+    config_a: dict[str, Any], config_b: dict[str, Any]
+) -> float:
+    """≙ api.overlap_reduced_schemas: |intersection| / |smaller| of two
+    reduced schemas (/root/reference/shaclapi/api.py:286-321)."""
+    a = set(only_reduce_shape_schema(config_a))
+    b = set(only_reduce_shape_schema(config_b))
+    if not a or not b:
+        return 0.0
+    return len(a & b) / min(len(a), len(b))
+
+
+def _write_stats_csv(path: str, stats: dict[str, float]) -> None:
+    """≙ statsCalculation.write_matrix_and_stats_files: append one row per
+    run (/root/reference/shaclapi/statsCalculation.py:156-170)."""
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(stats))
+        if not exists:
+            w.writeheader()
+        w.writerow(stats)

@@ -1,0 +1,282 @@
+"""Checkpointed, resumable validation runs with per-partition lineage.
+
+North-rule requirements (BASELINE.json): "checkpoints merged sketch state
+plus per-partition lineage/metrics so validation resumes mid-run" and
+"resumable output ... never one giant file".
+
+Layout under ``out_dir``::
+
+    MANIFEST.json                 {"completed": [...], "epoch": N}
+    partitions/p{i:05d}/events/   pass-A event rows for input partition i
+    partitions/p{i:05d}/links/    extracted links for input partition i
+    sketches/p{i:05d}.bin         serialized partition sketches (HLL urls,
+                                  t-digest text length) — mergeable, so the
+                                  global state is recoverable from any
+                                  subset and order (commutative merges)
+    lineage.parquet               (partition_id, stage, rows_in, rows_out,
+                                  wall_ms, checkpoint_epoch)
+    verdicts/ violations/         final outputs (phase 2)
+
+Phase 1 is embarrassingly partition-parallel and checkpointed after each
+input partition (atomic manifest rewrite). Phase 2 (referential/global
+constraints) reads the persisted partition outputs back — spilling the
+intermediate to storage between phases is exactly what a 100 TB run does;
+re-running phase 2 after a crash is cheap relative to phase 1.
+
+The reference has no resume capability (SURVEY.md §4: "checkpoint /
+resume: none") — this is the scale path the north rule adds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from shaclapi_ray.engine import (
+    JobConfig,
+    ValidationEngine,
+    ValidationResult,
+    _filter_events,
+    _filter_events_not_kind,
+)
+from shaclapi_ray.stages.links import extract_links
+from shaclapi_ray.stages.predicates import ColumnShapeEvaluator
+from shaclapi_ray.state.sketches import HyperLogLog, TDigest
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.string()),
+        ("stage", pa.string()),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("wall_ms", pa.int64()),
+        ("checkpoint_epoch", pa.int64()),
+    ]
+)
+
+
+class CheckpointedValidation:
+    def __init__(self, shapes, config: JobConfig | None = None, out_dir: str = "/tmp/shaclapi_ray_run"):
+        self.engine = ValidationEngine(shapes, config)
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "partitions"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "sketches"), exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "MANIFEST.json")
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"completed": [], "epoch": 0, "phase2_done": False}
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path())  # atomic
+
+    def _lineage_append(self, rows: list[dict]) -> None:
+        path = os.path.join(self.out_dir, "lineage.parquet")
+        tbl = pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
+        if os.path.exists(path):
+            tbl = pa.concat_tables([pq.read_table(path), tbl])
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    # -- phase 1: per-partition column validation + links + sketches ---------
+    def run_phase1(self, pages_dir: str, stop_after: int | None = None) -> bool:
+        """Process input partitions not yet in the manifest. Returns True
+        when all partitions are complete. ``stop_after`` processes at most
+        that many partitions this call (the kill-mid-run test hook)."""
+        from shaclapi_ray.pagegen import pages_parquet_paths
+
+        files = pages_parquet_paths(pages_dir)
+        m = self.manifest()
+        done = set(m["completed"])
+        processed = 0
+        from shaclapi_ray.shapes.ir import DriftConstraint
+
+        evaluator = ColumnShapeEvaluator(
+            [
+                s
+                for s in self.engine.dag.shapes.values()
+                if not any(isinstance(c, DriftConstraint) for c in s.constraints)
+            ]
+        )
+        for i, f in enumerate(files):
+            pid = f"p{i:05d}"
+            if pid in done:
+                continue
+            if stop_after is not None and processed >= stop_after:
+                return False
+            t0 = time.monotonic()
+            part_dir = os.path.join(self.out_dir, "partitions", pid)
+            tmp_dir = part_dir + ".tmp"
+            if os.path.exists(tmp_dir):
+                shutil.rmtree(tmp_dir)  # leftover from a crash: redo
+            os.makedirs(tmp_dir)
+
+            pages = ray.data.read_parquet(f, columns=self.engine.pass_a_columns())
+            rows_in = pages.count()
+            events = pages.map_batches(
+                evaluator, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            events.write_parquet(os.path.join(tmp_dir, "events"))
+            rows_out = events.count()
+
+            n_links = 0
+            if self.engine.needs_links():
+                pages_l = ray.data.read_parquet(f, columns=["url", "html"])
+                links = extract_links(pages_l).materialize()
+                links.write_parquet(os.path.join(tmp_dir, "links"))
+                n_links = links.count()
+
+            # partition sketches (mergeable): HLL over urls, t-digest over
+            # text length — written BEFORE the manifest marks completion
+            hll = HyperLogLog(p=14)
+            td = TDigest()
+            for batch in ray.data.read_parquet(
+                f, columns=["url", "text"]
+            ).iter_batches(batch_format="pyarrow"):
+                hll.add_array(batch["url"])
+                td.add_array(pc.utf8_length(batch["text"]).to_pylist())
+            with open(os.path.join(self.out_dir, "sketches", pid + ".bin"), "wb") as fh:
+                pickle.dump({"hll": hll.to_bytes(), "tdigest": td.to_bytes()}, fh)
+
+            os.replace(tmp_dir, part_dir)  # atomic partition commit
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            m = self.manifest()
+            m["completed"] = sorted(set(m["completed"]) | {pid})
+            m["epoch"] = m.get("epoch", 0) + 1
+            self._write_manifest(m)
+            self._lineage_append(
+                [
+                    {
+                        "partition_id": pid,
+                        "stage": "pass_a",
+                        "rows_in": rows_in,
+                        "rows_out": rows_out,
+                        "wall_ms": wall_ms,
+                        "checkpoint_epoch": m["epoch"],
+                    },
+                    {
+                        "partition_id": pid,
+                        "stage": "links",
+                        "rows_in": rows_in,
+                        "rows_out": n_links,
+                        "wall_ms": 0,
+                        "checkpoint_epoch": m["epoch"],
+                    },
+                ]
+            )
+            processed += 1
+        return len(self.manifest()["completed"]) == len(files)
+
+    # -- phase 2: global constraints over persisted partition outputs -------
+    def run_phase2(self, pages_dir: str) -> ValidationResult:
+        import glob as _glob
+
+        m = self.manifest()
+        part_root = os.path.join(self.out_dir, "partitions")
+
+        def _files(sub: str) -> list[str]:
+            out: list[str] = []
+            for pid in m["completed"]:
+                out.extend(
+                    sorted(
+                        _glob.glob(os.path.join(part_root, pid, sub, "*.parquet"))
+                    )
+                )
+            return out
+
+        events = ray.data.read_parquet(_files("events")).materialize()
+        link_files = _files("links")
+        links_ds = (
+            ray.data.read_parquet(link_files).materialize() if link_files else None
+        )
+        from shaclapi_ray.io import read_parquet as _read
+
+        pages_a = _read(pages_dir, columns=self.engine.pass_a_columns())
+        t0 = time.monotonic()
+        pieces = self.engine.run_pass_b([events], links_ds, pages_a, None)
+        all_ev = pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
+        final = _filter_events_not_kind(all_ev, "colpart")
+
+        # final outputs: partitioned parquet (never one giant file)
+        vout = os.path.join(self.out_dir, "verdicts")
+        wout = os.path.join(self.out_dir, "violations")
+        for d in (vout, wout):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        _filter_events(final, kind="verdict").select_columns(
+            ["url", "shape_id", "valid", "reason"]
+        ).write_parquet(vout)
+        _filter_events(final, kind="violation").select_columns(
+            ["url", "shape_id", "constraint", "offending_value"]
+        ).write_parquet(wout)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        mm = self.manifest()
+        mm["phase2_done"] = True
+        mm["epoch"] = mm.get("epoch", 0) + 1
+        self._write_manifest(mm)
+        self._lineage_append(
+            [
+                {
+                    "partition_id": "__global__",
+                    "stage": "pass_b",
+                    "rows_in": events.count(),
+                    "rows_out": final.count(),
+                    "wall_ms": wall_ms,
+                    "checkpoint_epoch": mm["epoch"],
+                }
+            ]
+        )
+        return ValidationResult(
+            events=final,
+            dag=self.engine.dag,
+            target_shape=self.engine.config.target_shape,
+            order=self.engine.order,
+        )
+
+    def run(self, pages_dir: str, stop_after: int | None = None):
+        """Full checkpointed run; returns ValidationResult or None if
+        interrupted (resume by calling run() again)."""
+        complete = self.run_phase1(pages_dir, stop_after=stop_after)
+        if not complete:
+            return None
+        return self.run_phase2(pages_dir)
+
+    # -- merged sketch state --------------------------------------------------
+    def merged_sketches(self) -> dict:
+        """Order-insensitive merge of all partition sketches."""
+        hll, td = None, None
+        sk_dir = os.path.join(self.out_dir, "sketches")
+        for f in sorted(os.listdir(sk_dir)):
+            with open(os.path.join(sk_dir, f), "rb") as fh:
+                d = pickle.load(fh)
+            h = HyperLogLog.loads(d["hll"])
+            t = TDigest.loads(d["tdigest"])
+            hll = h if hll is None else hll.merge(h)
+            td = t if td is None else td.merge(t)
+        return {"hll": hll, "tdigest": td}
+
+    def lineage(self) -> pa.Table:
+        path = os.path.join(self.out_dir, "lineage.parquet")
+        if os.path.exists(path):
+            return pq.read_table(path)
+        return LINEAGE_SCHEMA.empty_table()

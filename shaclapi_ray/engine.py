@@ -311,6 +311,37 @@ class ValidationEngine:
         if pages_links is not None:
             links_ds = extract_links(pages_links, batch_size=cfg.batch_size).materialize()
 
+        pieces = self.run_pass_b(pieces, links_ds, pages_a, pages_drift)
+        timings["pass_b_s"] = time.monotonic() - t1
+
+        # drop consumed colpart rows (lazy filter over materialized pieces)
+        events = _filter_events_not_kind(all_events(), "colpart")
+        timings["total_s"] = time.monotonic() - t0
+        return ValidationResult(
+            events=events,
+            dag=self.dag,
+            target_shape=cfg.target_shape,
+            order=self.order,
+            timings=timings,
+        )
+
+    def run_pass_b(
+        self,
+        pieces: list[ray.data.Dataset],
+        links_ds,
+        pages_a,
+        pages_drift,
+    ) -> list[ray.data.Dataset]:
+        """Referential + global constraint evaluation in DAG order over an
+        existing events dataset (pieces[0] = pass A output or read-back
+        checkpointed events). Children complete before parents consume
+        them (barrier per DAG level). Returns the extended pieces list."""
+        cfg = self.config
+        shapes = self.dag.shapes
+
+        def all_events() -> ray.data.Dataset:
+            return pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
+
         for sid in self.order:
             shape = shapes[sid]
             refs = [c for c in shape.constraints if isinstance(c, RefConstraint)]
@@ -356,18 +387,7 @@ class ValidationEngine:
                 strategy=cfg.combine_strategy,
             )
             pieces.append(combined.materialize())
-        timings["pass_b_s"] = time.monotonic() - t1
-
-        # drop consumed colpart rows (lazy filter over materialized pieces)
-        events = _filter_events_not_kind(all_events(), "colpart")
-        timings["total_s"] = time.monotonic() - t0
-        return ValidationResult(
-            events=events,
-            dag=self.dag,
-            target_shape=cfg.target_shape,
-            order=self.order,
-            timings=timings,
-        )
+        return pieces
 
     # -- helpers -------------------------------------------------------------
     @staticmethod

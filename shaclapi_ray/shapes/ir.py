@@ -375,6 +375,50 @@ def shape_from_dict(d: dict[str, Any]) -> Shape:
     return Shape(shape_id=shape_id, target=target, constraints=constraints)
 
 
+def constraint_to_dict(c: Constraint) -> dict[str, Any]:
+    if isinstance(c, OrConstraint):
+        return {
+            "name": c.name,
+            "options": [
+                {"pred": o.pred, "offending_column": o.offending_column}
+                for o in c.options
+            ],
+        }
+    if isinstance(c, PredicateConstraint):
+        return {"name": c.name, "pred": c.pred, "offending_column": c.offending_column}
+    if isinstance(c, RefConstraint):
+        d: dict[str, Any] = {"name": c.name, "constraint": "ref"}
+        if c.min is not None:
+            d["min"] = c.min
+        if c.max is not None:
+            d["max"] = c.max
+        if c.shape:
+            d["shape"] = c.shape
+        return d
+    if isinstance(c, UniqueConstraint):
+        return {"name": c.name, "constraint": "unique", "column": c.column}
+    if isinstance(c, DriftConstraint):
+        return {
+            "name": c.name,
+            "constraint": "drift",
+            "column": c.column,
+            "threshold": c.threshold,
+            "use_length": c.use_length,
+        }
+    raise ValueError(f"cannot serialize {c!r}")
+
+
+def shape_to_dict(shape: Shape) -> dict[str, Any]:
+    """Inverse of shape_from_dict (reference JSON layout)."""
+    return {
+        "name": shape.shape_id,
+        "targetDef": {"filter": shape.target},
+        "constraintDef": {
+            "conjunctions": [[constraint_to_dict(c) for c in shape.constraints]]
+        },
+    }
+
+
 def load_schema_dir(schema_dir: str) -> list[Shape]:
     """Read every ``*.json`` shape file in a directory (≙ the backend's
     ``parse_shapes_from_dir`` driven at
