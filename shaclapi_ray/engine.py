@@ -70,6 +70,7 @@ class JobConfig:
     salt_k: int = 0  # >1 => salted bucket join
     bloom_prefilter: bool = False
     batch_size: int | None = None  # None => block-sized batches
+    agg_mode: str = "auto"  # driver | shuffle | auto (keyed count combine)
     concurrency: Any = None  # actor-pool size for pass A; None => tasks
     drift_threshold: float = 0.25
 
@@ -239,7 +240,41 @@ class ValidationEngine:
             for sid, s in shapes.items()
             if any(isinstance(c, DriftConstraint) for c in s.constraints)
         }
-        pass_a_shapes = [s for sid, s in shapes.items() if sid not in drift_only]
+
+        rows_hint = None
+        if isinstance(pages_path, str):
+            from shaclapi_ray.io import _metadata_rows
+
+            rows_hint = _metadata_rows(pages_path)
+        self._rows_hint = rows_hint
+        self._pages_source = pages_path
+
+        # decide the fused-broadcast referential path UPFRONT: fused shapes
+        # are fully (re-)evaluated in their own single pass, so pass A
+        # skips them entirely — no colpart rows to emit or drop later
+        from shaclapi_ray.stages.referential import BROADCAST_LIMIT
+
+        fused_sids: set[str] = set()
+        if cfg.ref_strategy in ("auto", "broadcast"):
+            for sid, s in shapes.items():
+                refs_ = [c for c in s.constraints if isinstance(c, RefConstraint)]
+                others = [
+                    c
+                    for c in s.constraints
+                    if isinstance(c, (UniqueConstraint, DriftConstraint))
+                ]
+                if refs_ and not others and (
+                    cfg.ref_strategy == "broadcast"
+                    or (rows_hint or 0) <= BROADCAST_LIMIT
+                ):
+                    fused_sids.add(sid)
+        self._fused_sids = fused_sids
+
+        pass_a_shapes = [
+            s
+            for sid, s in shapes.items()
+            if sid not in drift_only and sid not in fused_sids
+        ]
 
         # ---- source(s): prune at the read ---------------------------------
         if isinstance(pages_path, str):
@@ -308,14 +343,34 @@ class ValidationEngine:
         # ---- pass B: referential + global constraints in DAG order --------
         t1 = time.monotonic()
         links_ds = None
-        if pages_links is not None:
-            links_ds = extract_links(pages_links, batch_size=cfg.batch_size).materialize()
+        non_fused_ref = sum(
+            1
+            for sid, s in shapes.items()
+            if sid not in fused_sids
+            for c in s.constraints
+            if isinstance(c, RefConstraint)
+        )
+        if pages_links is not None and non_fused_ref:
+            links_ds = extract_links(pages_links, batch_size=cfg.batch_size)
+            if non_fused_ref > 1:
+                # reused by several constraints: pay one materialization
+                links_ds = links_ds.materialize()
 
         pieces = self.run_pass_b(pieces, links_ds, pages_a, pages_drift)
         timings["pass_b_s"] = time.monotonic() - t1
 
-        # drop consumed colpart rows (lazy filter over materialized pieces)
-        events = _filter_events_not_kind(all_events(), "colpart")
+        # drop consumed colpart rows; skipped when no shape emitted any
+        # (all non-column shapes took the fused path) so events stays a
+        # plain union of materialized pieces (count = metadata-only)
+        emitted_colpart = any(
+            sid not in drift_only
+            and sid not in fused_sids
+            and not shapes[sid].is_column_only()
+            for sid in shapes
+        )
+        events = all_events()
+        if emitted_colpart:
+            events = _filter_events_not_kind(events, "colpart")
         timings["total_s"] = time.monotonic() - t0
         return ValidationResult(
             events=events,
@@ -338,6 +393,14 @@ class ValidationEngine:
         them (barrier per DAG level). Returns the extended pieces list."""
         cfg = self.config
         shapes = self.dag.shapes
+        rows_hint = getattr(self, "_rows_hint", None)
+        agg_mode = cfg.agg_mode
+        if agg_mode == "auto" and rows_hint is not None:
+            # pick by input size from parquet metadata: saves the extra
+            # materialize+count execution inside the combine step
+            from shaclapi_ray.stages.aggregates import DRIVER_MERGE_LIMIT
+
+            agg_mode = "driver" if rows_hint <= DRIVER_MERGE_LIMIT else "shuffle"
 
         def all_events() -> ray.data.Dataset:
             return pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
@@ -358,11 +421,53 @@ class ValidationEngine:
                 continue
             if not refs and not uniqs:
                 continue  # column-only: final verdict already in events
+
+            # fused broadcast path: one pass over pages, no joins/shuffles;
+            # the only global input is the broadcast child-valid hash set
+            # (see stages/referential.fused_ref_shape_eval)
+            from shaclapi_ray.stages.referential import (
+                BROADCAST_LIMIT,
+                collect_child_hash_set,
+                fused_ref_shape_eval,
+            )
+
+            pages_source = getattr(self, "_pages_source", None)
+            if sid in getattr(self, "_fused_sids", set()):
+                child_refs = {}
+                for c in refs:
+                    if c.shape:
+                        child_refs[c.name] = collect_child_hash_set(
+                            child_valid_urls(all_events(), c.shape)
+                        )
+                    else:
+                        child_refs[c.name] = None
+                if isinstance(pages_source, str):
+                    from shaclapi_ray.io import read_parquet as _read
+                    from shaclapi_ray.io import target_blocks
+
+                    from shaclapi_ray.shapes.ir import pred_columns
+
+                    cols = {"url", "html"} | pred_columns(shape.target)
+                    for c in shape.constraints:
+                        if not isinstance(c, RefConstraint):
+                            cols |= c.columns()
+                    pages_ref = _read(
+                        pages_source,
+                        columns=sorted(cols),
+                        num_blocks=target_blocks(factor=1),
+                    )
+                else:
+                    pages_ref = pages_source
+                pieces.append(
+                    fused_ref_shape_eval(pages_ref, shape, child_refs).materialize()
+                )
+                continue
+
             colpart = _filter_events(all_events(), kind="colpart", shape_id=sid)
             counts_and_constraints = []
             for c in refs:
                 if c.shape is None:
-                    counts = plain_link_counts(links_ds)
+                    counts = plain_link_counts(links_ds, agg_mode=agg_mode)
                 else:
                     child_urls = child_valid_urls(all_events(), c.shape)
                     counts = qualified_counts(
@@ -372,10 +477,12 @@ class ValidationEngine:
                         num_partitions=cfg.num_partitions,
                         salt_k=cfg.salt_k,
                         bloom_prefilter=cfg.bloom_prefilter,
+                        agg_mode=agg_mode,
+                        size_hint=getattr(self, "_rows_hint", None),
                     )
                 counts_and_constraints.append((counts, c))
             for c in uniqs:
-                counts = self._column_value_counts(pages_a, c.column)
+                counts = self._column_value_counts(pages_a, c.column, agg_mode)
                 counts_and_constraints.append(
                     (counts, RefConstraint(name=c.name, min=1, max=1, shape=None))
                 )
@@ -385,13 +492,14 @@ class ValidationEngine:
                 sid,
                 num_partitions=cfg.num_partitions,
                 strategy=cfg.combine_strategy,
+                size_hint=getattr(self, "_rows_hint", None),
             )
             pieces.append(combined.materialize())
         return pieces
 
     # -- helpers -------------------------------------------------------------
     @staticmethod
-    def _column_value_counts(pages_ds, column: str):
+    def _column_value_counts(pages_ds, column: str, agg_mode: str = "auto"):
         """(url, qcount) of occurrences of each value of ``column`` —
         partial per-batch counts, then combine (pre-aggregation before any
         shuffle, SURVEY.md §4; driver-merge at small scale)."""
@@ -404,7 +512,7 @@ class ValidationEngine:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        return grouped_count(keyed, "url", out_name="qcount", mode="auto")
+        return grouped_count(keyed, "url", out_name="qcount", mode=agg_mode)
 
     def _eval_drift(self, pages_drift, sid: str, c: DriftConstraint):
         """Per-host t-digest drift check -> partition-level verdict rows.

@@ -115,24 +115,34 @@ def row_text(i: int) -> str:
     return head + filler
 
 
-def row_link_targets(i: int, n_rows: int) -> list[str]:
-    """Link targets for row i (canonical urls; some dangling)."""
+def row_link_targets(i: int, n_rows: int, skew: bool = False) -> list[str]:
+    """Link targets for row i (canonical urls; some dangling).
+
+    ``skew=True`` is the FIXTURES.md skew fixture: for rows in the upper
+    half of the table, ~80% of links are redirected to host0 urls (target
+    index snapped to a multiple of N_HOSTS), planting one hot key for the
+    referential shuffle — the salted-join test input."""
     k = i % 6
     out = []
     for j in range(k):
         if (i + j) % 13 == 0:
             out.append(f"https://ghost.example.org/m/{i}_{j}")
         else:
-            out.append(row_canonical_url((i * 31 + j * 17 + 7) % n_rows))
+            t = (i * 31 + j * 17 + 7) % n_rows
+            if skew and i >= n_rows // 2 and (i + j) % 5 != 0:
+                t = (t // N_HOSTS) * N_HOSTS  # snap to host0
+            out.append(row_canonical_url(t))
     return out
 
 
-def row_html(i: int, n_rows: int) -> bytes:
-    anchors = "".join(f'<a href="{t}">l</a>' for t in row_link_targets(i, n_rows))
+def row_html(i: int, n_rows: int, skew: bool = False) -> bytes:
+    anchors = "".join(
+        f'<a href="{t}">l</a>' for t in row_link_targets(i, n_rows, skew)
+    )
     return f"<html><body>{row_text(i)}{anchors}</body></html>".encode()
 
 
-def _build_chunk(lo: int, hi: int, n_rows: int) -> pa.Table:
+def _build_chunk(lo: int, hi: int, n_rows: int, skew: bool = False) -> pa.Table:
     idx = np.arange(lo, hi, dtype=np.int64)
     urls = [row_url(int(i)) for i in idx]
     ts = pa.array([row_warc_ts_us(int(i)) for i in idx], type=pa.int64()).cast(
@@ -140,7 +150,7 @@ def _build_chunk(lo: int, hi: int, n_rows: int) -> pa.Table:
     )
     langs = [row_lang(int(i)) for i in idx]
     texts = [row_text(int(i)) for i in idx]
-    htmls = [row_html(int(i), n_rows) for i in idx]
+    htmls = [row_html(int(i), n_rows, skew) for i in idx]
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),
@@ -152,7 +162,9 @@ def _build_chunk(lo: int, hi: int, n_rows: int) -> pa.Table:
     )
 
 
-def generate_pages(out_dir: str, n_rows: int, force: bool = False) -> str:
+def generate_pages(
+    out_dir: str, n_rows: int, force: bool = False, skew: bool = False
+) -> str:
     """Write the pages table as a directory of parquet part files.
 
     Idempotent: a ``_MANIFEST`` file records ``n_rows``; matching manifests
@@ -160,9 +172,10 @@ def generate_pages(out_dir: str, n_rows: int, force: bool = False) -> str:
     reader natural block parallelism (SURVEY.md §4: blocks ≈ 2-4x CPUs).
     """
     manifest = os.path.join(out_dir, "_MANIFEST")
+    stamp = f"{n_rows}:skew" if skew else str(n_rows)
     if not force and os.path.exists(manifest):
         with open(manifest) as f:
-            if f.read().strip() == str(n_rows):
+            if f.read().strip() == stamp:
                 return out_dir
     tmp_dir = out_dir + ".tmp"
     if os.path.exists(tmp_dir):
@@ -173,7 +186,7 @@ def generate_pages(out_dir: str, n_rows: int, force: bool = False) -> str:
     part = 0
     for lo in range(0, n_rows, ROWS_PER_FILE):
         hi = min(lo + ROWS_PER_FILE, n_rows)
-        table = _build_chunk(lo, hi, n_rows)
+        table = _build_chunk(lo, hi, n_rows, skew)
         pq.write_table(
             table,
             os.path.join(tmp_dir, f"part-{part:05d}.parquet"),
@@ -182,7 +195,7 @@ def generate_pages(out_dir: str, n_rows: int, force: bool = False) -> str:
         )
         part += 1
     with open(os.path.join(tmp_dir, "_MANIFEST"), "w") as f:
-        f.write(str(n_rows))
+        f.write(stamp)
     if os.path.exists(out_dir):
         import shutil
 

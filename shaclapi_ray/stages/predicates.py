@@ -102,6 +102,44 @@ class CompiledShape:
         self.final_in_pass_a = not self.ref_constraints and not self.global_constraints
 
 
+def eval_column_part(cs: CompiledShape, batch: pa.Table, urls, tmask):
+    """Evaluate a shape's column constraints on one batch.
+
+    Returns (valid, reason, violation_tables): per-row masks plus one
+    violation event table per failed constraint. ``reason`` records only
+    the FIRST failing constraint's shape; every failed constraint still
+    gets violation rows."""
+    n = batch.num_rows
+    out: list[pa.Table] = []
+    valid = pa.array([True] * n, type=pa.bool_())
+    reason = pa.nulls(n, pa.string())
+    for c in cs.column_constraints:
+        cmask = c.evaluate(batch)
+        fail = pc.and_(tmask, pc.invert(cmask))
+        if pc.any(fail).as_py():
+            vio_idx = pc.indices_nonzero(fail)
+            off_src = c.options[0] if isinstance(c, OrConstraint) else c
+            off = offending_values(batch, off_src)
+            out.append(
+                pa.table(
+                    {
+                        "url": pc.take(urls, vio_idx),
+                        "shape_id": pa.array([cs.shape_id] * len(vio_idx)),
+                        "kind": pa.array(["violation"] * len(vio_idx)),
+                        "valid": pa.array([False] * len(vio_idx)),
+                        "reason": pa.array([cs.shape_id] * len(vio_idx)),
+                        "constraint": pa.array([c.name] * len(vio_idx)),
+                        "offending_value": pc.take(off, vio_idx),
+                    },
+                    schema=EVENTS_SCHEMA,
+                )
+            )
+            first_fail = pc.and_(fail, pc.is_null(reason))
+            reason = pc.if_else(first_fail, cs.shape_id, reason)
+            valid = pc.and_(valid, pc.or_(cmask, pc.invert(tmask)))
+    return valid, reason, out
+
+
 class ColumnShapeEvaluator:
     """Actor-pool callable: evaluates all shapes' column constraints on one
     Arrow batch, emitting verdict / colpart / violation event rows."""
@@ -120,36 +158,8 @@ class ColumnShapeEvaluator:
             tmask = eval_pred(shape.target, batch)
             if not pc.any(tmask).as_py():
                 continue  # early short-circuit: no targeted rows in this batch
-            valid = pa.array([True] * n, type=pa.bool_())
-            # reason = first failing constraint's invalidating shape (own id
-            # for column constraints); '' while still valid
-            reason = pa.nulls(n, pa.string())
-            for c in cs.column_constraints:
-                cmask = c.evaluate(batch)
-                # every failed constraint gets a violation row; `reason`
-                # records only the FIRST failing constraint's shape
-                fail = pc.and_(tmask, pc.invert(cmask))
-                if pc.any(fail).as_py():
-                    vio_idx = pc.indices_nonzero(fail)
-                    off_src = c.options[0] if isinstance(c, OrConstraint) else c
-                    off = offending_values(batch, off_src)
-                    out.append(
-                        pa.table(
-                            {
-                                "url": pc.take(urls, vio_idx),
-                                "shape_id": pa.array([cs.shape_id] * len(vio_idx)),
-                                "kind": pa.array(["violation"] * len(vio_idx)),
-                                "valid": pa.array([False] * len(vio_idx)),
-                                "reason": pa.array([cs.shape_id] * len(vio_idx)),
-                                "constraint": pa.array([c.name] * len(vio_idx)),
-                                "offending_value": pc.take(off, vio_idx),
-                            },
-                            schema=EVENTS_SCHEMA,
-                        )
-                    )
-                    first_fail = pc.and_(fail, pc.is_null(reason))
-                    reason = pc.if_else(first_fail, cs.shape_id, reason)
-                    valid = pc.and_(valid, pc.or_(cmask, pc.invert(tmask)))
+            valid, reason, vio = eval_column_part(cs, batch, urls, tmask)
+            out.extend(vio)
             tgt_idx = pc.indices_nonzero(tmask)
             kind = "verdict" if cs.final_in_pass_a else "colpart"
             final_valid = pc.take(valid, tgt_idx)

@@ -63,10 +63,23 @@ def child_valid_urls(verdicts_ds, child_shape_id: str):
     return verdicts_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _probe_cap() -> int:
+    """Max concurrent tasks for broadcast-probe stages.
+
+    pc.is_in / pa.Table.join rebuild the broadcast-side hash state per
+    task; capping these stages' parallelism keeps that total rebuild cost
+    CONSTANT as the cluster grows instead of growing with it (the probe
+    itself is cheap, so the cap does not bottleneck the pipeline)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(8, cpus))
+
+
 def _broadcast_semi_filter(urls_ref):
-    """Stateless-task body: keep links whose target_url is in the broadcast
-    url set. ray.get on a plasma ObjectRef is zero-copy and cached per
-    worker — no actor pool needed."""
+    """Task body: keep links whose target_url is in the broadcast url set.
+    ray.get on a plasma ObjectRef is zero-copy and cached per worker."""
 
     def fn(batch: pa.Table) -> pa.Table:
         value_set = ray.get(urls_ref)
@@ -93,23 +106,29 @@ def qualified_counts(
     salt_k: int = 0,
     bloom_prefilter: bool = False,
     concurrency=(1, 8),
+    agg_mode: str = "auto",
+    size_hint: int | None = None,
 ):
     """links(url, target_url) ⋉ child_urls(url) -> (url, qcount).
 
     'auto' broadcasts when the child side is small enough, else bucket-joins.
-    Returns a Dataset with columns (url, qcount).
+    ``size_hint`` (an upper bound on the child-url count, e.g. the pages
+    row count from parquet metadata) lets 'auto' decide without executing
+    the child pipeline an extra time. Returns (url, qcount).
     """
     num_partitions = clamp_partitions(num_partitions)
     if strategy == "auto":
-        # materialize once: the count decides the strategy and the same
-        # blocks feed whichever path wins (no recompute)
-        child_urls_ds = child_urls_ds.materialize()
-        n_child = child_urls_ds.count()
-        strategy = "broadcast" if n_child <= BROADCAST_LIMIT else "bucket"
-    elif strategy == "broadcast":
-        child_urls_ds = child_urls_ds.materialize()
+        if size_hint is not None:
+            strategy = "broadcast" if size_hint <= BROADCAST_LIMIT else "bucket"
+        else:
+            # materialize once: the count decides the strategy and the same
+            # blocks feed whichever path wins (no recompute)
+            child_urls_ds = child_urls_ds.materialize()
+            n_child = child_urls_ds.count()
+            strategy = "broadcast" if n_child <= BROADCAST_LIMIT else "bucket"
 
     if strategy == "broadcast":
+        # to_arrow_refs executes the (lazy) child pipeline exactly once
         refs = child_urls_ds.to_arrow_refs()
         tables = [ray.get(r) for r in refs]
         if tables:
@@ -122,6 +141,7 @@ def qualified_counts(
             _broadcast_semi_filter(urls_ref),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            concurrency=_probe_cap(),
         )
     elif strategy == "bucket":
         if bloom_prefilter:
@@ -169,20 +189,20 @@ def qualified_counts(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    return _url_counts(qualified)
+    return _url_counts(qualified, agg_mode)
 
 
-def _url_counts(urls_ds):
+def _url_counts(urls_ds, agg_mode: str = "auto"):
     """(url, qcount): pre-aggregate per batch, then combine (driver-merge
     below DRIVER_MERGE_LIMIT partial rows, Ray shuffle groupby above)."""
     from shaclapi_ray.stages.aggregates import grouped_count
 
-    return grouped_count(urls_ds, "url", out_name="qcount", mode="auto")
+    return grouped_count(urls_ds, "url", out_name="qcount", mode=agg_mode)
 
 
-def plain_link_counts(links_ds):
+def plain_link_counts(links_ds, agg_mode: str = "auto"):
     """(url, qcount) for un-qualified cardinality (no child filter)."""
-    return _url_counts(links_ds.select_columns(["url"]))
+    return _url_counts(links_ds.select_columns(["url"]), agg_mode)
 
 
 def _stable_hash_array(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -230,6 +250,7 @@ def combine_ref_verdicts(
     shape_id: str,
     num_partitions: int = 32,
     strategy: str = "auto",
+    size_hint: int | None = None,
 ):
     """colpart(url, valid, reason) ⟕ each (url, qcount) -> final events.
 
@@ -258,11 +279,14 @@ def combine_ref_verdicts(
     broadcast_refs = []  # (col, object_ref) pairs resolved inside the stage
     for i, (counts_ds, _c) in enumerate(counts_and_constraints):
         col = f"qcount_{i}"
-        if strategy != "bucket":
-            counts_ds = counts_ds.materialize()
-        use_broadcast = strategy == "broadcast" or (
-            strategy == "auto" and counts_ds.count() <= BROADCAST_LIMIT
-        )
+        if strategy == "auto" and size_hint is not None:
+            use_broadcast = size_hint <= BROADCAST_LIMIT
+        else:
+            if strategy != "bucket":
+                counts_ds = counts_ds.materialize()
+            use_broadcast = strategy == "broadcast" or (
+                strategy == "auto" and counts_ds.count() <= BROADCAST_LIMIT
+            )
         if use_broadcast:
             tables = [ray.get(r) for r in counts_ds.to_arrow_refs()]
             tables = [t for t in tables if t.num_rows] or [
@@ -299,7 +323,10 @@ def combine_ref_verdicts(
             return batch
 
         base = base.map_batches(
-            broadcast_join, batch_format="pyarrow", zero_copy_batch=True
+            broadcast_join,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=_probe_cap(),
         )
 
     constraints = [c for (_ds, c) in counts_and_constraints]
@@ -364,3 +391,161 @@ def combine_ref_verdicts(
         return pa.concat_tables(out)
 
     return base.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# fused broadcast referential evaluation (the scaling path)
+# ---------------------------------------------------------------------------
+
+
+def fused_ref_shape_eval(
+    pages_ds,
+    shape,
+    child_hash_refs: dict[str, object],
+):
+    """ONE map_batches pass evaluating a referential shape end-to-end:
+    column constraints + link extraction + broadcast hash-set membership +
+    per-row qualified counts -> final verdict/violation events.
+
+    No joins and no shuffles: links for a page are extracted in the same
+    batch as the page row, so the qualified count per row is complete
+    within the batch; the only global input is the broadcast child-valid
+    hash set (sorted uint64, O(1) per-task setup — stages/hashset.py).
+
+    Semantics note: each page ROW is evaluated independently; rows sharing
+    a url are not merged (they never are for well-formed inputs where url
+    is unique per row).
+
+    ``child_hash_refs`` maps constraint name -> ray ObjectRef of the
+    sorted child-valid hash array (None entry => unqualified cardinality).
+    """
+    import re as _re
+
+    from shaclapi_ray.shapes.ir import RefConstraint as _Ref
+    from shaclapi_ray.stages import hashset
+    from shaclapi_ray.stages.links import HREF_RE
+    from shaclapi_ray.stages.predicates import (
+        EVENTS_SCHEMA as _ES,
+    )
+    from shaclapi_ray.stages.predicates import (
+        CompiledShape,
+        eval_column_part,
+    )
+    from shaclapi_ray.shapes.ir import eval_pred
+
+    href = _re.compile(HREF_RE)
+    cs = CompiledShape(shape)
+    refs = [c for c in shape.constraints if isinstance(c, _Ref)]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _ES.empty_table()
+        urls = pc.fill_null(pc.cast(batch["url"], pa.string()), "null")
+        tmask = eval_pred(shape.target, batch)
+        if not pc.any(tmask).as_py():
+            return _ES.empty_table()
+        valid, reason, out = eval_column_part(cs, batch, urls, tmask)
+
+        # per-row link targets (flat + row index)
+        htmls = batch["html"].to_pylist()
+        flat: list[str] = []
+        row_idx: list[int] = []
+        find = href.findall
+        for i, h in enumerate(htmls):
+            if h is None:
+                continue
+            for t in find(h):
+                flat.append(t.decode("utf-8", "replace"))
+                row_idx.append(i)
+        row_arr = np.asarray(row_idx, dtype=np.int64)
+
+        valid_np = np.asarray(valid.to_pylist() if hasattr(valid, "to_pylist") else valid, dtype=bool)
+        reason_list = reason.to_pylist()
+        tmask_np = np.asarray(tmask.to_pylist(), dtype=bool)
+
+        for c in refs:
+            ref = child_hash_refs.get(c.name)
+            if ref is not None and flat:
+                child_hashes = ray.get(ref)
+                member = hashset.contains(child_hashes, flat)
+            else:
+                member = np.ones(len(flat), dtype=bool)
+            counts = np.bincount(row_arr[member], minlength=n) if flat else np.zeros(n, dtype=np.int64)
+            ok = np.ones(n, dtype=bool)
+            if c.min is not None:
+                ok &= counts >= c.min
+            if c.max is not None:
+                ok &= counts <= c.max
+            fail = tmask_np & ~ok
+            if fail.any():
+                inv = c.shape if c.shape else shape.shape_id
+                vio_idx = np.nonzero(fail)[0]
+                out.append(
+                    pa.table(
+                        {
+                            "url": pc.take(urls, pa.array(vio_idx)),
+                            "shape_id": pa.array([shape.shape_id] * len(vio_idx)),
+                            "kind": pa.array(["violation"] * len(vio_idx)),
+                            "valid": pa.array([False] * len(vio_idx)),
+                            "reason": pa.array([inv] * len(vio_idx)),
+                            "constraint": pa.array([c.name] * len(vio_idx)),
+                            "offending_value": pa.array(
+                                [str(int(v)) for v in counts[vio_idx]]
+                            ),
+                        },
+                        schema=_ES,
+                    )
+                )
+                for i in vio_idx:
+                    if reason_list[i] is None:
+                        reason_list[i] = inv
+                valid_np &= ok | ~tmask_np
+
+        tgt_idx = np.nonzero(tmask_np)[0]
+        out.append(
+            pa.table(
+                {
+                    "url": pc.take(urls, pa.array(tgt_idx)),
+                    "shape_id": pa.array([shape.shape_id] * len(tgt_idx)),
+                    "kind": pa.array(["verdict"] * len(tgt_idx)),
+                    "valid": pa.array([bool(v) for v in valid_np[tgt_idx]]),
+                    "reason": pa.array(
+                        [
+                            reason_list[i] if reason_list[i] is not None else shape.shape_id
+                            for i in tgt_idx
+                        ]
+                    ),
+                    "constraint": pa.nulls(len(tgt_idx), pa.string()),
+                    "offending_value": pa.nulls(len(tgt_idx), pa.string()),
+                },
+                schema=_ES,
+            )
+        )
+        return pa.concat_tables(out)
+
+    return pages_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def collect_child_hash_set(child_urls_ds):
+    """Build the broadcast sorted-hash set of child-valid urls.
+
+    The string hashing runs data-parallel inside the tasks (emitting
+    uint64 columns, 8B/key); the driver only concatenates + sorts the
+    hash arrays — the sole serial step of the fused referential path is
+    an np.sort over 8-byte keys (~10ms per million)."""
+    from shaclapi_ray.stages import hashset
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": pa.array(hashset.hash_strings(batch["url"]), type=pa.uint64())}
+        )
+
+    hashed = child_urls_ds.map_batches(
+        to_hashes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tables = [ray.get(r) for r in hashed.to_arrow_refs()]
+    arrays = [t["h"].combine_chunks().to_numpy() for t in tables if t.num_rows]
+    if not arrays:
+        return ray.put(np.zeros(0, dtype=np.uint64))
+    return ray.put(np.sort(np.concatenate(arrays)))
