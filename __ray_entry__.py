@@ -322,6 +322,26 @@ def _q_featurize_media(sf_dir: str):
     )
 
 
+def _q_top_hosts(sf_dir: str):
+    """Sort/limit/top-k coverage: most-linked-to hosts (count desc, host
+    asc tie-break — deterministic)."""
+    import ray.data
+
+    from shaclapi_ray.io import read_parquet
+    from shaclapi_ray.stages.aggregates import grouped_count
+    from shaclapi_ray.stages.links import extract_links
+
+    pages = read_parquet(_pages(sf_dir), columns=["url", "html"])
+    links = extract_links(pages).map_batches(
+        lambda t: t.select(["host"]).rename_columns(["url"]),
+        batch_format="pyarrow",
+    )
+    counts = grouped_count(links, "url", out_name="n").to_pandas()
+    counts = counts.rename(columns={"url": "host"})
+    counts = counts.sort_values(["n", "host"], ascending=[False, True], kind="mergesort")
+    return counts.head(5).reset_index(drop=True)
+
+
 def _q_or_shape_verdicts(sf_dir: str):
     from shaclapi_ray.engine import JobConfig, ValidationEngine
     from shaclapi_ray.fixtures import or_shape
@@ -347,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "or_shape_verdicts": _q_or_shape_verdicts,
         "column_violations": _q_column_violations,
         "links": _q_links,
+        "top_hosts": _q_top_hosts,
         "linked_page_verdicts": _q_linked_page_verdicts,
         "unique_url_verdicts": _q_unique_url_verdicts,
         "verdict_counts": _q_verdict_counts,
@@ -401,6 +422,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "or_shape_verdicts": o.or_shape_verdicts_sql(pages_dir),
         "column_violations": o.violations_sql(o.all_column_shapes(), pages_dir),
         "links": o.links_sql(pages_dir),
+        "top_hosts": o.top_hosts_sql(pages_dir),
         "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),
         "unique_url_verdicts": o.unique_url_verdicts_sql(pages_dir),
         "verdict_counts": o.verdict_counts_sql(o.all_column_shapes(), pages_dir),

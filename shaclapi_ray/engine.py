@@ -252,7 +252,7 @@ class ValidationEngine:
         # decide the fused-broadcast referential path UPFRONT: fused shapes
         # are fully (re-)evaluated in their own single pass, so pass A
         # skips them entirely — no colpart rows to emit or drop later
-        from shaclapi_ray.stages.referential import BROADCAST_LIMIT
+        from shaclapi_ray.stages.referential import FUSED_BROADCAST_LIMIT
 
         fused_sids: set[str] = set()
         if cfg.ref_strategy in ("auto", "broadcast"):
@@ -265,7 +265,7 @@ class ValidationEngine:
                 ]
                 if refs_ and not others and (
                     cfg.ref_strategy == "broadcast"
-                    or (rows_hint or 0) <= BROADCAST_LIMIT
+                    or (rows_hint or 0) <= FUSED_BROADCAST_LIMIT
                 ):
                     fused_sids.add(sid)
         self._fused_sids = fused_sids
@@ -281,10 +281,11 @@ class ValidationEngine:
             from shaclapi_ray.io import read_parquet as _read
             from shaclapi_ray.io import target_blocks
 
-            # blocks ≈ CPUs: Ray's default read parallelism (~200) leaves
-            # the materialized events in hundreds of tiny blocks, and every
-            # downstream stage then pays per-task overhead x blocks
-            nb = target_blocks(factor=1)
+            # blocks ≈ CPUs (but bounded rows/block): Ray's default ~200-way
+            # read parallelism leaves materialized events in hundreds of tiny
+            # blocks (per-task overhead x blocks); too FEW blocks makes html
+            # blocks multi-GB and spills the object store
+            nb = target_blocks(factor=1, rows=rows_hint)
             pages_a = _read(pages_path, columns=self.pass_a_columns(), num_blocks=nb)
             pages_links = (
                 _read(pages_path, columns=["url", "html"], num_blocks=nb)
@@ -454,7 +455,9 @@ class ValidationEngine:
                     pages_ref = _read(
                         pages_source,
                         columns=sorted(cols),
-                        num_blocks=target_blocks(factor=1),
+                        num_blocks=target_blocks(
+                            factor=1, rows=getattr(self, "_rows_hint", None)
+                        ),
                     )
                 else:
                     pages_ref = pages_source

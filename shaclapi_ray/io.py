@@ -14,12 +14,20 @@ import ray
 import ray.data
 
 
-def target_blocks(factor: int = 2) -> int:
+MAX_ROWS_PER_BLOCK = 250_000  # keep html-bearing blocks well under plasma limits
+
+
+def target_blocks(factor: int = 2, rows: int | None = None) -> int:
+    """Blocks ≈ CPUs x factor, but never fewer than rows/MAX_ROWS_PER_BLOCK —
+    wide binary columns (html) make huge blocks spill the object store."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, cpus * factor)
+    n = max(2, cpus * factor)
+    if rows:
+        n = max(n, (rows + MAX_ROWS_PER_BLOCK - 1) // MAX_ROWS_PER_BLOCK)
+    return n
 
 
 def read_parquet(path, columns=None, num_blocks: int | None = None):

@@ -121,6 +121,18 @@ def links_sql(pages_dir: str) -> str:
     )
 
 
+def top_hosts_sql(pages_dir: str, k: int = 5) -> str:
+    return f"""
+WITH links AS (
+  SELECT unnest(regexp_extract_all(decode(html), 'href="([^"]+)"', 1)) AS target_url
+  FROM {pages_rel(pages_dir)} WHERE url IS NOT NULL
+)
+SELECT COALESCE(regexp_extract(target_url, '^https?://([^/]+)', 1), '') AS host,
+       count(*) AS n
+FROM links GROUP BY host ORDER BY n DESC, host LIMIT {k}
+"""
+
+
 def linked_page_verdicts_sql(pages_dir: str) -> str:
     child = target_page_shape()
     child_valid = _shape_valid_sql(child)

@@ -36,7 +36,11 @@ from shaclapi_ray.shapes.ir import RefConstraint
 from shaclapi_ray.stages.predicates import EVENTS_SCHEMA
 from shaclapi_ray.state.sketches import BloomFilter
 
-BROADCAST_LIMIT = 2_000_000  # child-url sets up to this size are broadcast
+BROADCAST_LIMIT = 2_000_000  # pc.is_in broadcast limit (per-task hash build)
+# the fused path broadcasts a SORTED uint64 hash array (8B/key, zero
+# per-task setup — stages/hashset.py), so its ceiling is memory-bound only:
+# 50M keys = 400MB object, well within a worker heap
+FUSED_BROADCAST_LIMIT = 50_000_000
 
 
 def clamp_partitions(n: int) -> int:
