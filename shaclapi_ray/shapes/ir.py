@@ -422,13 +422,35 @@ def shape_to_dict(shape: Shape) -> dict[str, Any]:
 def load_schema_dir(schema_dir: str) -> list[Shape]:
     """Read every ``*.json`` shape file in a directory (≙ the backend's
     ``parse_shapes_from_dir`` driven at
-    /root/reference/shaclapi/reduction/travshacl/ReducedShapeParser.py:28-36)."""
+    /root/reference/shaclapi/reduction/travshacl/ReducedShapeParser.py:28-36).
+    ``*.ttl`` files raise (see shape_from_ttl)."""
     import json
     import os
 
     shapes = []
     for f in sorted(os.listdir(schema_dir)):
+        path = os.path.join(schema_dir, f)
         if f.endswith(".json"):
-            with open(os.path.join(schema_dir, f)) as fh:
+            with open(path) as fh:
                 shapes.append(shape_from_dict(json.load(fh)))
+        elif f.endswith(".ttl"):
+            shapes.append(shape_from_ttl(path))
     return shapes
+
+
+def shape_from_ttl(path: str) -> Shape:
+    """TTL/SHACL shape files (the reference's second fixture format,
+    e.g. /root/reference/tests/tc6/shapes/shapeA.ttl) require an RDF
+    parser; rdflib is not installed in this environment, and the engine's
+    IR is column-predicates over a web table rather than RDF paths, so
+    the supported interchange format is the JSON layout
+    (shape_from_dict / shape_to_dict). Gated behind an import-try per the
+    environment rules."""
+    try:
+        import rdflib  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "TTL shape parsing requires rdflib (not installed); declare "
+            "shapes in the JSON format instead (see fixtures/schemas/)"
+        ) from e
+    raise NotImplementedError("TTL->column-predicate mapping not implemented")

@@ -451,18 +451,16 @@ def fused_ref_shape_eval(
             return _ES.empty_table()
         valid, reason, out = eval_column_part(cs, batch, urls, tmask)
 
-        # per-row link targets (flat + row index)
-        htmls = batch["html"].to_pylist()
-        flat: list[str] = []
-        row_idx: list[int] = []
-        find = href.findall
-        for i, h in enumerate(htmls):
-            if h is None:
-                continue
-            for t in find(h):
-                flat.append(t.decode("utf-8", "replace"))
-                row_idx.append(i)
-        row_arr = np.asarray(row_idx, dtype=np.int64)
+        # vectorized per-row link targets -> 64-bit hashes (no python strings)
+        from shaclapi_ray.stages.hashset import HASH_SEED
+        from shaclapi_ray.stages.links import extract_targets_vectorized
+
+        row_arr, targets = extract_targets_vectorized(batch["html"])
+        target_hashes = (
+            targets.fill_null("\0null\0").hash(seed=HASH_SEED).to_numpy()
+            if len(targets)
+            else np.zeros(0, dtype=np.uint64)
+        )
 
         valid_np = np.asarray(valid.to_pylist() if hasattr(valid, "to_pylist") else valid, dtype=bool)
         reason_list = reason.to_pylist()
@@ -470,12 +468,21 @@ def fused_ref_shape_eval(
 
         for c in refs:
             ref = child_hash_refs.get(c.name)
-            if ref is not None and flat:
+            if ref is not None and len(target_hashes):
                 child_hashes = ray.get(ref)
-                member = hashset.contains(child_hashes, flat)
+                if child_hashes.size:
+                    pos = np.searchsorted(child_hashes, target_hashes)
+                    pos = np.minimum(pos, child_hashes.size - 1)
+                    member = child_hashes[pos] == target_hashes
+                else:
+                    member = np.zeros(len(target_hashes), dtype=bool)
             else:
-                member = np.ones(len(flat), dtype=bool)
-            counts = np.bincount(row_arr[member], minlength=n) if flat else np.zeros(n, dtype=np.int64)
+                member = np.ones(len(target_hashes), dtype=bool)
+            counts = (
+                np.bincount(row_arr[member], minlength=n)
+                if len(target_hashes)
+                else np.zeros(n, dtype=np.int64)
+            )
             ok = np.ones(n, dtype=bool)
             if c.min is not None:
                 ok &= counts >= c.min

@@ -1,0 +1,101 @@
+"""Property test: eval_pred (Arrow) and pred_to_sql (DuckDB) agree on
+random predicate trees over random tables — the drift guard for the
+shared predicate IR that both the engine and the oracles compile from."""
+
+import duckdb
+import hypothesis.strategies as st
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+
+from shaclapi_ray.shapes.ir import eval_pred, pred_to_sql
+
+WORDS = ["alpha", "beta", "gamma", "", "Alpha", "x y", "héllo"]
+PATTERNS = ["^alpha", "a", "ph", "^$", "o$", "[abg]a"]
+
+
+@st.composite
+def tables(draw):
+    n = draw(st.integers(min_value=0, max_value=30))
+    s = draw(
+        st.lists(
+            st.one_of(st.none(), st.sampled_from(WORDS)), min_size=n, max_size=n
+        )
+    )
+    x = draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(-5, 50)), min_size=n, max_size=n
+        )
+    )
+    return pa.table(
+        {
+            "s": pa.array(s, type=pa.string()),
+            "x": pa.array(x, type=pa.int64()),
+        }
+    )
+
+
+def leaf_preds():
+    return st.one_of(
+        st.just({"op": "not_null", "column": "s"}),
+        st.just({"op": "is_null", "column": "x"}),
+        st.sampled_from(PATTERNS).map(
+            lambda p: {"op": "regex", "column": "s", "pattern": p}
+        ),
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=3).map(
+            lambda vs: {"op": "in", "column": "s", "values": vs}
+        ),
+        st.sampled_from(WORDS).map(
+            lambda v: {"op": "==", "column": "s", "value": v}
+        ),
+        st.integers(-5, 50).map(lambda v: {"op": "!=", "column": "x", "value": v}),
+        st.tuples(st.integers(-5, 20), st.integers(0, 40)).map(
+            lambda t: {"op": "range", "column": "x", "min": min(t), "max": max(t)}
+        ),
+        st.tuples(st.integers(0, 3), st.integers(3, 10)).map(
+            lambda t: {"op": "len_range", "column": "s", "min": t[0], "max": t[1]}
+        ),
+    )
+
+
+def preds(depth=2):
+    if depth == 0:
+        return leaf_preds()
+    sub = preds(depth - 1)
+    return st.one_of(
+        leaf_preds(),
+        st.lists(sub, min_size=2, max_size=3).map(
+            lambda args: {"op": "and", "args": args}
+        ),
+        st.lists(sub, min_size=2, max_size=3).map(
+            lambda args: {"op": "or", "args": args}
+        ),
+        sub.map(lambda a: {"op": "not", "arg": a}),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(tbl=tables(), pred=preds())
+def test_eval_pred_matches_duckdb(tbl, pred):
+    arrow_mask = eval_pred(pred, tbl).to_pylist()
+    sql = pred_to_sql(pred)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    duck_mask = [
+        bool(r[0]) if r[0] is not None else False
+        for r in con.execute(f"SELECT COALESCE({sql}, FALSE) FROM t").fetchall()
+    ]
+    assert [bool(v) for v in arrow_mask] == duck_mask, (pred, tbl.to_pydict())
+
+
+def test_not_null_semantics():
+    tbl = pa.table({"s": pa.array([None, "a"]), "x": pa.array([1, None])})
+    assert eval_pred({"op": "not_null", "column": "s"}, tbl).to_pylist() == [
+        False,
+        True,
+    ]
+    # NOT over null comparison: null == 'a' -> False (not null), so NOT -> True
+    out = eval_pred(
+        {"op": "not", "arg": {"op": "==", "column": "s", "value": "a"}}, tbl
+    ).to_pylist()
+    assert out == [True, False]
