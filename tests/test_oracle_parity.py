@@ -8,7 +8,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-SF = "/root/testdata/sf0.001"
+SF = __import__("os").environ.get("GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
 TABLES = [
     "region",
