@@ -191,7 +191,7 @@ def run_scaling(sf_dir: str) -> dict:
     Override with SCALING_LO / SCALING_HI / SCALING_ROWS."""
     lo = int(os.environ.get("SCALING_LO", "2"))
     hi = int(os.environ.get("SCALING_HI", "8"))
-    rows = int(os.environ.get("SCALING_ROWS", "4000000"))
+    rows = int(os.environ.get("SCALING_ROWS", "8000000"))
 
     from shaclapi_ray.pagegen import generate_pages
 
