@@ -292,6 +292,12 @@ def _q_sessionize(sf_dir: str):
     return _sorted(sessionize(_events(sf_dir), SESSION_GAP_S), ["user_id", "session_id"])
 
 
+def _q_parse_props(sf_dir: str):
+    from shaclapi_ray.pipelines.events import parse_props
+
+    return _sorted(parse_props(_events(sf_dir)), ["event_id"])
+
+
 def _q_event_type_stats(sf_dir: str):
     from shaclapi_ray.pipelines.events import event_type_stats
 
@@ -394,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "sessionize": _q_sessionize,
         "event_type_stats": _q_event_type_stats,
+        "parse_props": _q_parse_props,
         # multimodal
         "media_metadata": _q_media_metadata,
         "featurize_media": _q_featurize_media,
@@ -437,6 +444,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "tumbling_window": o.tumbling_window_sql(WINDOW_S),
         "sessionize": o.sessionize_sql(SESSION_GAP_S),
         "event_type_stats": o.event_type_stats_sql(),
+        "parse_props": o.parse_props_sql(),
         "media_metadata": o.media_metadata_sql(pages_dir),
         # intentionally no oracle (non-SQL-expressible / approximate):
         # drift_verdicts, hll_distinct_urls, rolling_fingerprint,

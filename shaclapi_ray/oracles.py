@@ -307,6 +307,13 @@ FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+def parse_props_sql() -> str:
+    return (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events ORDER BY event_id"
+    )
+
+
 def event_type_stats_sql() -> str:
     return """
 SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value,

@@ -72,9 +72,12 @@ def exact_dedup(docs_ds, text_col: str = "text"):
 class MinHasher:
     """Actor-pool stage: char-k-shingle minhash signatures, banded.
 
-    Emits (band_id, band_hash, doc_id) rows — the LSH explode step. The
-    permutation parameters are derived deterministically from a seed in
-    __init__ (once per actor)."""
+    Emits (band_id, band_hash, doc_id) rows — the LSH explode step.
+    Shingle hashing is vectorized: ALL shingles of a batch go through one
+    polars hash call (process-stable, seeded); universal-hash permutations
+    and band mixing are numpy — no per-shingle python hashing. Permutation
+    parameters derive deterministically from a seed in __init__ (once per
+    actor)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -84,35 +87,49 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = k
-
-    def signature(self, text: str) -> np.ndarray | None:
-        k = self.k
-        if text is None or len(text) < k:
-            return None
-        shingles = {text[i : i + k] for i in range(len(text) - k + 1)}
-        base = np.fromiter(
-            (_md5_64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
-        )
-        # universal hashing: (a*h + b) mod p, min over shingles per perm
-        vals = (self.a[None, :] * base[:, None] + self.b[None, :]) % MERSENNE
-        return vals.min(axis=0)
+        # band mixing weights (deterministic)
+        self.band_w = rng.integers(1, MERSENNE, size=self.rows_per_band, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        k = self.k
+        doc_ids_in = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        all_shingles: list[str] = []
+        offsets = [0]
+        kept_docs: list[int] = []
+        for doc_id, text in zip(doc_ids_in, texts):
+            if text is None or len(text) < k:
+                continue
+            sh = {text[i : i + k] for i in range(len(text) - k + 1)}
+            all_shingles.extend(sh)
+            offsets.append(len(all_shingles))
+            kept_docs.append(doc_id)
+        if not kept_docs:
+            return pa.table(
+                {
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        base = pl.Series(all_shingles).hash(seed=13).to_numpy()
         band_ids: list[int] = []
         band_hashes: list[int] = []
         doc_ids: list[int] = []
         r = self.rows_per_band
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = self.signature(text)
-            if sig is None:
-                continue
+        for d, doc_id in enumerate(kept_docs):
+            seg = base[offsets[d] : offsets[d + 1]]
+            vals = (self.a[None, :] * seg[:, None] + self.b[None, :]) % MERSENNE
+            sig = vals.min(axis=0)
+            # mix each band's rows into one 64-bit band hash
+            mixed = (
+                sig.reshape(self.bands, r) * self.band_w[None, :]
+            ).sum(axis=1, dtype=np.uint64)
             for band in range(self.bands):
-                chunk = sig[band * r : (band + 1) * r]
-                bh = _md5_64(",".join(map(str, chunk.tolist())))
                 band_ids.append(band)
-                band_hashes.append(bh - (1 << 63))  # store as int64
+                band_hashes.append(int(mixed[band]) - (1 << 63))
                 doc_ids.append(doc_id)
         return pa.table(
             {
@@ -155,10 +172,38 @@ def minhash_lsh_clusters(
         root = ids[0]
         return pd.DataFrame({"a": [root] * (len(ids) - 1), "b": ids[1:]})
 
-    pairs = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    pair_rows = pairs.to_pandas()
+    # band rows are narrow (int32, int64, int64): below the driver-merge
+    # limit, group them on the driver with pandas instead of paying a Ray
+    # shuffle; the keyed-shuffle path remains for huge corpora
+    import ray as _ray
+
+    from shaclapi_ray.stages.aggregates import DRIVER_MERGE_LIMIT
+
+    sigs_m = sigs.materialize()
+    if sigs_m.count() <= DRIVER_MERGE_LIMIT:
+        import pandas as pd
+
+        sig_tables = [_ray.get(r) for r in sigs_m.to_arrow_refs()]
+        sig_tables = [t for t in sig_tables if t.num_rows]
+        if sig_tables:
+            sdf = pa.concat_tables(sig_tables).to_pandas()
+            groups = sdf.groupby(["band_id", "band_hash"])["doc_id"].agg(
+                lambda s: sorted(set(s))
+            )
+        else:
+            groups = []
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        for ids in groups:
+            if len(ids) > 1:
+                rows_a.extend([ids[0]] * (len(ids) - 1))
+                rows_b.extend(ids[1:])
+        pair_rows = pd.DataFrame({"a": rows_a, "b": rows_b}, dtype="int64")
+    else:
+        pairs = sigs_m.groupby(["band_id", "band_hash"]).map_groups(
+            bucket_pairs, batch_format="pandas"
+        )
+        pair_rows = pairs.to_pandas()
 
     # driver-side union-find over candidate edges
     parent: dict[int, int] = {}

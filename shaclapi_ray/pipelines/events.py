@@ -127,3 +127,22 @@ def event_type_stats(events_ds):
         ),
         batch_format="pyarrow",
     )
+
+
+def parse_props(events_ds):
+    """(event_id, k): extract the integer field from the JSON props column —
+    vectorized json-path extraction (polars) inside map_batches; the
+    structured-payload parse stage of an events pipeline."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["props"].combine_chunks() if hasattr(batch["props"], "combine_chunks") else batch["props"])
+        k = s.str.json_path_match("$.k").cast(pl.Int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k": k.to_arrow().cast(pa.int64()),
+            }
+        )
+
+    return events_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
