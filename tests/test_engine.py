@@ -221,3 +221,15 @@ def test_annotate_left_outer(ray_session, small_pages_dir):
     non_en = ann[ann.lang != "en"]
     assert en.valid.notna().all()
     assert non_en.valid.isna().all()
+
+
+def test_pass_a_actor_pool(ray_session, small_pages_dir):
+    """Pass A as an actor pool (shape compilation once per actor in
+    __init__) must match the stateless-task path."""
+    task_res = ValidationEngine(column_schema(), JobConfig()).run(small_pages_dir)
+    actor_res = ValidationEngine(
+        column_schema(), JobConfig(concurrency=2, batch_size=128)
+    ).run(small_pages_dir)
+    assert _engine_verdicts(task_res, "UrlShape") == _engine_verdicts(
+        actor_res, "UrlShape"
+    )
