@@ -362,17 +362,44 @@ def _constraint_from_dict(d: dict[str, Any], idx: int, shape_id: str) -> Constra
 def shape_from_dict(d: dict[str, Any]) -> Shape:
     """Parse the JSON shape format (mirrors the reference's
     name/targetDef/constraintDef layout,
-    /root/reference/examples/lubm/shapes/FullProfessor.json:1-24; single
-    conjunction)."""
+    /root/reference/examples/lubm/shapes/FullProfessor.json:1-24).
+
+    The outer ``conjunctions`` list is a DISJUNCTION of conjunctions (DNF,
+    as in the reference's backend shape format). One conjunction maps
+    directly to the Shape's constraint list; multiple conjunctions of
+    predicate-only constraints collapse into a single OrConstraint whose
+    options are the AND-ed conjunctions (ref/unique/drift constraints
+    cannot appear under a disjunction)."""
     shape_id = d["name"]
     target = (d.get("targetDef") or {}).get("filter")
     conjs = (d.get("constraintDef") or {}).get("conjunctions") or [[]]
-    if len(conjs) != 1:
-        raise ValueError("only a single conjunction is supported (matches test corpus)")
-    constraints = [
-        _constraint_from_dict(c, i, shape_id) for i, c in enumerate(conjs[0])
-    ]
-    return Shape(shape_id=shape_id, target=target, constraints=constraints)
+    if len(conjs) == 1:
+        constraints = [
+            _constraint_from_dict(c, i, shape_id) for i, c in enumerate(conjs[0])
+        ]
+        return Shape(shape_id=shape_id, target=target, constraints=constraints)
+
+    options: list[PredicateConstraint] = []
+    for gi, group in enumerate(conjs):
+        parsed = [
+            _constraint_from_dict(c, i, f"{shape_id}_g{gi}")
+            for i, c in enumerate(group)
+        ]
+        if not all(isinstance(p, PredicateConstraint) for p in parsed):
+            raise ValueError(
+                "disjunctions of conjunctions support predicate constraints "
+                "only (ref/unique/drift must live in a single conjunction)"
+            )
+        preds = [p.pred for p in parsed]
+        combined = preds[0] if len(preds) == 1 else {"op": "and", "args": preds}
+        options.append(
+            PredicateConstraint(name=f"{shape_id}_conj{gi}", pred=combined)
+        )
+    return Shape(
+        shape_id=shape_id,
+        target=target,
+        constraints=[OrConstraint(name=f"{shape_id}_dnf", options=options)],
+    )
 
 
 def constraint_to_dict(c: Constraint) -> dict[str, Any]:

@@ -127,3 +127,36 @@ def test_shape_from_dict_json_format():
     assert s.constraints[1].shape == "Other"
     assert isinstance(s.constraints[2], OrConstraint)
     assert s.referenced_shapes() == ["Other"]
+
+
+def test_shape_from_dict_dnf():
+    """Multiple conjunctions = disjunction (reference backend semantics):
+    row valid iff ANY conjunction fully holds."""
+    import pyarrow as pa
+
+    from shaclapi_ray.shapes.ir import shape_from_dict
+
+    d = {
+        "name": "DnfShape",
+        "targetDef": {"filter": None},
+        "constraintDef": {
+            "conjunctions": [
+                [
+                    {"pred": {"op": "==", "column": "lang", "value": "en"}},
+                    {"pred": {"op": "len_range", "column": "text", "min": 5}},
+                ],
+                [{"pred": {"op": "==", "column": "lang", "value": "de"}}],
+            ]
+        },
+    }
+    s = shape_from_dict(d)
+    assert len(s.constraints) == 1 and isinstance(s.constraints[0], OrConstraint)
+    tbl = pa.table(
+        {
+            "lang": ["en", "en", "de", "fr"],
+            "text": ["long enough", "abc", "x", "whatever"],
+        }
+    )
+    mask = s.constraints[0].evaluate(tbl).to_pylist()
+    # en+long ok; en+short fails conj1 and isn't de; de ok; fr fails both
+    assert mask == [True, False, True, False]
