@@ -152,10 +152,26 @@ class ValidationResult:
             ),
             batch_format="pyarrow",
         )
+        from shaclapi_ray.stages.joins import drop_empty_blocks
         from shaclapi_ray.stages.referential import clamp_partitions
 
-        return pages_ds.join(
-            v,
+        pages_nb = drop_empty_blocks(pages_ds)
+        v_nb = drop_empty_blocks(v)
+        if pages_nb is None:
+            return pages_ds  # no pages: empty annotated output
+        if v_nb is None:
+            # no verdicts: every row flows through with null verdict cols
+            # (the Xgoptional unmatched-left 'bag' semantics)
+            def add_nulls(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "valid", pa.nulls(t.num_rows, pa.bool_())
+                ).append_column("reason", pa.nulls(t.num_rows, pa.string()))
+
+            return pages_nb.map_batches(
+                add_nulls, batch_format="pyarrow", zero_copy_batch=True
+            )
+        return pages_nb.join(
+            v_nb,
             join_type="left_outer",
             num_partitions=clamp_partitions(num_partitions),
             on=("url",),
@@ -501,21 +517,106 @@ class ValidationEngine:
         return pieces
 
     # -- helpers -------------------------------------------------------------
-    @staticmethod
-    def _column_value_counts(pages_ds, column: str, agg_mode: str = "auto"):
-        """(url, qcount) of occurrences of each value of ``column`` —
-        partial per-batch counts, then combine (pre-aggregation before any
-        shuffle, SURVEY.md §4; driver-merge at small scale)."""
+    def _column_value_counts(self, pages_ds, column: str, agg_mode: str = "auto"):
+        """(url, qcount): for each page, the GLOBAL occurrence count of that
+        page's value of ``column`` — partial per-batch counts, then combine
+        (pre-aggregation before any shuffle, SURVEY.md §4).
+
+        For ``column == 'url'`` the counted value IS the join key, so the
+        grouped count is already keyed correctly. For any other column the
+        per-value counts must be joined back onto (url, value) — broadcast
+        hash-map lookup (stages/hashset.py, zero per-task setup) below
+        BROADCAST_LIMIT rows, hash-partitioned Dataset.join above (exact at
+        any scale)."""
         from shaclapi_ray.stages.aggregates import grouped_count
 
-        keyed = pages_ds.map_batches(
-            lambda batch: pa.table(
-                {"url": pc.fill_null(pc.cast(batch[column], pa.string()), "null")}
+        if column == "url":
+            keyed = pages_ds.map_batches(
+                lambda batch: pa.table(
+                    {"url": pc.fill_null(pc.cast(batch["url"], pa.string()), "null")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            return grouped_count(keyed, "url", out_name="qcount", mode=agg_mode)
+
+        from shaclapi_ray.stages.referential import (
+            BROADCAST_LIMIT,
+            _probe_cap,
+            clamp_partitions,
+        )
+
+        def kv(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": pc.fill_null(pc.cast(batch["url"], pa.string()), "null"),
+                    "val": pc.fill_null(pc.cast(batch[column], pa.string()), "null"),
+                }
+            )
+
+        keyed = pages_ds.map_batches(kv, batch_format="pyarrow", zero_copy_batch=True)
+        counts = grouped_count(keyed, "val", out_name="qcount", mode=agg_mode)
+        size_hint = getattr(self, "_rows_hint", None)
+        if size_hint is not None:
+            use_broadcast = size_hint <= BROADCAST_LIMIT
+        else:
+            counts = counts.materialize()
+            use_broadcast = counts.count() <= BROADCAST_LIMIT
+        if use_broadcast:
+            import numpy as np
+
+            from shaclapi_ray.stages import hashset
+
+            tables = [t for t in (ray.get(r) for r in counts.to_arrow_refs()) if t.num_rows]
+            if tables:
+                tbl = pa.concat_tables(tables).combine_chunks()
+                hmap = hashset.build_hash_map(tbl["val"], tbl["qcount"].to_numpy())
+            else:
+                hmap = (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+            hmap_ref = ray.put(hmap)
+
+            def assign(batch: pa.Table) -> pa.Table:
+                hm = ray.get(hmap_ref)
+                q = hashset.lookup(hm, batch["val"], default=0)
+                return pa.table(
+                    {"url": batch["url"], "qcount": pa.array(q, type=pa.int64())}
+                )
+
+            return keyed.map_batches(
+                assign,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                concurrency=_probe_cap(),
+            )
+        from shaclapi_ray.stages.joins import drop_empty_blocks
+
+        renamed = counts.map_batches(
+            lambda t: pa.table({"j_val": t["val"], "qcount": t["qcount"]}),
+            batch_format="pyarrow",
+        )
+        keyed_nb = drop_empty_blocks(keyed)
+        renamed_nb = drop_empty_blocks(renamed)
+        if keyed_nb is None or renamed_nb is None:
+            import ray.data as _rd
+
+            return _rd.from_arrow(
+                pa.table(
+                    {"url": pa.array([], pa.string()), "qcount": pa.array([], pa.int64())}
+                )
+            )
+        joined = keyed_nb.join(
+            renamed_nb,
+            join_type="left_outer",
+            num_partitions=clamp_partitions(self.config.num_partitions),
+            on=("val",),
+            right_on=("j_val",),
+        )
+        return joined.map_batches(
+            lambda t: pa.table(
+                {"url": t["url"], "qcount": pc.fill_null(t["qcount"], 0)}
             ),
             batch_format="pyarrow",
-            zero_copy_batch=True,
         )
-        return grouped_count(keyed, "url", out_name="qcount", mode=agg_mode)
 
     def _eval_drift(self, pages_drift, sid: str, c: DriftConstraint):
         """Per-host t-digest drift check -> partition-level verdict rows.

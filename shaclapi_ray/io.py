@@ -33,13 +33,27 @@ def target_blocks(factor: int = 2, rows: int | None = None) -> int:
 def read_parquet(path, columns=None, num_blocks: int | None = None):
     """Plain pruned read. Ray's default block sizing (file/row-group
     granularity) beats forced small blocks when per-task overhead is high;
-    pass ``num_blocks`` only to override deliberately."""
+    pass ``num_blocks`` only to override deliberately.
+
+    ``num_blocks`` is clamped to the file's total ROW-GROUP count: asking
+    for more read tasks than row groups yields empty tasks, and Ray
+    passes their schema-LESS empty blocks through downstream operators
+    untouched — a hash-shuffle join partition fed only such blocks aborts
+    with 'No match for key field' (observed with Ray 2.49)."""
     if num_blocks:
+        if isinstance(path, str):
+            try:
+                _, row_groups = _metadata(path)
+                num_blocks = max(1, min(num_blocks, row_groups))
+            except Exception:
+                pass
         return ray.data.read_parquet(path, columns=columns, override_num_blocks=num_blocks)
     return ray.data.read_parquet(path, columns=columns)
 
 
-def _metadata_rows(path: str) -> int:
+def _metadata(path: str) -> tuple[int, int]:
+    """(total rows, total row groups) from parquet footers — driver-local,
+    metadata-only (no data read)."""
     import os
 
     import pyarrow.parquet as pq
@@ -49,7 +63,16 @@ def _metadata_rows(path: str) -> int:
         if os.path.isdir(path)
         else [path]
     )
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    rows = groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        groups += md.num_row_groups
+    return rows, groups
+
+
+def _metadata_rows(path: str) -> int:
+    return _metadata(path)[0]
 
 
 def read_table_split(path, columns=None, min_rows_per_block: int = 500):

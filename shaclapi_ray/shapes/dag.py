@@ -129,11 +129,29 @@ class ConstraintDAG:
         return out
 
     def validate(self) -> None:
-        """Sanity checks: referenced shapes exist, no cycles."""
+        """Sanity checks: referenced shapes exist, no cycles, drift shapes
+        are drift-only (a DriftConstraint produces per-PARTITION verdicts,
+        which cannot be combined row-wise with other constraint kinds —
+        mixing would silently drop the non-drift constraints)."""
+        from shaclapi_ray.shapes.ir import DriftConstraint
+
         for sid, s in self.shapes.items():
             for ref in s.referenced_shapes():
                 if ref not in self.shapes:
                     raise ValueError(f"shape {sid!r} references unknown shape {ref!r}")
+            n_drift = sum(isinstance(c, DriftConstraint) for c in s.constraints)
+            if n_drift > 1:
+                raise ValueError(
+                    f"shape {sid!r} has {n_drift} drift constraints; at most "
+                    "one is supported (split into one shape per drift check)"
+                )
+            if n_drift and len(s.constraints) > n_drift:
+                raise ValueError(
+                    f"shape {sid!r} mixes a drift constraint with other "
+                    "constraints; drift verdicts are per-partition and "
+                    "cannot be combined row-wise — declare the drift check "
+                    "as its own shape"
+                )
         self.node_order()
 
     def push_target_filter(self, shape_id: str, row_filter) -> "ConstraintDAG":

@@ -260,14 +260,28 @@ class RefConstraint(Constraint):
 
     ``shape=None`` means plain link cardinality (no child-shape filter, and
     existence in the table is not required).
+
+    ``inverse=True`` counts INBOUND link edges instead: how many links
+    from child-valid pages point AT this row's url (≙ ``sh:inversePath``,
+    /root/reference/tests/tc4/shapes/shapeA.ttl:8,
+    /root/reference/tests/tc6/shapes/shapeA.ttl:17). Evaluated via a
+    groupby(target_url) over the links table — see
+    engine.run_pass_b / stages/referential.inverse_qualified_counts.
+
+    ``path`` carries the RDF property path for TTL-parsed shapes (e.g.
+    '<http://example.org/testGraph6#property3>', '^<...>' when inverse);
+    such shapes participate in parse/reduce/project but are not executable
+    over the web-pages table unless the path is mapped onto it.
     """
 
     min: int | None = None
     max: int | None = None
     shape: str | None = None
+    inverse: bool = False
+    path: str | None = None
 
     def columns(self) -> set[str]:
-        return {"html"}
+        return {self.path} if self.path is not None else {"html"}
 
     def referenced_shapes(self) -> list[str]:
         return [self.shape] if self.shape else []
@@ -310,6 +324,9 @@ class Shape:
     shape_id: str
     target: Pred | None = None  # None => targets every row
     constraints: list[Constraint] = field(default_factory=list)
+    # TTL/SHACL provenance (parse/reduce-level; not used in execution):
+    target_class: str | None = None  # ≙ sh:targetClass (expanded IRI)
+    target_query: str | None = None  # ≙ sh:targetQuery (raw SPARQL string)
 
     def referenced_shapes(self) -> list[str]:
         out: list[str] = []

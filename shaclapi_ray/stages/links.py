@@ -6,9 +6,9 @@ instance references child-shape instances
 (/root/reference/shaclapi/reduction/travshacl/ReducedShapeParser.py:124-138).
 
 Scale notes: the stage reads ONLY (url, html) (prune at the read; keep the
-wide ``html`` binary out of every downstream shuffle — SURVEY.md §7.4), runs
-as an actor pool so the regex is compiled once per actor, scans bytes
-directly (no utf-8 decode of the full page), and emits a narrow
+wide ``html`` binary out of every downstream shuffle — SURVEY.md §7.4),
+decodes the binary html LOSSILY (invalid UTF-8 degrades to replacement
+chars instead of aborting the job — see _decode_lossy), and emits a narrow
 (url, target_url, host) table.
 """
 
@@ -29,13 +29,36 @@ _HREF_COMPILED = re.compile(HREF_RE)
 HREF_STR_RE = r'href="[^"]+"'
 
 
+def _decode_lossy(html_col) -> pa.Array:
+    """binary html -> string, never raising on invalid UTF-8.
+
+    Real web corpora contain pages that are not valid UTF-8; Arrow's
+    ``cast(string)`` validates and would abort the whole job on one bad
+    page. Fast path: the vectorized cast (zero-copy view). Fallback (only
+    when the batch actually contains invalid bytes): per-row
+    ``bytes.decode(errors='replace')`` — C-speed, malformed pages degrade
+    to U+FFFD runs (=> fewer extracted links) instead of crashing."""
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    try:
+        return html_col.cast(pa.string())
+    except pa.ArrowInvalid:
+        return pa.array(
+            [
+                b.decode("utf-8", errors="replace") if b is not None else None
+                for b in html_col.to_pylist()
+            ],
+            type=pa.string(),
+        )
+
+
 def extract_targets_vectorized(html_col):
     """(row_indices, target_url polars Series): vectorized href extraction
     via polars' extract_all — ~2x faster than a python findall loop and no
     per-row object conversion. Rows with null html or no links drop out."""
     import polars as pl
 
-    s = pl.from_arrow(html_col.cast(pa.string()))
+    s = pl.from_arrow(_decode_lossy(html_col))
     ex = s.str.extract_all(HREF_STR_RE)
     df = (
         pl.DataFrame({"row": pl.int_range(len(s), eager=True), "m": ex})
@@ -50,10 +73,12 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
     """Stateless task body: explode href targets from html bytes."""
     rows, targets = extract_targets_vectorized(batch["html"])
     target_arr = targets.to_arrow().cast(pa.string())
-    url_col = pc.take(batch["url"], pa.array(rows))
+    url_col = pc.take(batch["url"], pa.array(rows, type=pa.int64()))
+    if isinstance(url_col, pa.ChunkedArray):
+        url_col = url_col.combine_chunks()
     keep = pc.is_valid(url_col)  # rows with null url carry no links
     url_col = url_col.filter(keep)
-    target_arr = target_arr.filter(pa.array(keep.to_pylist()))
+    target_arr = target_arr.filter(keep)
     host = pc.struct_field(pc.extract_regex(target_arr, HOST_RE), "host")
     return pa.table(
         {

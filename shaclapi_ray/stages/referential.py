@@ -55,11 +55,21 @@ def clamp_partitions(n: int) -> int:
 
 
 def child_valid_urls(verdicts_ds, child_shape_id: str):
-    """Dataset of urls valid under the child shape (one column: url)."""
+    """Dataset of urls valid under the child shape (one column: url).
+
+    Only FINAL verdict rows (kind='verdict') qualify: a ref-bearing child
+    shape also emits kind='colpart' rows (column-part-only validity) in
+    pass A, and counting those as child-valid would let a url that passes
+    the child's column constraints but fails its ref constraint leak into
+    the parent's child-valid set (depth>=2 ref chains — the reference's
+    tc4 valid/invalid propagation)."""
 
     def pick(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
-            pc.equal(batch["shape_id"], child_shape_id),
+            pc.and_(
+                pc.equal(batch["shape_id"], child_shape_id),
+                pc.equal(batch["kind"], "verdict"),
+            ),
             pc.fill_null(batch["valid"], False),
         )
         return batch.filter(mask).select(["url"])
@@ -148,6 +158,10 @@ def qualified_counts(
             concurrency=_probe_cap(),
         )
     elif strategy == "bucket":
+        import ray.data as _rd
+
+        from shaclapi_ray.stages.joins import drop_empty_blocks
+
         if bloom_prefilter:
             bloom = build_bloom(child_urls_ds)
             bloom_ref = ray.put(bloom)
@@ -160,6 +174,15 @@ def qualified_counts(
             lambda t: pa.table({"c_url": pc.unique(t["url"].combine_chunks())}),
             batch_format="pyarrow",
         )
+        # hash-join inputs must be sanitized (see stages/joins.py); an
+        # empty side makes the inner semi-join trivially empty
+        links_ds = drop_empty_blocks(links_ds)
+        child = drop_empty_blocks(child)
+        if links_ds is None or child is None:
+            return _url_counts(
+                _rd.from_arrow(pa.table({"url": pa.array([], pa.string())})),
+                agg_mode,
+            )
         if salt_k and salt_k > 1:
             links_ds = links_ds.map_batches(
                 lambda t, k=salt_k: t.append_column(
@@ -210,14 +233,12 @@ def plain_link_counts(links_ds, agg_mode: str = "auto"):
 
 
 def _stable_hash_array(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Deterministic 64-bit hash of a string column (FNV-1a over bytes),
-    stable across processes (unlike Python's seeded hash())."""
-    import zlib
+    """Deterministic 64-bit hash of a string column (polars' vectorized
+    xxhash via stages/hashset.py, process-stable for a fixed seed) — used
+    to derive the salt for skew-salted bucket joins."""
+    from shaclapi_ray.stages.hashset import hash_strings
 
-    vals = arr.to_pylist() if isinstance(arr, (pa.ChunkedArray, pa.Array)) else arr
-    return np.array(
-        [zlib.crc32(v.encode() if v else b"") for v in vals], dtype=np.uint64
-    )
+    return hash_strings(arr)
 
 
 def _replicate_with_salt(t: pa.Table, k: int) -> pa.Table:
@@ -267,6 +288,10 @@ def combine_ref_verdicts(
     Returns a Dataset in EVENTS_SCHEMA with kind='verdict' (one row per
     targeted url) and kind='violation' rows for failing ref constraints.
     """
+    import ray.data as _rd
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+
     num_partitions = clamp_partitions(num_partitions)
     base = colpart_ds.map_batches(
         lambda t: pa.table(
@@ -279,6 +304,12 @@ def combine_ref_verdicts(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # sanitize the (narrow) base once: empty/stale-schema blocks would
+    # poison the bucket joins below, and an empty base short-circuits to
+    # an empty events table
+    base = drop_empty_blocks(base)
+    if base is None:
+        return _rd.from_arrow(EVENTS_SCHEMA.empty_table())
     qcount_cols = []
     broadcast_refs = []  # (col, object_ref) pairs resolved inside the stage
     for i, (counts_ds, _c) in enumerate(counts_and_constraints):
@@ -306,6 +337,11 @@ def combine_ref_verdicts(
                 lambda t, col=col: pa.table({"j_url": t["url"], col: t["qcount"]}),
                 batch_format="pyarrow",
             )
+            renamed = drop_empty_blocks(renamed)
+            if renamed is None:
+                # no counts at all: finalize treats the missing column as 0
+                qcount_cols.append(col)
+                continue
             base = base.join(
                 renamed,
                 join_type="left_outer",
@@ -347,7 +383,10 @@ def combine_ref_verdicts(
             batch["cp_reason"],
         )
         for col, c in zip(qcount_cols, constraints):
-            q = pc.fill_null(batch[col], 0)
+            if col in batch.column_names:
+                q = pc.fill_null(batch[col], 0)
+            else:  # counts side had no rows at all
+                q = pa.array([0] * n, type=pa.int64())
             ok = pa.array([True] * n, type=pa.bool_())
             if c.min is not None:
                 ok = pc.and_(ok, pc.greater_equal(q, pa.scalar(c.min)))
