@@ -108,6 +108,19 @@ def _q_linked_page_verdicts(sf_dir: str):
     return _sorted(v, ["url", "valid"])
 
 
+def _q_inverse_linked_verdicts(sf_dir: str):
+    """Inverse (inbound) referential constraint — sh:inversePath analog."""
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.fixtures import inverse_schema
+
+    res = ValidationEngine(
+        inverse_schema(), JobConfig(target_shape="PopularPageShape")
+    ).run(_pages(sf_dir))
+    v = res.verdicts().to_pandas()
+    v = v[v.shape_id == "PopularPageShape"][["url", "valid"]]
+    return _sorted(v, ["url", "valid"])
+
+
 def _q_unique_url_verdicts(sf_dir: str):
     from shaclapi_ray.engine import JobConfig, ValidationEngine
     from shaclapi_ray.fixtures import unique_url_shape
@@ -375,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "links": _q_links,
         "top_hosts": _q_top_hosts,
         "linked_page_verdicts": _q_linked_page_verdicts,
+        "inverse_linked_verdicts": _q_inverse_linked_verdicts,
         "unique_url_verdicts": _q_unique_url_verdicts,
         "verdict_counts": _q_verdict_counts,
         "reduce_schema": _q_reduce_schema,
@@ -431,6 +445,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "links": o.links_sql(pages_dir),
         "top_hosts": o.top_hosts_sql(pages_dir),
         "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),
+        "inverse_linked_verdicts": o.inverse_linked_verdicts_sql(pages_dir),
         "unique_url_verdicts": o.unique_url_verdicts_sql(pages_dir),
         "verdict_counts": o.verdict_counts_sql(o.all_column_shapes(), pages_dir),
         "reduce_schema": o.reduce_schema_sql(["LinkedPageShape", "TargetPageShape"]),

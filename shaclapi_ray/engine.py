@@ -279,7 +279,10 @@ class ValidationEngine:
                     for c in s.constraints
                     if isinstance(c, (UniqueConstraint, DriftConstraint))
                 ]
-                if refs_ and not others and (
+                # inverse (inbound) refs cannot fuse: a row's inbound
+                # count aggregates links from OTHER rows' batches, so it
+                # needs the groupby(target_url) pass, not a per-row pass
+                if refs_ and not others and not any(c.inverse for c in refs_) and (
                     cfg.ref_strategy == "broadcast"
                     or (rows_hint or 0) <= FUSED_BROADCAST_LIMIT
                 ):
@@ -485,12 +488,15 @@ class ValidationEngine:
             colpart = _filter_events(all_events(), kind="colpart", shape_id=sid)
             counts_and_constraints = []
             for c in refs:
+                from shaclapi_ray.stages.referential import swap_links
+
+                c_links = swap_links(links_ds) if c.inverse else links_ds
                 if c.shape is None:
-                    counts = plain_link_counts(links_ds, agg_mode=agg_mode)
+                    counts = plain_link_counts(c_links, agg_mode=agg_mode)
                 else:
                     child_urls = child_valid_urls(all_events(), c.shape)
                     counts = qualified_counts(
-                        links_ds,
+                        c_links,
                         child_urls,
                         strategy=cfg.ref_strategy,
                         num_partitions=cfg.num_partitions,

@@ -108,6 +108,26 @@ def linked_page_shape() -> Shape:
     )
 
 
+def popular_page_shape() -> Shape:
+    """Inverse (inbound) referential shape — the tc4/tc6 sh:inversePath
+    analog (/root/reference/tests/tc4/shapes/shapeA.ttl:8): a page is
+    valid iff at least one link FROM a TargetPageShape-valid page points
+    at it."""
+    return Shape(
+        shape_id="PopularPageShape",
+        target=None,
+        constraints=[
+            RefConstraint(
+                name="inbound_from_valid", min=1, shape="TargetPageShape", inverse=True
+            )
+        ],
+    )
+
+
+def inverse_schema() -> list[Shape]:
+    return [target_page_shape(), popular_page_shape()]
+
+
 def or_shape() -> Shape:
     # (len(text) >= 10) OR (lang == 'en') OR (no links in html)
     return Shape(

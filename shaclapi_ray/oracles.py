@@ -157,6 +157,32 @@ ORDER BY url, valid
 """
 
 
+def inverse_linked_verdicts_sql(pages_dir: str) -> str:
+    """(url, valid) for PopularPageShape: >=1 INBOUND link edge from a
+    TargetPageShape-valid source page (sh:inversePath semantics — counts
+    link instances grouped by target_url)."""
+    child = target_page_shape()
+    child_valid = _shape_valid_sql(child)
+    return f"""
+WITH pages AS (SELECT * FROM {pages_rel(pages_dir)}),
+links AS (
+  SELECT url, unnest(regexp_extract_all(decode(html), 'href="([^"]+)"', 1)) AS target_url
+  FROM pages WHERE url IS NOT NULL
+),
+child_valid AS (
+  SELECT DISTINCT url FROM pages WHERE url IS NOT NULL AND {child_valid}
+),
+qcount AS (
+  SELECT l.target_url AS t_url, count(*) AS q
+  FROM links l JOIN child_valid c ON l.url = c.url
+  GROUP BY l.target_url
+)
+SELECT {URLX.replace('url', 'p.url')} AS url, COALESCE(q.q, 0) >= 1 AS valid
+FROM pages p LEFT JOIN qcount q ON p.url = q.t_url
+ORDER BY url, valid
+"""
+
+
 def unique_url_verdicts_sql(pages_dir: str) -> str:
     return (
         f"SELECT u AS url, cnt = 1 AS valid FROM (\n"

@@ -362,7 +362,12 @@ def _constraint_from_dict(d: dict[str, Any], idx: int, shape_id: str) -> Constra
         )
     if kind == "ref" or "shape" in d or "min" in d or "max" in d:
         return RefConstraint(
-            name=name, min=d.get("min"), max=d.get("max"), shape=d.get("shape")
+            name=name,
+            min=d.get("min"),
+            max=d.get("max"),
+            shape=d.get("shape"),
+            inverse=bool(d.get("inverse", False)),
+            path=d.get("path"),
         )
     if kind == "unique":
         return UniqueConstraint(name=name, column=d.get("column", "url"))
@@ -438,6 +443,10 @@ def constraint_to_dict(c: Constraint) -> dict[str, Any]:
             d["max"] = c.max
         if c.shape:
             d["shape"] = c.shape
+        if c.inverse:
+            d["inverse"] = True
+        if c.path is not None:
+            d["path"] = c.path
         return d
     if isinstance(c, UniqueConstraint):
         return {"name": c.name, "constraint": "unique", "column": c.column}

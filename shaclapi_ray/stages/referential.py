@@ -232,6 +232,25 @@ def plain_link_counts(links_ds, agg_mode: str = "auto"):
     return _url_counts(links_ds.select_columns(["url"]), agg_mode)
 
 
+def swap_links(links_ds):
+    """(url, target_url) -> roles swapped: url=the link TARGET,
+    target_url=the link SOURCE.
+
+    Inverse (inbound) cardinality constraints — ``sh:inversePath``, the
+    reference's tc4/tc6 usage — reuse the outgoing-count machinery
+    verbatim after this swap: ``qualified_counts`` then semi-joins on the
+    SOURCE url's child-validity and ``_url_counts`` groups by the TARGET
+    url, i.e. the hash-partitioned groupby(target_url) the inbound check
+    needs. Popular link targets (hot keys) are handled by the per-batch
+    pre-aggregation inside ``_url_counts``; the semi-join key (source
+    url) is near-uniform."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["target_url"], "target_url": t["url"]})
+
+    return links_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _stable_hash_array(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic 64-bit hash of a string column (polars' vectorized
     xxhash via stages/hashset.py, process-stable for a fixed seed) — used
