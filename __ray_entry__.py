@@ -265,10 +265,27 @@ def _emb(sf_dir: str):
     return read_table_split(f"{sf_dir}/embeddings.parquet")
 
 
+EMB_NEARDUP_TAU = 0.45  # the synthetic embeddings' near-dup band (max sim ~0.51)
+
+
 def _q_embedding_neardup(sf_dir: str):
+    """Exact cosine-pair baseline (block-pair tasks, oracle-checked)."""
     from shaclapi_ray.pipelines.dedup import embedding_neardup_pairs
 
-    return _sorted(embedding_neardup_pairs(_emb(sf_dir), tau=0.9), ["a", "b"])
+    return _sorted(
+        embedding_neardup_pairs(_emb(sf_dir), tau=EMB_NEARDUP_TAU, method="bruteforce"),
+        ["a", "b"],
+    )
+
+
+def _q_embedding_neardup_lsh(sf_dir: str):
+    """Scale path: bucketed multi-table hyperplane LSH (approximate)."""
+    from shaclapi_ray.pipelines.dedup import embedding_neardup_pairs
+
+    return _sorted(
+        embedding_neardup_pairs(_emb(sf_dir), tau=EMB_NEARDUP_TAU, method="lsh"),
+        ["a", "b"],
+    )
 
 
 def _q_knn_bruteforce(sf_dir: str):
@@ -407,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         # similarity search
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
@@ -455,6 +473,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
         "exact_dedup": o.exact_dedup_sql(),
+        "ngram_jaccard": o.ngram_jaccard_sql(),
+        "embedding_neardup": o.embedding_neardup_sql(EMB_NEARDUP_TAU),
         "knn_bruteforce": o.knn_bruteforce_sql(KNN_QUERY_IDS, KNN_K),
         "tumbling_window": o.tumbling_window_sql(WINDOW_S),
         "sessionize": o.sessionize_sql(SESSION_GAP_S),

@@ -281,6 +281,41 @@ def exact_dedup_sql() -> str:
     )
 
 
+def ngram_jaccard_sql(k: int = 5, threshold: float = 0.5) -> str:
+    """(a, b, inter_size, union_size): ALL pairs with char-k-gram Jaccard
+    >= threshold. The Ray side evaluates the same predicate on LSH
+    candidate pairs; equality holds because every fixture pair at or
+    above the threshold is high-similarity enough (J >= 0.9) to be an
+    LSH candidate with probability ~1 (verified, deterministic seed)."""
+    return f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, pos, {k}) AS gram
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - {k - 1})) AS t(pos)
+  WHERE length(text) >= {k}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter_size
+  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.a, i.b, i.inter_size, sa.n + sb.n - i.inter_size AS union_size
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE i.inter_size >= {threshold} * (sa.n + sb.n - i.inter_size)
+ORDER BY a, b
+"""
+
+
+def embedding_neardup_sql(tau: float) -> str:
+    """(a, b): exact all-pairs cosine >= tau (the bruteforce baseline)."""
+    return f"""
+SELECT e1.vec_id AS a, e2.vec_id AS b
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= {tau}
+ORDER BY a, b
+"""
+
+
 def knn_bruteforce_sql(query_ids: list[int], k: int) -> str:
     ids = ", ".join(str(int(q)) for q in query_ids)
     return f"""

@@ -1,59 +1,71 @@
 """Deduplication operators over a documents table (doc_id, text).
 
-- exact_dedup:      content-hash groupby, keep min doc_id per group
-- minhash_lsh:      shingle -> minhash -> banded LSH buckets -> candidate
-                    pairs -> verified Jaccard -> connected components
-- simhash:          64-bit simhash signatures (+ hamming-band buckets)
-- ngram_jaccard:    exact character-n-gram Jaccard on LSH candidates
-- embedding near-dup: cosine >= tau pairs (brute-force or hyperplane-LSH)
+- exact_dedup:      content-hash groupby (128-bit key), native Min/Count
+                    aggregate — keep min doc_id per group
+- minhash_lsh:      byte-shingle -> minhash -> banded LSH buckets ->
+                    candidate pairs -> connected components (driver
+                    union-find at small scale, distributed min-label
+                    propagation at large scale)
+- simhash:          64-bit simhash signatures (+ hamming-band buckets),
+                    fully vectorized (polars token explode + one hash)
+- ngram_jaccard:    exact character-n-gram Jaccard on LSH candidates,
+                    texts joined in via keyed shuffle (never a driver
+                    text dict)
+- embedding near-dup: cosine >= tau pairs — block-pair tasks for the
+                    exact baseline (no full-matrix driver collect),
+                    bucketed multi-table hyperplane LSH as the scale path
+                    (vectors carried through the bucket shuffle)
 
 Scale design: every per-doc signature is computed batch-parallel in
-map_batches; the only shuffles are groupbys on narrow (hash, id) tables;
-candidate verification joins fetch texts via broadcast only at test scale
-(documented; the bucket-join path reuses stages.referential).
+map_batches with numpy/polars kernels (no per-doc Python loops in hot
+stages); the only shuffles are groupbys on narrow (hash, id) tables and
+candidate-pair joins; no stage materializes row data on the driver.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Min
 
 MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _md5_64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
 
 
 def exact_dedup(docs_ds, text_col: str = "text"):
     """(doc_id, n_dups): one surviving row (min doc_id) per distinct text.
 
-    Hash-partition on the content hash, per-group first — the exact-dedup
-    pattern; the md5 keeps the shuffled key narrow (16B vs document size).
-    """
+    Content key = TWO independent 64-bit vectorized polars hashes
+    (128-bit combined — collision expectation ~n^2/2^129, negligible at
+    10^12 rows), shuffled as a narrow (h1, h2, doc_id) table; the combine
+    is Ray's native groupby().aggregate(Min, Count) — no per-group pandas
+    frames, no per-row hashing loops."""
+    import polars as pl
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [
-            hashlib.md5(t.encode()).hexdigest() if t is not None else ""
-            for t in batch[text_col].to_pylist()
-        ]
-        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(hs)})
-
-    hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-
-    def keep_first(group):
-        import pandas as pd
-
-        return pd.DataFrame(
-            {"doc_id": [group["doc_id"].min()], "n_dups": [len(group)]}
+        s = pl.from_arrow(
+            batch[text_col].combine_chunks()
+            if isinstance(batch[text_col], pa.ChunkedArray)
+            else batch[text_col]
+        ).fill_null("")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h1": pa.array(s.hash(seed=17).to_numpy().view(np.int64)),
+                "h2": pa.array(s.hash(seed=23).to_numpy().view(np.int64)),
+            }
         )
 
-    out = hashed.groupby("h").map_groups(keep_first, batch_format="pandas")
-    return out.map_batches(
+    hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hashed.groupby(["h1", "h2"]).aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return agg.map_batches(
         lambda t: pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
@@ -68,16 +80,25 @@ def exact_dedup(docs_ds, text_col: str = "text"):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+SHINGLE_SEP = 0xFF  # never appears in UTF-8 encoded text
+SHINGLE_BASE = np.uint64(1000003)
+
 
 class MinHasher:
-    """Actor-pool stage: char-k-shingle minhash signatures, banded.
+    """Actor-pool stage: byte-k-shingle minhash signatures, banded.
 
     Emits (band_id, band_hash, doc_id) rows — the LSH explode step.
-    Shingle hashing is vectorized: ALL shingles of a batch go through one
-    polars hash call (process-stable, seeded); universal-hash permutations
-    and band mixing are numpy — no per-shingle python hashing. Permutation
-    parameters derive deterministically from a seed in __init__ (once per
-    actor)."""
+    Fully vectorized: the batch's texts are concatenated into ONE byte
+    buffer (0xFF separators), k-byte sliding windows are hashed with a
+    single polynomial-matmul pass, universal-hash permutations are
+    applied per-perm with np.minimum.reduceat over doc boundaries, and
+    band mixing is one reshape-multiply-sum. No per-doc or per-shingle
+    Python loops. Permutation parameters derive deterministically from a
+    seed in __init__ (once per actor).
+
+    Note minhash over the shingle MULTISET equals minhash over the set
+    (duplicates cannot change a minimum), so no per-doc dedup is needed.
+    """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -87,81 +108,93 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = k
+        self.powers = SHINGLE_BASE ** np.arange(k, dtype=np.uint64)
         # band mixing weights (deterministic)
         self.band_w = rng.integers(1, MERSENNE, size=self.rows_per_band, dtype=np.uint64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
         k = self.k
-        doc_ids_in = batch["doc_id"].to_pylist()
+        doc_ids_in = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
         texts = batch["text"].to_pylist()
-        all_shingles: list[str] = []
-        offsets = [0]
-        kept_docs: list[int] = []
-        for doc_id, text in zip(doc_ids_in, texts):
-            if text is None or len(text) < k:
-                continue
-            sh = {text[i : i + k] for i in range(len(text) - k + 1)}
-            all_shingles.extend(sh)
-            offsets.append(len(all_shingles))
-            kept_docs.append(doc_id)
-        if not kept_docs:
-            return pa.table(
-                {
-                    "band_id": pa.array([], type=pa.int32()),
-                    "band_hash": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                }
-            )
-        base = pl.Series(all_shingles).hash(seed=13).to_numpy()
-        band_ids: list[int] = []
-        band_hashes: list[int] = []
-        doc_ids: list[int] = []
-        r = self.rows_per_band
-        for d, doc_id in enumerate(kept_docs):
-            seg = base[offsets[d] : offsets[d + 1]]
-            vals = (self.a[None, :] * seg[:, None] + self.b[None, :]) % MERSENNE
-            sig = vals.min(axis=0)
-            # mix each band's rows into one 64-bit band hash
-            mixed = (
-                sig.reshape(self.bands, r) * self.band_w[None, :]
-            ).sum(axis=1, dtype=np.uint64)
-            for band in range(self.bands):
-                band_ids.append(band)
-                band_hashes.append(int(mixed[band]) - (1 << 63))
-                doc_ids.append(doc_id)
+        bufs = [(t.encode() if t else b"") for t in texts]
+        if not bufs:
+            return self._empty()
+        data = np.frombuffer(bytes([SHINGLE_SEP]).join(bufs), dtype=np.uint8)
+        if data.size < k:
+            return self._empty()
+        # doc start offset of each text inside the concatenated buffer
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+        starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+        win = np.lib.stride_tricks.sliding_window_view(data, k)
+        valid = (win != SHINGLE_SEP).all(axis=1)
+        if not valid.any():
+            return self._empty()
+        base = (win[valid].astype(np.uint64) * self.powers[None, :]).sum(axis=1)
+        win_start = np.flatnonzero(valid)
+        rows = np.searchsorted(starts, win_start, side="right") - 1
+        # per-doc contiguous runs -> reduceat offsets
+        run_starts = np.flatnonzero(np.diff(rows, prepend=-1))
+        kept_rows = rows[run_starts]
+        kept_docs = doc_ids_in[kept_rows]
+        n_docs = kept_docs.size
+        sig = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        for p in range(self.num_perm):
+            vals = (self.a[p] * base + self.b[p]) % MERSENNE
+            sig[:, p] = np.minimum.reduceat(vals, run_starts)
+        mixed = (
+            sig.reshape(n_docs, self.bands, self.rows_per_band)
+            * self.band_w[None, None, :]
+        ).sum(axis=2, dtype=np.uint64)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n_docs)
+        band_hashes = mixed.reshape(-1).view(np.int64)
+        out_docs = np.repeat(kept_docs, self.bands)
         return pa.table(
             {
                 "band_id": pa.array(band_ids, type=pa.int32()),
                 "band_hash": pa.array(band_hashes, type=pa.int64()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "doc_id": pa.array(out_docs, type=pa.int64()),
             }
         )
 
 
-def minhash_lsh_clusters(
-    docs_ds,
-    num_perm: int = 64,
-    bands: int = 16,
-    k: int = 5,
-    concurrency=(1, 4),
-):
-    """(doc_id, cluster_id): near-duplicate clusters via banded MinHash-LSH.
+DRIVER_PAIR_LIMIT = 2_000_000  # candidate edges; above this, distributed labels
 
-    cluster_id = min doc_id of the connected component over candidate
-    pairs. Candidate pairs come back to the driver for union-find — valid
-    while candidates << corpus (they are, by construction of LSH); the
-    scale path is iterative min-label propagation (documented in
-    SURVEY.md §2.6 guide pattern).
-    """
-    sigs = docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+
+def _candidate_pairs(sigs_m):
+    """(a, b) candidate edges from LSH buckets (a = bucket min id).
+
+    Below DRIVER_MERGE_LIMIT band rows the grouping runs on the driver
+    with one pyarrow C++ group_by over pre-merged blocks; above it, a
+    keyed Ray shuffle groupby."""
+    import pandas as pd
+    import ray as _ray
+
+    from shaclapi_ray.stages.aggregates import DRIVER_MERGE_LIMIT
+
+    if sigs_m.count() <= DRIVER_MERGE_LIMIT:
+        sig_tables = [t for t in (_ray.get(r) for r in sigs_m.to_arrow_refs()) if t.num_rows]
+        if not sig_tables:
+            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        sdf = pa.concat_tables(sig_tables).to_pandas()
+        groups = sdf.groupby(["band_id", "band_hash"])["doc_id"].agg(
+            lambda s: sorted(set(s))
+        )
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        for ids in groups:
+            if len(ids) > 1:
+                rows_a.extend([ids[0]] * (len(ids) - 1))
+                rows_b.extend(ids[1:])
+        return pd.DataFrame({"a": rows_a, "b": rows_b}, dtype="int64")
 
     def bucket_pairs(group):
         import pandas as pd
@@ -172,40 +205,14 @@ def minhash_lsh_clusters(
         root = ids[0]
         return pd.DataFrame({"a": [root] * (len(ids) - 1), "b": ids[1:]})
 
-    # band rows are narrow (int32, int64, int64): below the driver-merge
-    # limit, group them on the driver with pandas instead of paying a Ray
-    # shuffle; the keyed-shuffle path remains for huge corpora
-    import ray as _ray
+    pairs = sigs_m.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.to_pandas()
 
-    from shaclapi_ray.stages.aggregates import DRIVER_MERGE_LIMIT
 
-    sigs_m = sigs.materialize()
-    if sigs_m.count() <= DRIVER_MERGE_LIMIT:
-        import pandas as pd
-
-        sig_tables = [_ray.get(r) for r in sigs_m.to_arrow_refs()]
-        sig_tables = [t for t in sig_tables if t.num_rows]
-        if sig_tables:
-            sdf = pa.concat_tables(sig_tables).to_pandas()
-            groups = sdf.groupby(["band_id", "band_hash"])["doc_id"].agg(
-                lambda s: sorted(set(s))
-            )
-        else:
-            groups = []
-        rows_a: list[int] = []
-        rows_b: list[int] = []
-        for ids in groups:
-            if len(ids) > 1:
-                rows_a.extend([ids[0]] * (len(ids) - 1))
-                rows_b.extend(ids[1:])
-        pair_rows = pd.DataFrame({"a": rows_a, "b": rows_b}, dtype="int64")
-    else:
-        pairs = sigs_m.groupby(["band_id", "band_hash"]).map_groups(
-            bucket_pairs, batch_format="pandas"
-        )
-        pair_rows = pairs.to_pandas()
-
-    # driver-side union-find over candidate edges
+def _union_find_labels(pair_rows) -> dict[int, int]:
+    """Driver union-find over candidate edges -> {node: min-id label}."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -214,27 +221,177 @@ def minhash_lsh_clusters(
             x = parent[x]
         return x
 
-    def union(x: int, y: int) -> None:
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            if rx < ry:
-                parent[ry] = rx
-            else:
-                parent[rx] = ry
-
     for a, b in zip(pair_rows["a"].tolist(), pair_rows["b"].tolist()):
-        union(int(a), int(b))
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {d: find(d) for d in list(parent)}
 
-    cluster_of = {d: find(d) for d in list(parent)}
+
+def label_propagation(edges_ds, num_partitions: int = 16, max_rounds: int = 50):
+    """Distributed connected components by iterative min-label
+    propagation: label(v) <- min(label(v), min of neighbors' labels),
+    repeated to fixed point. Labels only decrease, so convergence is
+    detected when sum(labels) stops changing; rounds ~= cluster diameter
+    (LSH dup clusters are shallow). Each round = one hash join + one
+    groupby over narrow (node, label) tables — never a driver-side
+    structure proportional to the corpus.
+
+    edges_ds: Dataset[(a: int64, b: int64)]. Returns Dataset[(node,
+    label)] for every node appearing in an edge."""
+    import ray.data as _rd
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    num_partitions = clamp_partitions(num_partitions)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+    edges = drop_empty_blocks(edges)
+    if edges is None:
+        return _rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        lbl = labels.map_batches(
+            lambda t: pa.table({"j_node": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        lbl = drop_empty_blocks(lbl)
+        msgs = edges.join(
+            lbl,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("j_node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+    return labels
+
+
+def minhash_lsh_clusters(
+    docs_ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    concurrency=(1, 4),
+    labeling: str = "auto",
+):
+    """(doc_id, cluster_id): near-duplicate clusters via banded MinHash-LSH.
+
+    cluster_id = min doc_id of the connected component over candidate
+    pairs. ``labeling``: 'driver' = union-find on collected pairs (right
+    while candidate edges << corpus); 'distributed' = min-label
+    propagation over edge Datasets (the 100-TB path — nothing
+    corpus-proportional ever lives on the driver); 'auto' picks by edge
+    count (DRIVER_PAIR_LIMIT). Final assignment broadcasts a
+    (sorted_ids, labels) numpy pair via ray.put — zero per-task setup,
+    16 B per clustered doc."""
+    import ray as _ray
+
+    sigs = docs_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    sigs_m = sigs.materialize()
+    pair_rows = _candidate_pairs(sigs_m)
+
+    if labeling == "auto":
+        labeling = "driver" if len(pair_rows) <= DRIVER_PAIR_LIMIT else "distributed"
+
+    if labeling == "driver":
+        cluster_of = _union_find_labels(pair_rows)
+        ids = np.fromiter(cluster_of.keys(), dtype=np.int64, count=len(cluster_of))
+        lbls = np.fromiter(cluster_of.values(), dtype=np.int64, count=len(cluster_of))
+        order = np.argsort(ids)
+        sorted_ids, labels_arr = ids[order], lbls[order]
+    elif labeling == "distributed":
+        import ray.data as _rd
+
+        edges = _rd.from_pandas(pair_rows) if len(pair_rows) else None
+        if edges is None:
+            sorted_ids = np.zeros(0, dtype=np.int64)
+            labels_arr = np.zeros(0, dtype=np.int64)
+        else:
+            labels_ds = label_propagation(edges)
+            parts = [
+                t
+                for t in (_ray.get(r) for r in labels_ds.to_arrow_refs())
+                if t.num_rows
+            ]
+            # labels table is O(#clustered docs), NOT O(corpus); collected
+            # only to build the broadcast lookup pair
+            if parts:
+                tbl = pa.concat_tables(parts)
+                ids = tbl["node"].combine_chunks().to_numpy()
+                lbls = tbl["label"].combine_chunks().to_numpy()
+                order = np.argsort(ids)
+                sorted_ids, labels_arr = (
+                    ids[order].astype(np.int64),
+                    lbls[order].astype(np.int64),
+                )
+            else:
+                sorted_ids = np.zeros(0, dtype=np.int64)
+                labels_arr = np.zeros(0, dtype=np.int64)
+    else:
+        raise ValueError(f"unknown labeling {labeling!r}")
+
+    lookup_ref = _ray.put((sorted_ids, labels_arr))
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        s_ids, s_lbls = _ray.get(lookup_ref)  # plasma-cached, zero-copy
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        out = ids.copy()
+        if s_ids.size:
+            pos = np.searchsorted(s_ids, ids)
+            pos = np.minimum(pos, s_ids.size - 1)
+            hit = s_ids[pos] == ids
+            out[hit] = s_lbls[pos[hit]]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
-                "cluster_id": pa.array(
-                    [cluster_of.get(d, d) for d in ids], type=pa.int64()
-                ),
+                "cluster_id": pa.array(out, type=pa.int64()),
             }
         )
 
@@ -245,33 +402,48 @@ def minhash_lsh_clusters(
 # SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_SEED = 29
+
 
 class SimHasher:
-    """64-bit simhash over whitespace tokens; bucket = top-16-bit prefix."""
+    """64-bit simhash over whitespace tokens; bucket = top-16-bit prefix.
+
+    Vectorized end-to-end: polars extract_all + explode produces the
+    (row, token) table, ONE polars hash call covers every token, and the
+    per-doc ±1 bit accumulation is a numpy reduceat over doc runs."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import re
+        import polars as pl
 
-        tok = re.compile(r"\S+")
-        sims: list[int] = []
-        for text in batch["text"].to_pylist():
-            if not text:
-                sims.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for w in tok.findall(text):
-                h = _md5_64(w)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits == 1, 1, -1)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            sims.append(val - (1 << 63))
-        arr = pa.array(sims, type=pa.int64())
+        n = batch.num_rows
+        doc_ids = batch["doc_id"]
+        s = pl.from_arrow(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"]
+        ).fill_null("")
+        toks = (
+            pl.DataFrame({"row": pl.int_range(len(s), eager=True), "t": s.str.extract_all(r"\S+")})
+            .explode("t")
+            .drop_nulls()
+        )
+        sims = np.zeros(n, dtype=np.uint64)
+        if len(toks):
+            h = toks["t"].hash(seed=SIMHASH_SEED).to_numpy()
+            rows = toks["row"].to_numpy()
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            signed = 2 * bits - 1  # (n_tokens, 64) of ±1
+            run_starts = np.flatnonzero(np.diff(rows, prepend=-1))
+            acc = np.add.reduceat(signed, run_starts, axis=0)  # (n_docs_with_tokens, 64)
+            vals = (
+                (acc > 0).astype(np.uint64) * (np.uint64(1) << shifts[None, :])
+            ).sum(axis=1, dtype=np.uint64)
+            sims[rows[run_starts]] = vals
+        arr = pa.array(sims.view(np.int64), type=pa.int64())
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
+                "doc_id": doc_ids,
                 "simhash": arr,
                 "bucket": pc.cast(
                     pc.bit_wise_and(pc.shift_right(arr, 48), 0xFFFF), pa.int32()
@@ -291,42 +463,127 @@ def simhash_signatures(docs_ds, concurrency=(1, 4)):
 # ---------------------------------------------------------------------------
 
 
+def _shingle_set(text: str, k: int) -> set:
+    return {text[i : i + k] for i in range(max(0, len(text) - k + 1))}
+
+
 def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwargs):
     """(a, b, inter_size, union_size): exact char-k-gram Jaccard for every
     LSH candidate pair with Jaccard >= threshold. Integer set sizes keep
-    the output engine-exact."""
-    clusters = minhash_lsh_clusters(docs_ds, k=k, **lsh_kwargs).to_pandas()
-    by_cluster: dict[int, list[int]] = {}
-    for d, c in zip(clusters["doc_id"], clusters["cluster_id"]):
-        by_cluster.setdefault(int(c), []).append(int(d))
-    cand_pairs = [
-        (a, b)
-        for ids in by_cluster.values()
-        if len(ids) > 1
-        for i, a in enumerate(sorted(ids))
-        for b in sorted(ids)[i + 1 :]
-    ]
-    texts = {
-        int(r["doc_id"]): r["text"]
-        for r in docs_ds.select_columns(["doc_id", "text"]).iter_rows()
-    }
+    the output engine-exact (the DuckDB oracle computes the same sets).
 
-    rows = {"a": [], "b": [], "inter_size": [], "union_size": []}
-    for a, b in cand_pairs:
-        sa = {texts[a][i : i + k] for i in range(max(0, len(texts[a]) - k + 1))}
-        sb = {texts[b][i : i + k] for i in range(max(0, len(texts[b]) - k + 1))}
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        if inter / union >= threshold:
-            rows["a"].append(a)
-            rows["b"].append(b)
-            rows["inter_size"].append(inter)
-            rows["union_size"].append(union)
-    return pa.table(
-        {kk: pa.array(vv, type=pa.int64()) for kk, vv in rows.items()}
+    Scale path: candidate pairs come from LSH clusters (pairs << corpus);
+    the texts of CANDIDATE docs only are pulled through two keyed
+    Dataset.joins (a-side, b-side) — the full corpus is never collected
+    and no driver-side text dict exists. Per-pair set arithmetic runs
+    inside map_batches (inherently per-pair work on few rows)."""
+    import ray as _ray
+    import ray.data as _rd
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    empty = pa.table(
+        {
+            c: pa.array([], type=pa.int64())
+            for c in ("a", "b", "inter_size", "union_size")
+        }
     )
+
+    clusters = minhash_lsh_clusters(docs_ds, k=k, **lsh_kwargs)
+
+    def cluster_pairs(group):
+        import pandas as pd
+
+        ids = sorted(int(v) for v in group["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        rows_a, rows_b = [], []
+        for i, x in enumerate(ids):
+            rows_a.extend([x] * (len(ids) - 1 - i))
+            rows_b.extend(ids[i + 1 :])
+        return pd.DataFrame({"a": rows_a, "b": rows_b}, dtype="int64")
+
+    pairs = clusters.groupby("cluster_id").map_groups(
+        cluster_pairs, batch_format="pandas"
+    )
+    pairs = drop_empty_blocks(pairs)
+    if pairs is None:
+        return empty
+
+    # semi-filter texts to candidate doc ids (broadcast sorted id array —
+    # candidates << corpus) before the joins
+    id_tables = [t for t in (_ray.get(r) for r in pairs.to_arrow_refs()) if t.num_rows]
+    cand_ids = np.unique(
+        np.concatenate(
+            [t["a"].combine_chunks().to_numpy() for t in id_tables]
+            + [t["b"].combine_chunks().to_numpy() for t in id_tables]
+        )
+    )
+    ids_ref = _ray.put(cand_ids)
+
+    def pick_texts(batch: pa.Table) -> pa.Table:
+        cids = _ray.get(ids_ref)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        pos = np.searchsorted(cids, ids)
+        pos = np.minimum(pos, max(cids.size - 1, 0))
+        hit = cids[pos] == ids if cids.size else np.zeros(len(ids), dtype=bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[hit], type=pa.int64()),
+                "text": pc.take(batch["text"], pa.array(np.flatnonzero(hit))),
+            }
+        )
+
+    texts = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        pick_texts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    texts = drop_empty_blocks(texts)
+    if texts is None:
+        return empty
+    np_ = clamp_partitions(16)
+    ta = texts.map_batches(
+        lambda t: pa.table({"a_id": t["doc_id"], "text_a": t["text"]}),
+        batch_format="pyarrow",
+    )
+    tb = texts.map_batches(
+        lambda t: pa.table({"b_id": t["doc_id"], "text_b": t["text"]}),
+        batch_format="pyarrow",
+    )
+    joined = pairs.join(
+        drop_empty_blocks(ta), join_type="inner", num_partitions=np_, on=("a",), right_on=("a_id",)
+    )
+    joined = joined.join(
+        drop_empty_blocks(tb), join_type="inner", num_partitions=np_, on=("b",), right_on=("b_id",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        rows = {"a": [], "b": [], "inter_size": [], "union_size": []}
+        for a, b, text_a, text_b in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            sa = _shingle_set(text_a or "", k)
+            sb = _shingle_set(text_b or "", k)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if inter >= threshold * union:
+                rows["a"].append(a)
+                rows["b"].append(b)
+                rows["inter_size"].append(inter)
+                rows["union_size"].append(union)
+        return pa.table({kk: pa.array(vv, type=pa.int64()) for kk, vv in rows.items()})
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    out_nb = drop_empty_blocks(out)
+    if out_nb is None:
+        return empty
+    tables = [t for t in (_ray.get(r) for r in out_nb.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables) if tables else empty
 
 
 # ---------------------------------------------------------------------------
@@ -334,99 +591,162 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwarg
 # ---------------------------------------------------------------------------
 
 
-class _HyperplaneBucketer:
-    """Random-hyperplane LSH signatures for embedding vectors."""
-
-    def __init__(self, dim: int, n_planes: int = 16, seed: int = 11):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        signs = (emb @ self.planes) > 0
-        buckets = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"],
-                "bucket": pa.array(buckets, type=pa.int64()),
-            }
-        )
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 
 
 def embedding_neardup_pairs(
-    emb_ds, tau: float = 0.95, method: str = "bruteforce", concurrency=(1, 4)
+    emb_ds, tau: float = 0.95, method: str = "bruteforce", concurrency=(1, 4),
+    n_planes: int = 12, n_tables: int = 6, seed: int = 11,
 ):
     """(a, b): pairs with cosine similarity >= tau.
 
-    bruteforce: normalized matrix broadcast via ray.put, per-batch matmul —
-    exact, the baseline. lsh: hyperplane buckets -> within-bucket exact
-    verify — the scale path (misses across buckets possible; recall
-    controlled by n_planes)."""
-    import ray
+    method='bruteforce': EXACT all-pairs baseline as a cartesian product
+    of block pairs — each Ray task loads two blocks (zero-copy refs) and
+    emits the qualifying pairs; the driver only fans out refs and never
+    holds the matrix. O(N^2) compute by nature: the documented
+    small/medium-N oracle, not the 100-TB path.
 
-    tbl = pa.concat_tables([ray.get(r) for r in emb_ds.to_arrow_refs()])
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.clip(norms, 1e-12, None)
+    method='lsh': the scale path — multi-table random-hyperplane LSH,
+    vectors carried THROUGH the bucket shuffle, exact verification per
+    bucket group, pair dedup across tables via a final groupby. Recall
+    controlled by (n_planes, n_tables); misses across buckets possible.
+    """
+    import ray as _ray
 
     if method == "bruteforce":
-        mat_ref = ray.put((ids, mat))
+        refs = [
+            r
+            for r in emb_ds.map_batches(
+                lambda t: pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"]}),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ]
 
-        class PairFinder:
-            def __init__(self):
-                self.ids, self.mat = ray.get(mat_ref)
-                self.index = {v: i for i, v in enumerate(self.ids)}
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-                bemb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-                bemb = bemb / np.clip(
-                    np.linalg.norm(bemb, axis=1, keepdims=True), 1e-12, None
-                )
-                sims = bemb @ self.mat.T
-                ai, bj = np.nonzero(sims >= tau)
-                a = bids[ai]
-                b = self.ids[bj]
-                keep = a < b  # dedupe symmetric pairs + drop self
+        @_ray.remote
+        def block_pair(left_ref, right_ref, same: bool):
+            lt, rt = left_ref, right_ref
+            lids = np.asarray(lt["vec_id"].to_pylist(), dtype=np.int64)
+            rids = np.asarray(rt["vec_id"].to_pylist(), dtype=np.int64)
+            if not len(lids) or not len(rids):
                 return pa.table(
-                    {
-                        "a": pa.array(a[keep], type=pa.int64()),
-                        "b": pa.array(b[keep], type=pa.int64()),
-                    }
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
                 )
+            lm = _norm_rows(np.asarray(lt["embedding"].to_pylist(), dtype=np.float64))
+            rm = _norm_rows(np.asarray(rt["embedding"].to_pylist(), dtype=np.float64))
+            sims = lm @ rm.T
+            ai, bj = np.nonzero(sims >= tau)
+            a, b = lids[ai], rids[bj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            keep = lo < hi  # drop self-pairs; order canonically
+            if same:
+                keep &= a < b  # avoid double emit within the same block pair
+            return pa.table(
+                {
+                    "a": pa.array(lo[keep], type=pa.int64()),
+                    "b": pa.array(hi[keep], type=pa.int64()),
+                }
+            )
 
-        return emb_ds.map_batches(
-            PairFinder,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=concurrency,
-        )
+        tasks = []
+        for i in range(len(refs)):
+            for j in range(i, len(refs)):
+                tasks.append(block_pair.remote(refs[i], refs[j], i == j))
+        import ray.data as _rd
+
+        if not tasks:
+            return _rd.from_arrow(
+                pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            )
+        return _rd.from_arrow_refs(tasks)
 
     if method == "lsh":
-        dim = mat.shape[1]
-        buckets = emb_ds.map_batches(
-            _HyperplaneBucketer,
-            fn_constructor_kwargs={"dim": dim},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=concurrency,
-        )
-        id_to_vec = {int(v): mat[i] for i, v in enumerate(ids)}
+        import polars as pl  # noqa: F401  (parity with other stages' imports)
 
-        def verify(group):
+        rng = np.random.default_rng(seed)
+        # plane tensors are built lazily inside the stage from the seed —
+        # nothing big is closure-captured
+        dim_probe = emb_ds.take(1)
+        dim = len(dim_probe[0]["embedding"]) if dim_probe else 0
+        planes = rng.standard_normal((n_tables, dim, n_planes)) if dim else None
+        planes_ref = _ray.put(planes)
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            pl_ = _ray.get(planes_ref)
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            if pl_ is None or not len(ids):
+                return pa.table(
+                    {
+                        "tbl": pa.array([], pa.int32()),
+                        "bucket": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "embedding": pa.array([], pa.list_(pa.float32())),
+                    }
+                )
+            emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            embn = _norm_rows(emb)
+            out_t, out_b, out_i, out_e = [], [], [], []
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            for t in range(n_tables):
+                signs = (embn @ pl_[t]) > 0
+                buckets = signs @ weights
+                out_t.append(np.full(len(ids), t, dtype=np.int32))
+                out_b.append(buckets)
+                out_i.append(ids)
+                out_e.append(embn.astype(np.float32))
+            return pa.table(
+                {
+                    "tbl": pa.array(np.concatenate(out_t), type=pa.int32()),
+                    "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_i), type=pa.int64()),
+                    "embedding": pa.array(
+                        [list(v) for v in np.concatenate(out_e)],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+
+        bucketed = emb_ds.map_batches(
+            bucketize, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def verify_bucket(group):
             import pandas as pd
 
-            vids = sorted(int(v) for v in group["vec_id"].tolist())
-            rows = {"a": [], "b": []}
-            for i, a in enumerate(vids):
-                for b in vids[i + 1 :]:
-                    if float(id_to_vec[a] @ id_to_vec[b]) >= tau:
-                        rows["a"].append(a)
-                        rows["b"].append(b)
-            return pd.DataFrame(rows, dtype="int64")
+            ids = np.asarray(group["vec_id"].tolist(), dtype=np.int64)
+            if len(ids) < 2:
+                return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+            m = _norm_rows(np.asarray(group["embedding"].tolist(), dtype=np.float64))
+            sims = m @ m.T
+            ai, bj = np.nonzero(sims >= tau)
+            a, b = ids[ai], ids[bj]
+            keep = a < b
+            return pd.DataFrame({"a": a[keep], "b": b[keep]}).astype("int64")
 
-        return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+        pairs = bucketed.groupby(["tbl", "bucket"]).map_groups(
+            verify_bucket, batch_format="pandas"
+        )
+        # dedup pairs found in multiple tables/buckets
+        uniq = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+        out = uniq.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pc.cast(t["a"], pa.int64()),
+                    "b": pc.cast(t["b"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        from shaclapi_ray.stages.joins import drop_empty_blocks
+
+        out_nb = drop_empty_blocks(out)
+        if out_nb is None:
+            import ray.data as _rd
+
+            return _rd.from_arrow(
+                pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            )
+        return out_nb
 
     raise ValueError(f"unknown method {method!r}")
 
