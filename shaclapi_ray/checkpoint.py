@@ -52,6 +52,34 @@ from shaclapi_ray.stages.links import extract_links
 from shaclapi_ray.stages.predicates import ColumnShapeEvaluator
 from shaclapi_ray.state.sketches import HyperLogLog, TDigest
 
+def _stabilize_fsspec_http() -> None:
+    """Make ``import fsspec.implementations.http`` deterministic under
+    threads. aiohttp is absent in this environment, so the import fails —
+    Ray retries it on EVERY path resolution and catches the
+    ModuleNotFoundError, but two threads resolving paths concurrently can
+    observe each other's half-torn-down module and get a plain
+    ImportError Ray does NOT catch. Registering a placeholder module
+    (HTTPFileSystem that nothing is ever an instance of) makes every
+    subsequent import succeed instantly; the engine never reads over
+    HTTP, so Ray's isinstance check correctly stays False."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder for isinstance checks only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_stabilize_fsspec_http()
+
+
 LINEAGE_SCHEMA = pa.schema(
     [
         ("partition_id", pa.string()),
@@ -99,17 +127,39 @@ class CheckpointedValidation:
         os.replace(tmp, path)
 
     # -- phase 1: per-partition column validation + links + sketches ---------
-    def run_phase1(self, pages_dir: str, stop_after: int | None = None) -> bool:
+    def run_phase1(
+        self, pages_dir: str, stop_after: int | None = None, max_parallel: int = 2
+    ) -> bool:
         """Process input partitions not yet in the manifest. Returns True
         when all partitions are complete. ``stop_after`` processes at most
-        that many partitions this call (the kill-mid-run test hook)."""
+        that many partitions this call (the kill-mid-run test hook).
+
+        ``max_parallel`` partitions run CONCURRENTLY (driver threads, each
+        owning its own Dataset pipelines — the per-partition commit is the
+        resume unit, so K in flight changes throughput, not semantics).
+        Each partition's pipelines already fan out over the whole cluster,
+        so K is a PIPELINING knob (overlap storage reads, writes and
+        driver-side merges), not the parallelism source; K=2 measures best
+        on one node, larger K pays off when cluster CPUs far exceed one
+        partition's block count. Each partition's columns are read from
+        storage ONCE; events, links and sketch partials all derive from
+        the same materialized blocks (the sketch pass is fused — partials
+        computed data-parallel inside map_batches, merged per partition on
+        the driver)."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         from shaclapi_ray.pagegen import pages_parquet_paths
+        from shaclapi_ray.shapes.ir import DriftConstraint
 
         files = pages_parquet_paths(pages_dir)
         m = self.manifest()
         done = set(m["completed"])
-        processed = 0
-        from shaclapi_ray.shapes.ir import DriftConstraint
+        todo = [(i, f) for i, f in enumerate(files) if f"p{i:05d}" not in done]
+        if stop_after is not None:
+            todo = todo[:stop_after]
+        if not todo:
+            return len(done) == len(files)
 
         evaluator = ColumnShapeEvaluator(
             [
@@ -118,12 +168,28 @@ class CheckpointedValidation:
                 if not any(isinstance(c, DriftConstraint) for c in s.constraints)
             ]
         )
-        for i, f in enumerate(files):
+        needs_links = self.engine.needs_links()
+        cols = set(self.engine.pass_a_columns()) | {"url", "text"}
+        if needs_links:
+            cols |= {"url", "html"}
+        cols = sorted(cols)
+        meta_lock = threading.Lock()
+
+        def sketch_partial(batch: pa.Table) -> pa.Table:
+            h = HyperLogLog(p=14)
+            h.add_array(batch["url"])
+            t = TDigest()
+            t.add_array(pc.utf8_length(batch["text"]).to_pylist())
+            return pa.table(
+                {
+                    "hll": pa.array([h.to_bytes()], type=pa.binary()),
+                    "tdigest": pa.array([t.to_bytes()], type=pa.binary()),
+                }
+            )
+
+        def process(item: tuple[int, str]) -> None:
+            i, f = item
             pid = f"p{i:05d}"
-            if pid in done:
-                continue
-            if stop_after is not None and processed >= stop_after:
-                return False
             t0 = time.monotonic()
             part_dir = os.path.join(self.out_dir, "partitions", pid)
             tmp_dir = part_dir + ".tmp"
@@ -131,18 +197,19 @@ class CheckpointedValidation:
                 shutil.rmtree(tmp_dir)  # leftover from a crash: redo
             os.makedirs(tmp_dir)
 
-            pages = ray.data.read_parquet(f, columns=self.engine.pass_a_columns())
-            rows_in = pages.count()
-            events = pages.map_batches(
+            # ONE storage read per partition; everything below derives
+            # from these materialized blocks
+            src = ray.data.read_parquet(f, columns=cols).materialize()
+            rows_in = src.count()
+            events = src.map_batches(
                 evaluator, batch_format="pyarrow", zero_copy_batch=True
             ).materialize()
             events.write_parquet(os.path.join(tmp_dir, "events"))
             rows_out = events.count()
 
             n_links = 0
-            if self.engine.needs_links():
-                pages_l = ray.data.read_parquet(f, columns=["url", "html"])
-                links = extract_links(pages_l).materialize()
+            if needs_links:
+                links = extract_links(src).materialize()
                 links.write_parquet(os.path.join(tmp_dir, "links"))
                 n_links = links.count()
 
@@ -150,41 +217,47 @@ class CheckpointedValidation:
             # text length — written BEFORE the manifest marks completion
             hll = HyperLogLog(p=14)
             td = TDigest()
-            for batch in ray.data.read_parquet(
-                f, columns=["url", "text"]
+            for batch in src.map_batches(
+                sketch_partial, batch_format="pyarrow"
             ).iter_batches(batch_format="pyarrow"):
-                hll.add_array(batch["url"])
-                td.add_array(pc.utf8_length(batch["text"]).to_pylist())
+                for raw_h, raw_t in zip(
+                    batch["hll"].to_pylist(), batch["tdigest"].to_pylist()
+                ):
+                    hll.merge(HyperLogLog.loads(raw_h))
+                    td.merge(TDigest.loads(raw_t))
             with open(os.path.join(self.out_dir, "sketches", pid + ".bin"), "wb") as fh:
                 pickle.dump({"hll": hll.to_bytes(), "tdigest": td.to_bytes()}, fh)
 
             os.replace(tmp_dir, part_dir)  # atomic partition commit
             wall_ms = int((time.monotonic() - t0) * 1000)
-            m = self.manifest()
-            m["completed"] = sorted(set(m["completed"]) | {pid})
-            m["epoch"] = m.get("epoch", 0) + 1
-            self._write_manifest(m)
-            self._lineage_append(
-                [
-                    {
-                        "partition_id": pid,
-                        "stage": "pass_a",
-                        "rows_in": rows_in,
-                        "rows_out": rows_out,
-                        "wall_ms": wall_ms,
-                        "checkpoint_epoch": m["epoch"],
-                    },
-                    {
-                        "partition_id": pid,
-                        "stage": "links",
-                        "rows_in": rows_in,
-                        "rows_out": n_links,
-                        "wall_ms": 0,
-                        "checkpoint_epoch": m["epoch"],
-                    },
-                ]
-            )
-            processed += 1
+            with meta_lock:
+                mm = self.manifest()
+                mm["completed"] = sorted(set(mm["completed"]) | {pid})
+                mm["epoch"] = mm.get("epoch", 0) + 1
+                self._write_manifest(mm)
+                self._lineage_append(
+                    [
+                        {
+                            "partition_id": pid,
+                            "stage": "pass_a",
+                            "rows_in": rows_in,
+                            "rows_out": rows_out,
+                            "wall_ms": wall_ms,
+                            "checkpoint_epoch": mm["epoch"],
+                        },
+                        {
+                            "partition_id": pid,
+                            "stage": "links",
+                            "rows_in": rows_in,
+                            "rows_out": n_links,
+                            "wall_ms": 0,
+                            "checkpoint_epoch": mm["epoch"],
+                        },
+                    ]
+                )
+
+        with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as ex:
+            list(ex.map(process, todo))
         return len(self.manifest()["completed"]) == len(files)
 
     # -- phase 2: global constraints over persisted partition outputs -------

@@ -73,6 +73,7 @@ class JobConfig:
     agg_mode: str = "auto"  # driver | shuffle | auto (keyed count combine)
     concurrency: Any = None  # actor-pool size for pass A; None => tasks
     drift_threshold: float = 0.25
+    stats_order: bool = True  # 'TARGET IN BIG' order from parquet stats
 
 
 @dataclass
@@ -264,6 +265,22 @@ class ValidationEngine:
             rows_hint = _metadata_rows(pages_path)
         self._rows_hint = rows_hint
         self._pages_source = pages_path
+
+        # refine the evaluation order with target-set size estimates from
+        # parquet row-group stats (the reference's TARGET IN BIG default,
+        # /root/reference/shaclapi/config.py:205-209) — metadata-only scan
+        if cfg.stats_order and isinstance(pages_path, str):
+            from shaclapi_ray.io import estimate_rows_matching
+
+            try:
+                est = {
+                    sid: estimate_rows_matching(pages_path, s.target)
+                    for sid, s in shapes.items()
+                }
+                targets_ = [cfg.target_shape] if cfg.target_shape else None
+                self.order = self.dag.node_order(targets_, size_estimates=est)
+            except Exception:
+                pass  # stats unavailable: keep the static order
 
         # decide the fused-broadcast referential path UPFRONT: fused shapes
         # are fully (re-)evaluated in their own single pass, so pass A
@@ -630,29 +647,34 @@ class ValidationEngine:
         Partials are computed data-parallel (one serialized digest per
         (batch, host)), merged on the driver (hosts are few), KS vs the
         global merged digest. Returns a small in-memory events Dataset."""
-        import re as _re
-
-        host_re = _re.compile(c.partition_regex)
         use_length = c.use_length
+        pattern = c.partition_regex
+        column = c.column
 
         def partial(batch: pa.Table) -> pa.Table:
-            urls = batch["url"].to_pylist()
+            """One serialized t-digest per (batch, host) — host extraction
+            and grouping fully vectorized (polars regex extract + group_by);
+            only the per-HOST digest build is a loop (hosts are few)."""
+            import polars as pl
+
+            urls = batch["url"].combine_chunks() if isinstance(
+                batch["url"], pa.ChunkedArray
+            ) else batch["url"]
             if use_length:
-                vals = pc.utf8_length(batch[c.column]).to_pylist()
+                vals = pc.utf8_length(batch[column])
             else:
-                vals = batch[c.column].to_pylist()
-            groups: dict[str, list[float]] = {}
-            for u, v in zip(urls, vals):
-                if v is None:
-                    continue
-                m = host_re.match(u) if u else None
-                key = m.group(1) if m else ""
-                groups.setdefault(key, []).append(float(v))
+                vals = batch[column]
+            vals = pc.cast(vals, pa.float64())
+            h = pl.from_arrow(urls).fill_null("").str.extract(pattern, 1).fill_null("")
+            v = pl.from_arrow(
+                vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            )
+            df = pl.DataFrame({"h": h, "v": v}).drop_nulls("v")
             hosts, blobs = [], []
-            for h, arr in groups.items():
+            for (host_key,), sub in df.group_by("h"):
                 td = TDigest()
-                td.add_array(arr)
-                hosts.append(h)
+                td.add_array(sub["v"].to_numpy())
+                hosts.append(host_key)
                 blobs.append(td.to_bytes())
             return pa.table(
                 {

@@ -75,6 +75,82 @@ def _metadata_rows(path: str) -> int:
     return _metadata(path)[0]
 
 
+def _pred_may_match(pred, stats: dict) -> bool:
+    """Conservative row-group pruning: False only when NO row in the
+    group can satisfy ``pred`` given the group's (min, max) column
+    statistics. Unknown ops / missing stats => True (no pruning)."""
+    if pred is None:
+        return True
+    op = pred.get("op")
+    if op == "true":
+        return True
+    if op == "and":
+        return all(_pred_may_match(a, stats) for a in pred["args"])
+    if op == "or":
+        return any(_pred_may_match(a, stats) for a in pred["args"])
+    mm = stats.get(pred.get("column"))
+    if mm is None:
+        return True
+    lo, hi = mm
+
+    def coerce(v):
+        from datetime import datetime
+
+        if isinstance(lo, datetime) and isinstance(v, str):
+            return datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+        return v
+
+    try:
+        if op in ("==", "eq"):
+            v = coerce(pred["value"])
+            return lo <= v <= hi
+        if op == "in":
+            return any(lo <= coerce(v) <= hi for v in pred["values"])
+        if op == "range":
+            pmin = coerce(pred.get("min")) if pred.get("min") is not None else None
+            pmax = coerce(pred.get("max")) if pred.get("max") is not None else None
+            if pmin is not None and hi < pmin:
+                return False
+            if pmax is not None and lo > pmax:
+                return False
+            return True
+    except Exception:
+        return True
+    return True  # regex / not / len_range / not_null: not stat-prunable
+
+
+def estimate_rows_matching(path: str, pred) -> int:
+    """Upper-bound row count matching ``pred`` from parquet ROW-GROUP
+    statistics only (driver-local metadata scan, no data read) — the
+    engine's 'TARGET IN BIG' estimate (reference heuristic at
+    /root/reference/shaclapi/config.py:205-209) for ordering independent
+    shapes by estimated target-set size."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    total = 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            stats: dict = {}
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                s = col.statistics
+                if s is not None and s.has_min_max:
+                    stats[col.path_in_schema] = (s.min, s.max)
+            if _pred_may_match(pred, stats):
+                total += g.num_rows
+    return total
+
+
 def read_table_split(path, columns=None, min_rows_per_block: int = 500):
     """Read + force fan-out for unsplittable single-row-group files.
 

@@ -115,24 +115,11 @@ def _final_topk_driver(candidates, k: int):
     )
 
 
-def knn_ivf(
-    emb_ds,
-    query_ids: list[int],
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    sample_size: int = 2048,
-    seed: int = 3,
-    concurrency=(1, 4),
-):
-    """IVF-bucketed approximate top-k: centroids from a driver-side sample
-    (k-means, few iterations), vectors assigned to nearest centroid in a
-    map_batches pass, search restricted to each query's nprobe buckets.
-
-    Returns (query_id, neighbor_id, rank) like knn_bruteforce; approximate
-    (recall < 1 when true neighbors fall outside probed buckets)."""
-    import ray
-
+def _train_centroids(
+    emb_ds, n_centroids: int, sample_size: int, seed: int
+) -> np.ndarray:
+    """k-means-lite coarse centroids from a driver-side SAMPLE (bounded by
+    sample_size regardless of corpus size)."""
     sample = emb_ds.random_sample(
         min(1.0, sample_size / max(1, emb_ds.count())), seed=seed
     ).to_pandas()
@@ -146,38 +133,148 @@ def knn_ivf(
             if len(members):
                 cent[c] = members.mean(axis=0)
         cent = _normalize(cent)
+    return cent
+
+
+def build_ivf_index(
+    emb_ds,
+    index_dir: str,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 3,
+) -> np.ndarray:
+    """One-time index build: train centroids, assign every vector to its
+    nearest centroid, and persist the corpus as BUCKET-PARTITIONED parquet
+    (``bucket=<id>/`` hive dirs) so probes read ONLY the probed buckets'
+    files — IVF's I/O pruning, not an in-memory filter over a full scan.
+
+    Idempotent per (n_centroids, seed, row count): a manifest records the
+    build params; matching manifests reuse the on-disk index. Returns the
+    centroid matrix (also persisted)."""
+    import json
+    import os
+
+    import ray
+
+    stamp = {
+        "n_centroids": int(n_centroids),
+        "seed": int(seed),
+        "rows": int(emb_ds.count()),
+        "sample_size": int(sample_size),
+    }
+    manifest = os.path.join(index_dir, "_IVF_MANIFEST.json")
+    cent_path = os.path.join(index_dir, "_centroids.npy")
+    if os.path.exists(manifest) and os.path.exists(cent_path):
+        with open(manifest) as f:
+            if json.load(f) == stamp:
+                return np.load(cent_path)
+        import shutil
+
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+
+    cent = _train_centroids(emb_ds, n_centroids, sample_size, seed)
     cent_ref = ray.put(cent)
 
     def assigner(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         mat = _normalize(_to_matrix(batch["embedding"]))
         bucket = np.argmax(mat @ c.T, axis=1)
-        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+        # 'bucket' moves into the partition path on write; 'b' stays a
+        # data column so probe tasks can group candidates per bucket
+        out = batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+        return out.append_column("b", pa.array(bucket, type=pa.int64()))
 
-    bucketed = emb_ds.map_batches(assigner, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = emb_ds.map_batches(
+        assigner, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+    np.save(cent_path, cent)
+    with open(manifest, "w") as f:
+        json.dump(stamp, f)
+    return cent
+
+
+def _probed_bucket_paths(index_dir: str, buckets: set[int]) -> list[str]:
+    import os
+
+    out = []
+    for b in sorted(buckets):
+        p = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def knn_ivf(
+    emb_ds,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 3,
+    concurrency=(1, 4),
+    index_dir: str | None = None,
+):
+    """IVF approximate top-k with REAL probe pruning: the corpus lives in
+    bucket-partitioned parquet (build_ivf_index); a search reads only the
+    union of the queries' nprobe bucket partitions, so probe I/O and
+    compute scale with nprobe/n_centroids — not with corpus size.
+
+    Returns (query_id, neighbor_id, rank) like knn_bruteforce; approximate
+    (recall < 1 when true neighbors fall outside probed buckets)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    if index_dir is None:
+        index_dir = f"/tmp/shaclapi_ray_ivf/c{n_centroids}_s{seed}"
+    cent = build_ivf_index(
+        emb_ds, index_dir, n_centroids=n_centroids, sample_size=sample_size, seed=seed
+    )
 
     def pick_queries(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         mask = pc.is_in(
             batch["vec_id"],
             value_set=pa.array(sorted(int(q) for q in query_ids), type=pa.int64()),
         )
         return batch.filter(mask)
 
-    qtbl = bucketed.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
+    qtbl = emb_ds.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
     q_ids = qtbl["vec_id"].to_numpy(dtype=np.int64)
     q_mat = _normalize(np.asarray(qtbl["embedding"].tolist(), dtype=np.float64))
     q_buckets = {
         int(qid): np.argsort(-(q_mat[i] @ cent.T))[:nprobe].tolist()
         for i, qid in enumerate(q_ids)
     }
+    probed: set[int] = set()
+    for bs in q_buckets.values():
+        probed.update(int(b) for b in bs)
+    paths = _probed_bucket_paths(index_dir, probed)
+    if not paths:
+        return _final_topk_driver(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            ),
+            k,
+        )
     probe_ref = ray.put((q_ids, q_mat, q_buckets))
 
     def probe_topk(batch: pa.Table) -> pa.Table:
         p_ids, p_mat, p_buckets = ray.get(probe_ref)
         ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        buckets = np.asarray(batch["bucket"].to_pylist(), dtype=np.int64)
+        buckets = np.asarray(batch["b"].to_pylist(), dtype=np.int64)
         mat = _normalize(_to_matrix(batch["embedding"]))
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi, qid in enumerate(p_ids):
@@ -200,7 +297,17 @@ def knn_ivf(
             }
         )
 
-    candidates = bucketed.map_batches(
-        probe_topk, batch_format="pyarrow", zero_copy_batch=True
-    )
+    candidates = ray.data.read_parquet(
+        paths, columns=["vec_id", "embedding", "b"]
+    ).map_batches(probe_topk, batch_format="pyarrow", zero_copy_batch=True)
     return _final_topk_driver(candidates, k)
+
+
+def ivf_recall_vs_bruteforce(emb_ds, query_ids: list[int], k: int = 10, **ivf_kwargs):
+    """Fraction of bruteforce top-k neighbors the IVF probe recovers —
+    reported in the bench JSON per the measurement plan."""
+    bf = knn_bruteforce(emb_ds, query_ids, k=k)
+    iv = knn_ivf(emb_ds, query_ids, k=k, **ivf_kwargs)
+    bset = set(zip(bf["query_id"], bf["neighbor_id"]))
+    iset = set(zip(iv["query_id"], iv["neighbor_id"]))
+    return len(bset & iset) / max(1, len(bset))

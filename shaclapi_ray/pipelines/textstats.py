@@ -142,43 +142,73 @@ def fingerprint(docs_ds, concurrency=(1, 4)):
     )
 
 
-def rolling_fingerprint(docs_ds, window: int = 32, concurrency=(1, 4)):
-    """(doc_id, fp_min): minimum 64-bit rolling (Rabin-Karp style) hash over
-    byte windows — a locality-sensitive document fingerprint used for
-    near-dup candidate buckets. Deterministic; no SQL analog."""
-    import numpy as np
+ROLL_B = 1000003  # odd => invertible mod 2^64
+ROLL_SEP = 0xFF  # never appears in UTF-8 text
 
-    B = np.uint64(1000003)
+
+def rolling_fingerprint(docs_ds, window: int = 32, concurrency=(1, 4)):
+    """(doc_id, fp_min): minimum 64-bit rolling (Rabin-Karp style) hash
+    h_i = sum_j text_bytes[i+j] * B^(w-1-j) (mod 2^64) over ALL byte
+    windows of the FULL document — a locality-sensitive fingerprint used
+    for near-dup candidate buckets. Deterministic; no SQL analog (golden
+    unit test instead). Docs shorter than the window get fp_min = 0.
+
+    Vectorized across the whole batch: texts are concatenated into one
+    buffer (0xFF separators), every window hash comes from ONE O(n)
+    prefix-sum pass (h_i = B^(i+w-1) * (S[i+w] - S[i]) with S the
+    cumulative sum of data[j]*B^(-j) mod 2^64 — B is odd, hence
+    invertible), windows crossing doc boundaries are masked, and the
+    per-doc minimum is a reduceat. No per-doc loops, no n*w matrix, no
+    length truncation."""
+    import numpy as np
 
     class Roller:
         def __init__(self):
-            self.pow_w = B ** np.uint64(window - 1)
+            self.window = window
+            self.inv = np.uint64(pow(ROLL_B, -1, 1 << 64))
+            self.b = np.uint64(ROLL_B)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = []
-            for t in batch["text"].to_pylist():
-                if not t or len(t) < window:
-                    out.append(0)
-                    continue
-                data = np.frombuffer(t.encode()[: 1 << 16], dtype=np.uint8).astype(
-                    np.uint64
-                )
-                if data.size < window:
-                    out.append(0)
-                    continue
-                # vectorized rolling hash: h_i = sum(data[i+j] * B^(w-1-j))
-                powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
-                n = data.size - window + 1
-                idx = np.arange(window)[None, :] + np.arange(n)[:, None]
-                h = (data[idx] * powers[None, :]).sum(axis=1)
-                out.append(int(h.min()))
+            w = self.window
+            texts = batch["text"].to_pylist()
+            n_docs = len(texts)
+            out = np.zeros(n_docs, dtype=np.uint64)
+            bufs = [(t.encode() if t else b"") for t in texts]
+            if bufs:
+                data = np.frombuffer(bytes([ROLL_SEP]).join(bufs), dtype=np.uint8)
+                n = data.size
+                if n >= w:
+                    d64 = data.astype(np.uint64)
+                    pow_b = np.concatenate(
+                        ([np.uint64(1)], np.cumprod(np.full(n, self.b, np.uint64)))
+                    )
+                    pow_inv = np.concatenate(
+                        ([np.uint64(1)], np.cumprod(np.full(n - 1, self.inv, np.uint64)))
+                    )
+                    S = np.concatenate(([np.uint64(0)], np.cumsum(d64 * pow_inv)))
+                    starts_w = np.arange(n - w + 1)
+                    h = (S[starts_w + w] - S[starts_w]) * pow_b[starts_w + w - 1]
+                    # windows containing a separator are invalid (O(n) via
+                    # prefix counts, no n*w bool matrix)
+                    ok = np.concatenate(
+                        ([0], np.cumsum((data != ROLL_SEP).astype(np.int64)))
+                    )
+                    valid = (ok[starts_w + w] - ok[starts_w]) == w
+                    if valid.any():
+                        lens = np.fromiter(
+                            (len(b) for b in bufs), dtype=np.int64, count=n_docs
+                        )
+                        doc_starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+                        hv = h[valid]
+                        win_start = starts_w[valid]
+                        rows = np.searchsorted(doc_starts, win_start, side="right") - 1
+                        run_starts = np.flatnonzero(np.diff(rows, prepend=-1))
+                        mins = np.minimum.reduceat(hv, run_starts)
+                        out[rows[run_starts]] = mins
             return pa.table(
                 {
                     "doc_id": batch["doc_id"],
-                    "fp_min": pa.array(
-                        [v - (1 << 64) if v >= (1 << 63) else v for v in out],
-                        type=pa.int64(),
-                    ),
+                    "fp_min": pa.array(out.view(np.int64), type=pa.int64()),
                 }
             )
 

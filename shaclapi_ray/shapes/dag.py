@@ -86,13 +86,24 @@ class ConstraintDAG:
             out[sid] = replace(shape, constraints=kept)
         return ConstraintDAG(out)
 
-    def node_order(self, targets: list[str] | None = None) -> list[str]:
+    def node_order(
+        self,
+        targets: list[str] | None = None,
+        size_estimates: dict[str, int] | None = None,
+    ) -> list[str]:
         """Evaluation order: children strictly before parents (a referential
         constraint consumes *complete* child verdicts — the barrier-per-DAG-
         level of SURVEY.md §7.4); among independent shapes, target shapes
-        first (early verdict streaming), then lexicographic."""
+        first (early verdict streaming), then — when ``size_estimates``
+        (shape_id -> estimated target-set row count from Parquet column
+        stats, io.estimate_rows_matching) is given — LARGER estimated
+        target sets first (the reference's default 'TARGET IN BIG'
+        heuristic, /root/reference/shaclapi/config.py:205-209: seed
+        validation in the big shape so the bulk of verdicts streams
+        earliest), then lexicographic."""
         deps = self.dependencies()
         target_set = set(targets or [])
+        est = size_estimates or {}
         order: list[str] = []
         state: dict[str, int] = {}  # 0=unvisited 1=visiting 2=done
 
@@ -103,14 +114,17 @@ class ConstraintDAG:
             if st == 1:
                 raise ValueError(f"shape reference cycle at {sid!r}")
             state[sid] = 1
-            for d in deps.get(sid, []):
-                if d in self.shapes:
-                    visit(d)
+            for d in sorted(
+                (d for d in deps.get(sid, []) if d in self.shapes),
+                key=lambda s: (-est.get(s, 0), s),
+            ):
+                visit(d)
             state[sid] = 2
             order.append(sid)
 
         roots = sorted(
-            self.shapes, key=lambda s: (0 if s in target_set else 1, s)
+            self.shapes,
+            key=lambda s: (0 if s in target_set else 1, -est.get(s, 0), s),
         )
         for sid in roots:
             visit(sid)

@@ -231,12 +231,18 @@ class OrConstraint(Constraint):
     removing options collapses — all removed => constraint vanishes, one left
     => promoted to a plain constraint)."""
 
-    options: list[PredicateConstraint] = field(default_factory=list)
+    options: list[Constraint] = field(default_factory=list)
 
     def columns(self) -> set[str]:
         out: set[str] = set()
         for o in self.options:
             out |= o.columns()
+        return out
+
+    def referenced_shapes(self) -> list[str]:
+        out: list[str] = []
+        for o in self.options:
+            out.extend(o.referenced_shapes())
         return out
 
     def evaluate(self, batch: pa.Table):
@@ -492,18 +498,15 @@ def load_schema_dir(schema_dir: str) -> list[Shape]:
 
 
 def shape_from_ttl(path: str) -> Shape:
-    """TTL/SHACL shape files (the reference's second fixture format,
-    e.g. /root/reference/tests/tc6/shapes/shapeA.ttl) require an RDF
-    parser; rdflib is not installed in this environment, and the engine's
-    IR is column-predicates over a web table rather than RDF paths, so
-    the supported interchange format is the JSON layout
-    (shape_from_dict / shape_to_dict). Gated behind an import-try per the
-    environment rules."""
-    try:
-        import rdflib  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "TTL shape parsing requires rdflib (not installed); declare "
-            "shapes in the JSON format instead (see fixtures/schemas/)"
-        ) from e
-    raise NotImplementedError("TTL->column-predicate mapping not implemented")
+    """TTL/SHACL shape files (the reference's primary fixture format,
+    e.g. /root/reference/tests/tc6/shapes/shapeA.ttl), parsed by the
+    built-in Turtle-subset reader (shapes/ttl.py — no rdflib needed for
+    the reference's regular SHACL subset: targetClass/targetQuery/
+    property/min-maxCount/qualifiedValueShape/sh:or/sh:inversePath).
+
+    The result participates in reduce/project/node_order; executing it
+    over the web-pages table additionally requires mapping each RDF path
+    onto a table column (RefConstraint.path)."""
+    from shaclapi_ray.shapes.ttl import shape_from_ttl_file
+
+    return shape_from_ttl_file(path)
