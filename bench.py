@@ -122,6 +122,44 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     emb = read_table_split(f"{sf_dir}/embeddings.parquet")
     timed("knn_bruteforce", lambda: knn_bruteforce(emb, list(range(8)), k=10).count())
 
+    # IVF: index build (bucket-partitioned parquet) and the pruned probe
+    # timed separately; recall vs the exact baseline reported alongside
+    import shutil as _shutil
+
+    from shaclapi_ray.pipelines.knn import build_ivf_index, knn_ivf
+
+    ivf_dir = "/tmp/shaclapi_ray_ivf/bench"
+    _shutil.rmtree(ivf_dir, ignore_errors=True)
+    timed("knn_ivf_build", lambda: build_ivf_index(emb, ivf_dir))
+    ivf_res = {}
+    timed(
+        "knn_ivf_probe",
+        lambda: ivf_res.setdefault(
+            "df", knn_ivf(emb, list(range(8)), k=10, index_dir=ivf_dir)
+        ),
+    )
+    bf = knn_bruteforce(emb, list(range(8)), k=10)
+    bset = set(zip(bf["query_id"], bf["neighbor_id"]))
+    iset = set(zip(ivf_res["df"]["query_id"], ivf_res["df"]["neighbor_id"]))
+    ivf_recall = round(len(bset & iset) / max(1, len(bset)), 4)
+
+    from shaclapi_ray.pipelines.dedup import exact_dedup, minhash_lsh_clusters
+
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed("minhash_clusters", lambda: minhash_lsh_clusters(docs).count())
+
+    from shaclapi_ray.fixtures import inverse_schema
+
+    timed(
+        "inverse_validation",
+        lambda: ValidationEngine(
+            inverse_schema(), JobConfig(target_shape="PopularPageShape")
+        )
+        .run(pages_dir)
+        .verdicts()
+        .count(),
+    )
+
     events = read_table_split(f"{sf_dir}/events.parquet")
     timed("tumbling_window", lambda: tumbling_window(events).count())
 
@@ -135,6 +173,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline_sec, 1),
+        "ivf_recall_vs_bruteforce": ivf_recall,
     }
     ray.shutdown()
     return result

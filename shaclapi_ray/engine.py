@@ -270,13 +270,12 @@ class ValidationEngine:
         # parquet row-group stats (the reference's TARGET IN BIG default,
         # /root/reference/shaclapi/config.py:205-209) — metadata-only scan
         if cfg.stats_order and isinstance(pages_path, str):
-            from shaclapi_ray.io import estimate_rows_matching
+            from shaclapi_ray.io import estimate_rows_matching_many
 
             try:
-                est = {
-                    sid: estimate_rows_matching(pages_path, s.target)
-                    for sid, s in shapes.items()
-                }
+                est = estimate_rows_matching_many(
+                    pages_path, {sid: s.target for sid, s in shapes.items()}
+                )
                 targets_ = [cfg.target_shape] if cfg.target_shape else None
                 self.order = self.dag.node_order(targets_, size_estimates=est)
             except Exception:

@@ -51,13 +51,24 @@ def read_parquet(path, columns=None, num_blocks: int | None = None):
     return ray.data.read_parquet(path, columns=columns)
 
 
+_META_CACHE: dict = {}
+
+
 def _metadata(path: str) -> tuple[int, int]:
     """(total rows, total row groups) from parquet footers — driver-local,
-    metadata-only (no data read)."""
+    metadata-only (no data read). Cached per (path, mtime): a large input
+    has thousands of footers and several stages consult the same totals
+    per run."""
     import os
 
     import pyarrow.parquet as pq
 
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None and key in _META_CACHE:
+        return _META_CACHE[key]
     files = (
         [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
         if os.path.isdir(path)
@@ -68,6 +79,8 @@ def _metadata(path: str) -> tuple[int, int]:
         md = pq.ParquetFile(f).metadata
         rows += md.num_rows
         groups += md.num_row_groups
+    if key is not None:
+        _META_CACHE[key] = (rows, groups)
     return rows, groups
 
 
@@ -119,12 +132,13 @@ def _pred_may_match(pred, stats: dict) -> bool:
     return True  # regex / not / len_range / not_null: not stat-prunable
 
 
-def estimate_rows_matching(path: str, pred) -> int:
-    """Upper-bound row count matching ``pred`` from parquet ROW-GROUP
-    statistics only (driver-local metadata scan, no data read) — the
-    engine's 'TARGET IN BIG' estimate (reference heuristic at
-    /root/reference/shaclapi/config.py:205-209) for ordering independent
-    shapes by estimated target-set size."""
+def estimate_rows_matching_many(path: str, preds: dict) -> dict:
+    """Upper-bound row counts matching each predicate in ``preds``
+    (key -> pred) from parquet ROW-GROUP statistics only — ONE metadata
+    pass over the files regardless of predicate count (driver-local, no
+    data read). The engine's 'TARGET IN BIG' estimate (reference
+    heuristic at /root/reference/shaclapi/config.py:205-209) for ordering
+    independent shapes by estimated target-set size."""
     import os
 
     import pyarrow.parquet as pq
@@ -134,10 +148,9 @@ def estimate_rows_matching(path: str, pred) -> int:
         if os.path.isdir(path)
         else [path]
     )
-    total = 0
+    totals = {k: 0 for k in preds}
     for f in files:
-        pf = pq.ParquetFile(f)
-        md = pf.metadata
+        md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             stats: dict = {}
@@ -146,9 +159,15 @@ def estimate_rows_matching(path: str, pred) -> int:
                 s = col.statistics
                 if s is not None and s.has_min_max:
                     stats[col.path_in_schema] = (s.min, s.max)
-            if _pred_may_match(pred, stats):
-                total += g.num_rows
-    return total
+            for k, pred in preds.items():
+                if _pred_may_match(pred, stats):
+                    totals[k] += g.num_rows
+    return totals
+
+
+def estimate_rows_matching(path: str, pred) -> int:
+    """Single-predicate convenience over estimate_rows_matching_many."""
+    return estimate_rows_matching_many(path, {"_": pred})["_"]
 
 
 def read_table_split(path, columns=None, min_rows_per_block: int = 500):

@@ -38,9 +38,9 @@ def _decode_lossy(html_col) -> pa.Array:
     when the batch actually contains invalid bytes): per-row
     ``bytes.decode(errors='replace')`` — C-speed, malformed pages degrade
     to U+FFFD runs (=> fewer extracted links) instead of crashing."""
-    if isinstance(html_col, pa.ChunkedArray):
-        html_col = html_col.combine_chunks()
     try:
+        # zero-copy per chunk (no combine_chunks: that would COPY the
+        # whole binary column before the cast)
         return html_col.cast(pa.string())
     except pa.ArrowInvalid:
         return pa.array(
