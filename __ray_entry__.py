@@ -253,6 +253,12 @@ def _q_simhash(sf_dir: str):
     return _sorted(simhash_signatures(_docs(sf_dir)), ["doc_id"])
 
 
+def _q_simhash_neardup(sf_dir: str):
+    from shaclapi_ray.pipelines.dedup import simhash_neardup_pairs
+
+    return _sorted(simhash_neardup_pairs(_docs(sf_dir)), ["a", "b"])
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from shaclapi_ray.pipelines.dedup import ngram_jaccard_pairs
 
@@ -422,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_clusters": _q_minhash_clusters,
         "simhash": _q_simhash,
+        "simhash_neardup": _q_simhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,

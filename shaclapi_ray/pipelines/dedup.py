@@ -458,6 +458,73 @@ def simhash_signatures(docs_ds, concurrency=(1, 4)):
     )
 
 
+def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, concurrency=(1, 4)):
+    """(a, b, hamming): near-duplicate candidate pairs by simhash —
+    docs sharing a 16-bit bucket prefix whose full 64-bit signatures are
+    within ``max_hamming`` bits.
+
+    Scale shape: signatures stream from simhash_signatures; the only
+    shuffle is the narrow (bucket, doc_id, simhash) groupby; per-bucket
+    verification is a vectorized numpy XOR+popcount over the group.
+    (Single-band prefix bucketing misses pairs whose differing bits fall
+    in the prefix — the standard simhash recall/eff tradeoff; raise
+    coverage by rotating the prefix like multi-table LSH if needed.)"""
+
+    def verify(group):
+        import pandas as pd
+
+        ids = np.asarray(group["doc_id"].tolist(), dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype="int64")
+        sigs = np.asarray(group["simhash"].tolist(), dtype=np.int64).view(np.uint64)
+        x = sigs[:, None] ^ sigs[None, :]
+        ham = np.zeros(x.shape, dtype=np.int64)
+        for _ in range(8):  # byte-wise table popcount
+            ham += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.int64)]
+            x = x >> np.uint64(8)
+        ai, bj = np.nonzero(ham <= max_hamming)
+        keep = ids[ai] < ids[bj]
+        return pd.DataFrame(
+            {
+                "a": ids[ai][keep],
+                "b": ids[bj][keep],
+                "hamming": ham[ai, bj][keep],
+            }
+        ).astype("int64")
+
+    sigs = simhash_signatures(docs_ds, concurrency=concurrency)
+    pairs = sigs.groupby("bucket").map_groups(verify, batch_format="pandas")
+    out = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.cast(t["a"], pa.int64()),
+                "b": pc.cast(t["b"], pa.int64()),
+                "hamming": pc.cast(t["hamming"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+
+    out_nb = drop_empty_blocks(out)
+    if out_nb is None:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return out_nb
+
+
+_POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------

@@ -143,6 +143,36 @@ def test_ngram_jaccard_pairs_distributed(ray_session):
     assert row01.union_size == len(s0 | s1)
 
 
+def test_simhash_neardup_matches_bruteforce_within_bucket(ray_session):
+    """Pairs = same 16-bit bucket AND hamming <= d; verify against a
+    brute-force recomputation from the signatures themselves."""
+    texts = TEXTS + [TEXTS[0] + " slight change", TEXTS[2] + " tail"]
+    from shaclapi_ray.pipelines.dedup import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    sigs = simhash_signatures(_docs_ds(texts)).to_pandas()
+    df = (
+        simhash_neardup_pairs(_docs_ds(texts), max_hamming=8)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    expected = set()
+    rows = list(sigs.itertuples())
+    for i, r1 in enumerate(rows):
+        for r2 in rows[i + 1 :]:
+            if r1.bucket != r2.bucket:
+                continue
+            ham = bin((int(r1.simhash) ^ int(r2.simhash)) & ((1 << 64) - 1)).count("1")
+            if ham <= 8:
+                a, b = sorted((int(r1.doc_id), int(r2.doc_id)))
+                expected.add((a, b, ham))
+    assert set(zip(df.a, df.b, df.hamming)) == expected
+    assert (0, 4) in {(a, b) for a, b, _ in expected}  # exact dup pair present
+
+
 def _planted_embeddings(n=120, dim=32, n_dup_pairs=8, seed=5):
     rng = np.random.default_rng(seed)
     base = rng.standard_normal((n, dim))
