@@ -65,6 +65,10 @@ _DEFAULTS = {
     "combine_strategy": "auto",
     "salt_k": 0,
     "bloom_prefilter": False,
+    # evaluation backend name (≙ reference config 'backend',
+    # /root/reference/shaclapi/config.py:185-189; unknown names raise
+    # NotImplementedError at run time, as there)
+    "backend": "auto",
 }
 
 
@@ -101,6 +105,7 @@ def _job_config(cfg: dict[str, Any]) -> JobConfig:
         combine_strategy=cfg["combine_strategy"],
         salt_k=cfg["salt_k"],
         bloom_prefilter=cfg["bloom_prefilter"],
+        backend=cfg["backend"],
     )
 
 

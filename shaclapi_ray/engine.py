@@ -74,6 +74,7 @@ class JobConfig:
     concurrency: Any = None  # actor-pool size for pass A; None => tasks
     drift_threshold: float = 0.25
     stats_order: bool = True  # 'TARGET IN BIG' order from parquet stats
+    backend: str = "auto"  # evaluation backend (backends.BACKENDS)
 
 
 @dataclass
@@ -281,28 +282,14 @@ class ValidationEngine:
             except Exception:
                 pass  # stats unavailable: keep the static order
 
-        # decide the fused-broadcast referential path UPFRONT: fused shapes
-        # are fully (re-)evaluated in their own single pass, so pass A
-        # skips them entirely — no colpart rows to emit or drop later
-        from shaclapi_ray.stages.referential import FUSED_BROADCAST_LIMIT
+        # the evaluation backend decides UPFRONT which shapes it takes
+        # over in its own single pass (those skip pass A entirely — no
+        # colpart rows to emit or drop later); everything else flows
+        # through the staged pipeline
+        from shaclapi_ray.backends import get_backend
 
-        fused_sids: set[str] = set()
-        if cfg.ref_strategy in ("auto", "broadcast"):
-            for sid, s in shapes.items():
-                refs_ = [c for c in s.constraints if isinstance(c, RefConstraint)]
-                others = [
-                    c
-                    for c in s.constraints
-                    if isinstance(c, (UniqueConstraint, DriftConstraint))
-                ]
-                # inverse (inbound) refs cannot fuse: a row's inbound
-                # count aggregates links from OTHER rows' batches, so it
-                # needs the groupby(target_url) pass, not a per-row pass
-                if refs_ and not others and not any(c.inverse for c in refs_) and (
-                    cfg.ref_strategy == "broadcast"
-                    or (rows_hint or 0) <= FUSED_BROADCAST_LIMIT
-                ):
-                    fused_sids.add(sid)
+        self._backend = get_backend(cfg.backend)
+        fused_sids = self._backend.select_fused(shapes, cfg, rows_hint)
         self._fused_sids = fused_sids
 
         pass_a_shapes = [
@@ -458,14 +445,10 @@ class ValidationEngine:
             if not refs and not uniqs:
                 continue  # column-only: final verdict already in events
 
-            # fused broadcast path: one pass over pages, no joins/shuffles;
+            # backend-owned path: one pass over pages, no joins/shuffles;
             # the only global input is the broadcast child-valid hash set
-            # (see stages/referential.fused_ref_shape_eval)
-            from shaclapi_ray.stages.referential import (
-                BROADCAST_LIMIT,
-                collect_child_hash_set,
-                fused_ref_shape_eval,
-            )
+            # (default evaluator: stages/referential.fused_ref_shape_eval)
+            from shaclapi_ray.stages.referential import collect_child_hash_set
 
             pages_source = getattr(self, "_pages_source", None)
             if sid in getattr(self, "_fused_sids", set()):
@@ -496,8 +479,13 @@ class ValidationEngine:
                     )
                 else:
                     pages_ref = pages_source
+                backend = getattr(self, "_backend", None)
+                if backend is None:
+                    from shaclapi_ray.backends import get_backend
+
+                    backend = get_backend(self.config.backend)
                 pieces.append(
-                    fused_ref_shape_eval(pages_ref, shape, child_refs).materialize()
+                    backend.eval_shape(pages_ref, shape, child_refs).materialize()
                 )
                 continue
 
