@@ -160,8 +160,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         .count(),
     )
 
+    from shaclapi_ray.pipelines.dedup import simhash_neardup_pairs
+    from shaclapi_ray.pipelines.textstats import rolling_fingerprint
+
+    timed("simhash_neardup", lambda: simhash_neardup_pairs(docs).count())
+    timed("rolling_fingerprint", lambda: rolling_fingerprint(docs).count())
+
+    from shaclapi_ray.pipelines.events import sessionize
+
     events = read_table_split(f"{sf_dir}/events.parquet")
     timed("tumbling_window", lambda: tumbling_window(events).count())
+    timed("sessionize", lambda: sessionize(events).count())
 
     headline_sec = queries["referential_validation"]
     result = {
@@ -253,7 +262,17 @@ def run_scaling(sf_dir: str) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # interleave the two levels across rounds and keep each level's best:
+    # this box carries bursty co-tenant load (±2x single-shot noise), and
+    # interleaving stops one burst from poisoning a single level
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     r_lo, r_hi = one(lo), one(hi)
+    for _ in range(rounds - 1):
+        a, b = one(lo), one(hi)
+        if a["docs_per_sec"] > r_lo["docs_per_sec"]:
+            r_lo = a
+        if b["docs_per_sec"] > r_hi["docs_per_sec"]:
+            r_hi = b
     tp_lo, tp_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
