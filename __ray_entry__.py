@@ -24,6 +24,7 @@ SF01 = "/root/testdata/sf0.01"
 KNN_QUERY_IDS = list(range(8))
 KNN_K = 10
 WINDOW_S = 300
+HOP_S = 100
 SESSION_GAP_S = 1800
 
 
@@ -211,6 +212,12 @@ def _q_token_count(sf_dir: str):
     return _sorted(token_count(_docs(sf_dir)), ["doc_id"])
 
 
+def _q_normalize_text(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import normalize_text
+
+    return _sorted(normalize_text(_docs(sf_dir)), ["doc_id"])
+
+
 def _q_quality_signals(sf_dir: str):
     from shaclapi_ray.pipelines.textstats import quality_signals
 
@@ -322,6 +329,14 @@ def _q_tumbling_window(sf_dir: str):
     return _sorted(tumbling_window(_events(sf_dir), WINDOW_S), ["user_id", "window_start"])
 
 
+def _q_hopping_window(sf_dir: str):
+    from shaclapi_ray.pipelines.events import hopping_window
+
+    return _sorted(
+        hopping_window(_events(sf_dir), WINDOW_S, HOP_S), ["user_id", "window_start"]
+    )
+
+
 def _q_sessionize(sf_dir: str):
     from shaclapi_ray.pipelines.events import sessionize
 
@@ -420,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_urls": _q_hll_distinct_urls,
         # text analysis
         "token_count": _q_token_count,
+        "normalize_text": _q_normalize_text,
         "quality_signals": _q_quality_signals,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -437,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         # stream-shaped
         "tumbling_window": _q_tumbling_window,
+        "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
         "event_type_stats": _q_event_type_stats,
         "parse_props": _q_parse_props,
@@ -476,6 +493,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "reduce_schema": o.reduce_schema_sql(["LinkedPageShape", "TargetPageShape"]),
         "annotated_pages": o.annotated_pages_sql(pages_dir),
         "token_count": o.token_count_sql(),
+        "normalize_text": o.normalize_text_sql(),
         "quality_signals": o.quality_signals_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
@@ -484,12 +502,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "embedding_neardup": o.embedding_neardup_sql(EMB_NEARDUP_TAU),
         "knn_bruteforce": o.knn_bruteforce_sql(KNN_QUERY_IDS, KNN_K),
         "tumbling_window": o.tumbling_window_sql(WINDOW_S),
+        "hopping_window": o.hopping_window_sql(WINDOW_S, HOP_S),
         "sessionize": o.sessionize_sql(SESSION_GAP_S),
         "event_type_stats": o.event_type_stats_sql(),
         "parse_props": o.parse_props_sql(),
         "media_metadata": o.media_metadata_sql(pages_dir),
-        # intentionally no oracle (non-SQL-expressible / approximate):
+        # intentionally no oracle (non-SQL-expressible / approximate;
+        # each has a hard check in tests/ instead — golden values,
+        # bruteforce equivalence, or planted-pair recall):
         # drift_verdicts, hll_distinct_urls, rolling_fingerprint,
-        # minhash_clusters, simhash, ngram_jaccard, embedding_neardup,
-        # knn_ivf, featurize_media
+        # minhash_clusters, simhash, simhash_neardup,
+        # embedding_neardup_lsh, knn_ivf, featurize_media
     }

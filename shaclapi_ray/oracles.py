@@ -232,6 +232,13 @@ def token_count_sql() -> str:
     ).replace("\\", "\\")
 
 
+def normalize_text_sql() -> str:
+    return (
+        "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
+        "'\\s+', ' ', 'g')) AS norm_text FROM documents ORDER BY doc_id"
+    )
+
+
 def quality_signals_sql() -> str:
     en = _word_alt_pattern(STOPWORDS["en"])
     return f"""
@@ -343,6 +350,18 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY user_id, window_start ORDER BY user_id, window_start
+"""
+
+
+def hopping_window_sql(window_s: int, hop_s: int) -> str:
+    k = window_s // hop_s
+    return f"""
+SELECT user_id,
+       ((epoch_us(ts) // ({hop_s} * 1000000)) - r.i) * {hop_s} AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events CROSS JOIN range({k}) AS r(i)
+GROUP BY user_id, window_start ORDER BY user_id, window_start
 """
 
 

@@ -64,6 +64,70 @@ def tumbling_window(events_ds, window_s: int = 300):
     )
 
 
+def hopping_window(events_ds, window_s: int = 300, hop_s: int = 100):
+    """(user_id, window_start, n_events, sum_value): overlapping (hopping/
+    sliding) windows of ``window_s`` advancing by ``hop_s`` — each event
+    lands in exactly ``window_s // hop_s`` windows.
+
+    Same shuffle shape as tumbling_window: the per-batch partial replicates
+    each event's aggregate row once per overlapping window (k small
+    vectorized group_bys, one per hop offset), so the all-to-all moves
+    per-(key, window, batch) partials, never raw events."""
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch["ts"], pa.int64())  # microseconds
+        base = pc.divide(epoch, 1_000_000 * hop_s)  # hop index of event ts
+        pieces = []
+        for i in range(k):
+            win = pc.multiply(
+                pc.subtract(base, pa.scalar(i, pa.int64())),
+                pa.scalar(hop_s, pa.int64()),
+            )
+            pieces.append(
+                pa.table(
+                    {
+                        "user_id": batch["user_id"],
+                        "window_start": win,
+                        "value": batch["value"],
+                    }
+                )
+            )
+        t = pa.concat_tables(pieces)
+        g = t.group_by(["user_id", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "window_start": g["window_start"],
+                "sum_value": g["value_sum"],
+                "n_events": pc.cast(g["value_count"], pa.int64()),
+            }
+        )
+
+    partials = events_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_events", alias_name="n_events"),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["window_start"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": pc.round(t["sum_value"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def sessionize(events_ds, gap_s: int = 1800):
     """(user_id, session_id, n_events, first_ts, last_ts): gap-based
     session windows per user. session_id is 1-based in ts order within

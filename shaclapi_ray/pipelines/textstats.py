@@ -51,6 +51,26 @@ def token_count(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def normalize_text(docs_ds):
+    """(doc_id, norm_text): canonical text for downstream dedup/analysis —
+    Unicode NFC, lowercase, whitespace runs collapsed to single spaces,
+    trimmed. Entirely Arrow kernels (utf8_normalize / utf8_lower /
+    replace_substring_regex), zero-copy in, one new string column out;
+    semantics chosen to be bit-identical to DuckDB's
+    nfc_normalize/lower/regexp_replace for the shared oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(batch["text"], form="NFC")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        # trim plain spaces only (\s+ already collapsed RE2-\s runs; both
+        # engines' RE2 \s is ASCII-only, and DuckDB trim() is space-only)
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_signals(docs_ds):
     """(doc_id, n_chars, n_tokens, punct_count, digit_count, stop_count_en):
     integer quality signals for filtering (length/punct/stopword ratios are

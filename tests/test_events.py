@@ -1,0 +1,28 @@
+"""Window-operator invariants over the events table (oracle-SQL parity is
+covered separately in test_oracle_parity)."""
+
+import pytest
+
+from shaclapi_ray.io import read_table_split
+from shaclapi_ray.pipelines.events import hopping_window, tumbling_window
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_hopping_counts_each_event_k_times(ray_session):
+    """window_s/hop_s overlapping windows ⇒ every event lands in exactly
+    k windows, so total n_events is k× the tumbling total."""
+    ev = read_table_split(EVENTS)
+    n_events = ev.count()
+    hop = hopping_window(ev, window_s=300, hop_s=100).to_pandas()
+    assert hop.n_events.sum() == 3 * n_events
+    tum = tumbling_window(ev, window_s=300).to_pandas()
+    assert tum.n_events.sum() == n_events
+    # every tumbling window start also exists as a hopping window start
+    assert set(tum.window_start) <= set(hop.window_start)
+
+
+def test_hopping_rejects_unaligned_hop(ray_session):
+    ev = read_table_split(EVENTS)
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window(ev, window_s=300, hop_s=99)
