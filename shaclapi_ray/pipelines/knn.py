@@ -23,11 +23,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 
 
-def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 10, concurrency=(1, 4)):
+def knn_bruteforce(
+    emb_ds, query_ids: list[int], k: int = 10, concurrency=(1, 4), merge: str = "auto"
+):
     """(query_id, neighbor_id, rank): exact cosine top-k per query vector.
 
     Excludes self-matches. rank is 1-based by (similarity desc, neighbor_id
-    asc) — the deterministic tie-break shared with the SQL oracle."""
+    asc) — the deterministic tie-break shared with the SQL oracle.
+
+    ``merge`` picks the final candidate merge: ``'driver'`` (pandas
+    DataFrame result; candidates are bounded by num_batches × Q × k, fine
+    for interactive Q), ``'grouped'`` (hash-shuffle by query_id +
+    per-group top-k; returns a Dataset — the scale path when Q is large
+    enough that the candidate set no longer fits one machine), or
+    ``'auto'`` (grouped above GROUPED_MERGE_Q queries)."""
     import ray
 
     qset = set(int(q) for q in query_ids)
@@ -80,7 +89,37 @@ def knn_bruteforce(emb_ds, query_ids: list[int], k: int = 10, concurrency=(1, 4)
     candidates = emb_ds.map_batches(
         batch_topk, batch_format="pyarrow", zero_copy_batch=True
     )
+    if merge == "grouped" or (merge == "auto" and len(qset) > GROUPED_MERGE_Q):
+        return _final_topk_grouped(candidates, k)
     return _final_topk_driver(candidates, k)
+
+
+GROUPED_MERGE_Q = 256  # 'auto' switches to the distributed merge above this
+
+
+def _final_topk_grouped(candidates, k: int):
+    """Distributed final merge: hash-shuffle the bounded per-batch
+    candidates by query_id, take each group's top-k. Returns a Dataset
+    (same (query_id, neighbor_id, rank) contract as the driver merge) —
+    the scale path when Q × num_batches × k outgrows driver memory."""
+
+    def topk(g):
+        import pandas as pd
+
+        g = (
+            g.sort_values(["sim", "neighbor_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64"),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+                "rank": (g.index + 1).astype("int64"),
+            }
+        )
+
+    return candidates.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
 def _final_topk_driver(candidates, k: int):
@@ -220,6 +259,7 @@ def knn_ivf(
     seed: int = 3,
     concurrency=(1, 4),
     index_dir: str | None = None,
+    merge: str = "auto",
 ):
     """IVF approximate top-k with REAL probe pruning: the corpus lives in
     bucket-partitioned parquet (build_ivf_index); a search reads only the
@@ -300,6 +340,8 @@ def knn_ivf(
     candidates = ray.data.read_parquet(
         paths, columns=["vec_id", "embedding", "b"]
     ).map_batches(probe_topk, batch_format="pyarrow", zero_copy_batch=True)
+    if merge == "grouped" or (merge == "auto" and len(q_ids) > GROUPED_MERGE_Q):
+        return _final_topk_grouped(candidates, k)
     return _final_topk_driver(candidates, k)
 
 

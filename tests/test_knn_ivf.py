@@ -67,3 +67,21 @@ def test_ivf_results_and_recall(ray_session, emb_ds, tmp_path_factory):
     full = knn_ivf(emb_ds, qids, k=10, nprobe=16, n_centroids=16, index_dir=idx + "2")
     bf = knn_bruteforce(emb_ds, qids, k=10)
     assert full.equals(bf)
+
+
+def test_grouped_merge_matches_driver_merge(ray_session, emb_ds):
+    """The distributed (groupby query_id) final merge is row-identical to
+    the driver merge — the large-Q scale path changes topology, not
+    results."""
+    from shaclapi_ray.pipelines.knn import knn_bruteforce
+
+    qids = list(range(12))
+    drv = knn_bruteforce(emb_ds, qids, k=5, merge="driver")
+    grp = (
+        knn_bruteforce(emb_ds, qids, k=5, merge="grouped")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    drv = drv.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert grp.equals(drv)
