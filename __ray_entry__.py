@@ -266,6 +266,18 @@ def _q_simhash_neardup(sf_dir: str):
     return _sorted(simhash_neardup_pairs(_docs(sf_dir)), ["a", "b"])
 
 
+def _q_dedup_corpus(sf_dir: str):
+    from shaclapi_ray.pipelines.dedup import dedup_corpus
+
+    return _sorted(dedup_corpus(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_dedup_corpus_minhash(sf_dir: str):
+    from shaclapi_ray.pipelines.dedup import dedup_corpus
+
+    return _sorted(dedup_corpus(_docs(sf_dir), strategy="minhash"), ["doc_id"])
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from shaclapi_ray.pipelines.dedup import ngram_jaccard_pairs
 
@@ -442,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": _q_rolling_fingerprint,
         # dedup
         "exact_dedup": _q_exact_dedup,
+        "dedup_corpus": _q_dedup_corpus,
+        "dedup_corpus_minhash": _q_dedup_corpus_minhash,
         "minhash_clusters": _q_minhash_clusters,
         "simhash": _q_simhash,
         "simhash_neardup": _q_simhash_neardup,
@@ -498,6 +512,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
         "exact_dedup": o.exact_dedup_sql(),
+        "dedup_corpus": o.dedup_corpus_sql(),
         "ngram_jaccard": o.ngram_jaccard_sql(),
         "embedding_neardup": o.embedding_neardup_sql(EMB_NEARDUP_TAU),
         "knn_bruteforce": o.knn_bruteforce_sql(KNN_QUERY_IDS, KNN_K),

@@ -232,6 +232,14 @@ def token_count_sql() -> str:
     ).replace("\\", "\\")
 
 
+def dedup_corpus_sql() -> str:
+    return """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY coalesce(text, ''))
+ORDER BY doc_id
+"""
+
+
 def normalize_text_sql() -> str:
     return (
         "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "

@@ -76,6 +76,127 @@ def exact_dedup(docs_ds, text_col: str = "text"):
     )
 
 
+DROPSET_BROADCAST_LIMIT = 50_000_000  # sorted int64 ids, 8 B each => <=400 MB
+
+
+def dedup_corpus(docs_ds, strategy: str = "exact", text_col: str = "text"):
+    """The deduplicated documents table itself: every input column, one
+    surviving row (min doc_id) per duplicate group.
+
+    ``strategy``: 'exact' (byte-identical ``text_col``) or 'minhash'
+    (near-duplicate clusters via minhash_lsh_clusters).
+
+    Scale shape: the DROP set (ids of non-canonical rows) is proportional
+    to the number of DUPLICATES, not the corpus — for exact dedup it is
+    derived by joining the narrow (h1, h2, doc_id) table against only the
+    groups with n_dups > 1; the final filter broadcasts the drop ids as
+    ONE sorted int64 array (ray.put once, np.searchsorted per batch, zero
+    per-task build) below DROPSET_BROADCAST_LIMIT and falls back to a
+    hash-partitioned anti-join above it. The wide documents table is
+    never shuffled on the broadcast path."""
+    import polars as pl
+    import ray
+    import ray.data
+
+    if strategy == "exact":
+
+        def add_hash(batch: pa.Table) -> pa.Table:
+            s = pl.from_arrow(
+                batch[text_col].combine_chunks()
+                if isinstance(batch[text_col], pa.ChunkedArray)
+                else batch[text_col]
+            ).fill_null("")
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "h1": pa.array(s.hash(seed=17).to_numpy().view(np.int64)),
+                    "h2": pa.array(s.hash(seed=23).to_numpy().view(np.int64)),
+                }
+            )
+
+        hashed = docs_ds.map_batches(
+            add_hash, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        agg = hashed.groupby(["h1", "h2"]).aggregate(
+            Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
+        )
+        dup_groups = agg.filter(
+            expr="n_dups > 1"
+        )  # small: only groups that actually have duplicates
+        from shaclapi_ray.stages.joins import drop_empty_blocks
+        from shaclapi_ray.stages.referential import clamp_partitions
+
+        dup_nb = drop_empty_blocks(dup_groups)
+        if dup_nb is None:
+            return docs_ds  # no duplicates at all
+        hashed_nb = drop_empty_blocks(hashed)
+        members = hashed_nb.join(
+            dup_nb,
+            join_type="inner",
+            num_partitions=clamp_partitions(None),
+            on=("h1", "h2"),
+        )
+        drops = members.filter(expr="doc_id != keep_id").select_columns(["doc_id"])
+    elif strategy == "minhash":
+        clusters = minhash_lsh_clusters(docs_ds)
+        drops = clusters.filter(expr="doc_id != cluster_id").select_columns(
+            ["doc_id"]
+        )
+    else:
+        raise ValueError(f"unknown dedup_corpus strategy {strategy!r}")
+
+    drops = drops.materialize()
+    n_drops = drops.count()
+    if n_drops == 0:
+        return docs_ds
+    if n_drops <= DROPSET_BROADCAST_LIMIT:
+        drop_ids = np.sort(
+            np.concatenate(
+                [
+                    t["doc_id"].to_numpy(zero_copy_only=False)
+                    for r in drops.to_arrow_refs()
+                    if (t := ray.get(r)).num_rows
+                ]
+            )
+        )
+        drop_ref = ray.put(drop_ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(d, ids)
+            hit = (pos < d.size) & (d[np.clip(pos, 0, max(0, d.size - 1))] == ids)
+            return batch.filter(pa.array(~hit))
+
+        return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    # drop set too large to broadcast: exact hash-partitioned anti-join
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    marked = drops.map_batches(
+        lambda t: pa.table(
+            {
+                "j_doc_id": t["doc_id"],
+                "__drop": pa.array(np.ones(t.num_rows, dtype=np.int8())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = drop_empty_blocks(docs_ds).join(
+        drop_empty_blocks(marked),
+        join_type="left_outer",
+        num_partitions=clamp_partitions(None),
+        on=("doc_id",),
+        right_on=("j_doc_id",),
+    )
+    cols = [c for c in docs_ds.schema().names]
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__drop"])).select(cols),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -43,15 +43,15 @@ BROADCAST_LIMIT = 2_000_000  # pc.is_in broadcast limit (per-task hash build)
 FUSED_BROADCAST_LIMIT = 50_000_000
 
 
-def clamp_partitions(n: int) -> int:
+def clamp_partitions(n: int | None) -> int:
     """Hash-join/shuffle partition count must not exceed cluster CPUs —
     each hash-shuffle aggregator is an actor; oversubscribing them on a
-    small cluster deadlocks the streaming executor."""
+    small cluster deadlocks the streaming executor. None = one per CPU."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, min(n, cpus))
+    return max(2, min(n if n is not None else cpus, cpus))
 
 
 def child_valid_urls(verdicts_ds, child_shape_id: str):

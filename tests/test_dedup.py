@@ -237,3 +237,40 @@ def test_embedding_lsh_recall_on_planted_pairs(ray_session):
         )
     )
     assert got <= bf
+
+
+def test_dedup_corpus_exact(ray_session):
+    """End-to-end materializer: doc 4 (exact dup of 0) is dropped, every
+    other row survives with all columns intact."""
+    from shaclapi_ray.pipelines.dedup import dedup_corpus
+
+    df = dedup_corpus(_docs_ds()).to_pandas().sort_values("doc_id")
+    assert df.doc_id.tolist() == [0, 1, 2, 3, 5]
+    assert list(df.columns) == ["doc_id", "text"]
+    assert df[df.doc_id == 0].text.iloc[0] == TEXTS[0]
+
+
+def test_dedup_corpus_exact_antijoin_path(ray_session, monkeypatch):
+    """Forcing the drop set over the broadcast ceiling exercises the
+    hash-partitioned anti-join fallback; results are identical."""
+    import shaclapi_ray.pipelines.dedup as d
+
+    monkeypatch.setattr(d, "DROPSET_BROADCAST_LIMIT", 0)
+    df = d.dedup_corpus(_docs_ds()).to_pandas().sort_values("doc_id")
+    assert df.doc_id.tolist() == [0, 1, 2, 3, 5]
+    assert list(df.columns) == ["doc_id", "text"]
+
+
+def test_dedup_corpus_minhash_drops_neardups(ray_session):
+    """Near-dup texts (0, 1, 4 cluster together under MinHash-LSH) reduce
+    to the min doc_id; unrelated docs survive."""
+    from shaclapi_ray.pipelines.dedup import dedup_corpus, minhash_lsh_clusters
+
+    kept = set(
+        dedup_corpus(_docs_ds(), strategy="minhash").to_pandas().doc_id.tolist()
+    )
+    cl = minhash_lsh_clusters(_docs_ds()).to_pandas()
+    dropped = set(cl[cl.doc_id != cl.cluster_id].doc_id)
+    assert kept == set(range(len(TEXTS))) - dropped
+    assert 0 in kept and 2 in kept and 3 in kept
+    assert 4 not in kept  # exact dup always clusters with 0
