@@ -379,6 +379,34 @@ def _q_media_metadata(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_resize_media(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.multimodal import resize_media
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    df = resize_media(pages, width=16, height=16).to_pandas()
+    df["media_crc"] = [__import__("zlib").crc32(m) for m in df["media"]]
+    df = df.drop(columns=["media"])
+    return df.sort_values(["url"], na_position="first", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _q_sample_frames(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.multimodal import sample_frames
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    df = sample_frames(pages, every_n=2, max_frames=4, frame_bytes=512).to_pandas()
+    df["frame_crc"] = [__import__("zlib").crc32(f) for f in df["frame"]]
+    df = df.drop(columns=["frame"])
+    return df.sort_values(
+        ["url", "frame_idx"], na_position="first", kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def _q_featurize_media(sf_dir: str):
     import ray.data
 
@@ -474,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal
         "media_metadata": _q_media_metadata,
         "featurize_media": _q_featurize_media,
+        "resize_media": _q_resize_media,
+        "sample_frames": _q_sample_frames,
     }
 
 

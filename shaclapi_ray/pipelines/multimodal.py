@@ -92,6 +92,161 @@ class MediaFeaturizer:
         )
 
 
+class MediaResizer:
+    """Actor-pool resize stage: decode -> resize -> re-encode, emitting a
+    new binary column plus typed (width, height) metadata.
+
+    The decode/encode pair is the stub seam (`decode_stub='error'` raises
+    exactly where PIL's open/resize/save would run); the fake path
+    deterministically resamples the payload bytes to width*height via a
+    strided view, so output sizes, schema and batch shape are the real
+    thing."""
+
+    def __init__(self, width: int, height: int, decode_stub: str = "fake"):
+        if decode_stub == "real" and not _HAVE_PIL:
+            raise NotImplementedError(
+                "real image resize requires PIL, not available in this "
+                "environment — use decode_stub='fake'"
+            )
+        self.w, self.h, self.mode = int(width), int(height), decode_stub
+
+    def _resize(self, raw: bytes) -> bytes:
+        if self.mode == "error":
+            raise NotImplementedError("resize stub: no media libs installed")
+        n = self.w * self.h
+        if not raw:
+            return bytes(n)
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        idx = (np.arange(n, dtype=np.int64) * len(arr)) // n
+        return arr[idx].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(0)
+        out = [
+            self._resize(r if r is not None else b"")
+            for r in batch.column(1).to_pylist()
+        ]
+        n = batch.num_rows
+        return pa.table(
+            {
+                batch.column_names[0]: ids,
+                "media": pa.array(out, type=pa.binary()),
+                "width": pa.array([self.w] * n, pa.int32()),
+                "height": pa.array([self.h] * n, pa.int32()),
+            }
+        )
+
+
+def resize_media(
+    ds,
+    width: int = 64,
+    height: int = 64,
+    binary_col: str = "html",
+    id_col: str = "url",
+    batch_size: int = 256,
+    concurrency=(1, 4),
+    decode_stub: str = "fake",
+):
+    """(id, media binary, width, height): actor-pool image resize."""
+    return ds.select_columns([id_col, binary_col]).map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={
+            "width": width,
+            "height": height,
+            "decode_stub": decode_stub,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: one video payload row explodes
+    into (id, frame_idx, frame binary) rows — every ``every_n``-th frame,
+    at most ``max_frames`` per video.
+
+    Fake container format: the payload is treated as a concatenation of
+    fixed-size ``frame_bytes`` frames (a real implementation swaps the
+    frame iterator for ffmpeg/pyav at the marked seam; the explode
+    shape, ordering and bounds are the real plumbing)."""
+
+    def __init__(
+        self,
+        every_n: int = 2,
+        max_frames: int = 8,
+        frame_bytes: int = 4096,
+        decode_stub: str = "fake",
+    ):
+        if decode_stub == "real":
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg/pyav, not available "
+                "in this environment — use decode_stub='fake'"
+            )
+        self.every_n, self.max_frames = int(every_n), int(max_frames)
+        self.frame_bytes, self.mode = int(frame_bytes), decode_stub
+
+    def _frames(self, raw: bytes):
+        if self.mode == "error":
+            raise NotImplementedError("frame decode stub: no media libs")
+        fb = self.frame_bytes
+        n_frames = max(0, len(raw)) // fb
+        taken = 0
+        for i in range(0, n_frames, self.every_n):
+            if taken >= self.max_frames:
+                break
+            yield i, raw[i * fb : (i + 1) * fb]
+            taken += 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idxs, frames = [], [], []
+        id_vals = batch.column(0).to_pylist()
+        for vid, raw in zip(id_vals, batch.column(1).to_pylist()):
+            for i, frame in self._frames(raw if raw is not None else b""):
+                ids_out.append(vid)
+                idxs.append(i)
+                frames.append(frame)
+        return pa.table(
+            {
+                batch.column_names[0]: pa.array(
+                    ids_out, type=batch.column(0).type
+                ),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def sample_frames(
+    ds,
+    every_n: int = 2,
+    max_frames: int = 8,
+    frame_bytes: int = 4096,
+    binary_col: str = "html",
+    id_col: str = "url",
+    batch_size: int = 64,
+    concurrency=(1, 4),
+    decode_stub: str = "fake",
+):
+    """(id, frame_idx, frame binary): actor-pool frame sampling — the
+    exploding stage of a video pipeline (small batch_size: each input row
+    can emit max_frames × frame_bytes of output)."""
+    return ds.select_columns([id_col, binary_col]).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={
+            "every_n": every_n,
+            "max_frames": max_frames,
+            "frame_bytes": frame_bytes,
+            "decode_stub": decode_stub,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def featurize_media(
     ds,
     binary_col: str = "html",
