@@ -212,6 +212,12 @@ def _q_token_count(sf_dir: str):
     return _sorted(token_count(_docs(sf_dir)), ["doc_id"])
 
 
+def _q_pii_scan(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import pii_scan
+
+    return _sorted(pii_scan(_docs(sf_dir)), ["doc_id"])
+
+
 def _q_normalize_text(sf_dir: str):
     from shaclapi_ray.pipelines.textstats import normalize_text
 
@@ -476,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count": _q_token_count,
         "normalize_text": _q_normalize_text,
+        "pii_scan": _q_pii_scan,
         "quality_signals": _q_quality_signals,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -538,6 +545,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "annotated_pages": o.annotated_pages_sql(pages_dir),
         "token_count": o.token_count_sql(),
         "normalize_text": o.normalize_text_sql(),
+        "pii_scan": o.pii_scan_sql(),
         "quality_signals": o.quality_signals_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),

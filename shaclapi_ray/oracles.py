@@ -232,6 +232,21 @@ def token_count_sql() -> str:
     ).replace("\\", "\\")
 
 
+def pii_scan_sql() -> str:
+    from shaclapi_ray.pipelines.textstats import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{EMAIL_RE}')) AS email_count,
+       length(regexp_extract_all(text, '{IPV4_RE}')) AS ipv4_count,
+       length(regexp_extract_all(text, '{PHONE_RE}')) AS phone_count,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS red_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def dedup_corpus_sql() -> str:
     return """
 SELECT doc_id, text, lang, source, n_chars FROM documents

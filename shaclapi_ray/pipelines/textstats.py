@@ -51,6 +51,42 @@ def token_count(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,3}[ \-][0-9]{2,4}[ \-][0-9]{3,4}[ \-]?[0-9]{0,4}"
+
+
+def pii_scan(docs_ds):
+    """(doc_id, email_count, ipv4_count, phone_count, red_text): PII
+    pattern counts plus the redacted text (matches replaced with typed
+    placeholders) — the scrub stage of a web-corpus training pipeline.
+    All RE2 kernels (count_substring_regex / replace_substring_regex),
+    patterns shared verbatim with the DuckDB oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        red = pc.replace_substring_regex(t, EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, IPV4_RE, "<IP>")
+        red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "email_count": pc.cast(
+                    pc.count_substring_regex(t, EMAIL_RE), pa.int64()
+                ),
+                "ipv4_count": pc.cast(
+                    pc.count_substring_regex(t, IPV4_RE), pa.int64()
+                ),
+                "phone_count": pc.cast(
+                    pc.count_substring_regex(t, PHONE_RE), pa.int64()
+                ),
+                "red_text": red,
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def normalize_text(docs_ds):
     """(doc_id, norm_text): canonical text for downstream dedup/analysis —
     Unicode NFC, lowercase, whitespace runs collapsed to single spaces,

@@ -26,3 +26,28 @@ def test_hopping_rejects_unaligned_hop(ray_session):
     ev = read_table_split(EVENTS)
     with pytest.raises(ValueError, match="multiple"):
         hopping_window(ev, window_s=300, hop_s=99)
+
+
+def test_pii_scan_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.textstats import pii_scan
+
+    texts = [
+        "contact bob.smith+x@example.co.uk or 10.0.0.1 now",
+        "call +1 800 555 0199 twice: +44 20 7946 0958.",
+        "clean document, no pii at all",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    df = pii_scan(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df.email_count.tolist() == [1, 0, 0]
+    assert df.ipv4_count.tolist() == [1, 0, 0]
+    assert df.phone_count.tolist() == [0, 2, 0]
+    assert df.red_text[0] == "contact <EMAIL> or <IP> now"
+    assert df.red_text[1] == "call <PHONE> twice: <PHONE>."
+    assert df.red_text[2] == texts[2]
