@@ -379,7 +379,9 @@ class ValidationEngine:
                 # reused by several constraints: pay one materialization
                 links_ds = links_ds.materialize()
 
-        pieces = self.run_pass_b(pieces, links_ds, pages_a, pages_drift)
+        pieces = self.run_pass_b(
+            pieces, links_ds, pages_a, pages_drift, timings=timings
+        )
         timings["pass_b_s"] = time.monotonic() - t1
 
         # drop consumed colpart rows; skipped when no shape emitted any
@@ -409,11 +411,18 @@ class ValidationEngine:
         links_ds,
         pages_a,
         pages_drift,
+        timings: dict | None = None,
     ) -> list[ray.data.Dataset]:
         """Referential + global constraint evaluation in DAG order over an
         existing events dataset (pieces[0] = pass A output or read-back
         checkpointed events). Children complete before parents consume
-        them (barrier per DAG level). Returns the extended pieces list."""
+        them (barrier per DAG level). Returns the extended pieces list.
+
+        ``timings`` (optional) accumulates sub-phase seconds:
+        child_collect_s (child-valid hash-set builds), fused_eval_s
+        (backend single-pass evaluations), combine_s (staged count +
+        combine pipelines)."""
+        timings = timings if timings is not None else {}
         cfg = self.config
         shapes = self.dag.shapes
         rows_hint = getattr(self, "_rows_hint", None)
@@ -452,6 +461,7 @@ class ValidationEngine:
 
             pages_source = getattr(self, "_pages_source", None)
             if sid in getattr(self, "_fused_sids", set()):
+                tc = time.monotonic()
                 child_refs = {}
                 for c in refs:
                     if c.shape:
@@ -460,6 +470,9 @@ class ValidationEngine:
                         )
                     else:
                         child_refs[c.name] = None
+                timings["child_collect_s"] = timings.get(
+                    "child_collect_s", 0.0
+                ) + (time.monotonic() - tc)
                 if isinstance(pages_source, str):
                     from shaclapi_ray.io import read_parquet as _read
                     from shaclapi_ray.io import target_blocks
@@ -484,11 +497,16 @@ class ValidationEngine:
                     from shaclapi_ray.backends import get_backend
 
                     backend = get_backend(self.config.backend)
+                tf = time.monotonic()
                 pieces.append(
                     backend.eval_shape(pages_ref, shape, child_refs).materialize()
                 )
+                timings["fused_eval_s"] = timings.get("fused_eval_s", 0.0) + (
+                    time.monotonic() - tf
+                )
                 continue
 
+            tcomb = time.monotonic()
             colpart = _filter_events(all_events(), kind="colpart", shape_id=sid)
             counts_and_constraints = []
             for c in refs:
@@ -524,6 +542,9 @@ class ValidationEngine:
                 size_hint=getattr(self, "_rows_hint", None),
             )
             pieces.append(combined.materialize())
+            timings["combine_s"] = timings.get("combine_s", 0.0) + (
+                time.monotonic() - tcomb
+            )
         return pieces
 
     # -- helpers -------------------------------------------------------------
