@@ -226,8 +226,12 @@ ORDER BY p.url NULLS FIRST, p.lang
 
 
 def token_count_sql() -> str:
+    from shaclapi_ray.pipelines.textstats import BPE_TOKEN_RE
+
+    bpe = BPE_TOKEN_RE.replace("'", "''")  # SQL string-literal escaping
     return (
-        f"SELECT doc_id, length(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens "
+        f"SELECT doc_id, length(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens, "
+        f"length(regexp_extract_all(text, '{bpe}')) AS n_bpe_tokens "
         "FROM documents ORDER BY doc_id"
     ).replace("\\", "\\")
 

@@ -17,6 +17,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 TOKEN_RE = r"\S+"
+# GPT-2-style pretokenizer, restricted to RE2 (no lookahead): contraction
+# tails, space-prefixed letter/digit runs, space-prefixed punctuation runs
+BPE_TOKEN_RE = r"'[a-z]+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 PUNCT_RE = r"[.!?,;:]"
 DIGIT_RE = r"[0-9]"
 
@@ -36,7 +39,9 @@ def _word_alt_pattern(words: list[str]) -> str:
 
 
 def token_count(docs_ds):
-    """(doc_id, n_tokens): whitespace-delimited token count."""
+    """(doc_id, n_tokens, n_bpe_tokens): whitespace-delimited token count
+    plus a BPE-ish pretokenizer count (BPE_TOKEN_RE — the subword-model
+    input unit; both RE2 kernels, shared verbatim with the oracle)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -44,6 +49,10 @@ def token_count(docs_ds):
                 "doc_id": batch["doc_id"],
                 "n_tokens": pc.cast(
                     pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(batch["text"], BPE_TOKEN_RE),
+                    pa.int64(),
                 ),
             }
         )
