@@ -212,6 +212,15 @@ def _q_token_count(sf_dir: str):
     return _sorted(token_count(_docs(sf_dir)), ["doc_id"])
 
 
+SAMPLE_FRACTION = 0.35
+
+
+def _q_sample_corpus(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import sample_corpus
+
+    return _sorted(sample_corpus(_docs(sf_dir), SAMPLE_FRACTION), ["doc_id"])
+
+
 def _q_pii_scan(sf_dir: str):
     from shaclapi_ray.pipelines.textstats import pii_scan
 
@@ -483,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "normalize_text": _q_normalize_text,
         "pii_scan": _q_pii_scan,
+        "sample_corpus": _q_sample_corpus,
         "quality_signals": _q_quality_signals,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -546,6 +556,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "token_count": o.token_count_sql(),
         "normalize_text": o.normalize_text_sql(),
         "pii_scan": o.pii_scan_sql(),
+        "sample_corpus": o.sample_corpus_sql(SAMPLE_FRACTION),
         "quality_signals": o.quality_signals_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),

@@ -236,6 +236,17 @@ def token_count_sql() -> str:
     ).replace("\\", "\\")
 
 
+def sample_corpus_sql(fraction: float, seed: int = 0) -> str:
+    from shaclapi_ray.pipelines.textstats import SAMPLE_KNUTH
+
+    threshold = int(fraction * (1 << 32))
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE ((doc_id + {seed}) * {SAMPLE_KNUTH}) % 4294967296 < {threshold}
+ORDER BY doc_id
+"""
+
+
 def pii_scan_sql() -> str:
     from shaclapi_ray.pipelines.textstats import EMAIL_RE, IPV4_RE, PHONE_RE
 

@@ -60,6 +60,32 @@ def token_count(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+SAMPLE_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def sample_corpus(docs_ds, fraction: float, seed: int = 0):
+    """Deterministic corpus subsample: keep rows where
+    ((doc_id + seed) * 2654435761) mod 2^32 < fraction * 2^32.
+
+    Unlike ``Dataset.random_sample`` this is REPRODUCIBLE across runs,
+    cluster sizes and block layouts (pure per-row arithmetic — no RNG
+    state), so a sampled training corpus can be re-derived exactly;
+    change ``seed`` for independent samples. Vectorized int64 kernels;
+    identical arithmetic in the DuckDB oracle."""
+    import numpy as np
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(fraction * (1 << 32))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids + seed) * SAMPLE_KNUTH) % (1 << 32)
+        return batch.filter(pa.array(h < threshold))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PHONE_RE = r"\+[0-9]{1,3}[ \-][0-9]{2,4}[ \-][0-9]{3,4}[ \-]?[0-9]{0,4}"

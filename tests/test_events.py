@@ -51,3 +51,19 @@ def test_pii_scan_planted(ray_session):
     assert df.red_text[0] == "contact <EMAIL> or <IP> now"
     assert df.red_text[1] == "call <PHONE> twice: <PHONE>."
     assert df.red_text[2] == texts[2]
+
+
+def test_sample_corpus_layout_invariant(ray_session):
+    """The deterministic sample is identical regardless of block layout
+    (the property Dataset.random_sample does NOT have)."""
+    from shaclapi_ray.io import read_table_split
+    from shaclapi_ray.pipelines.textstats import sample_corpus
+
+    docs = read_table_split("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(sample_corpus(docs, 0.3).to_pandas().doc_id)
+    b = sorted(
+        sample_corpus(docs.repartition(7), 0.3, seed=0).to_pandas().doc_id
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    c = sorted(sample_corpus(docs, 0.3, seed=9).to_pandas().doc_id)
+    assert c != a  # independent sample under a different seed
