@@ -364,6 +364,12 @@ def _q_hopping_window(sf_dir: str):
     )
 
 
+def _q_assign_sessions(sf_dir: str):
+    from shaclapi_ray.pipelines.events import assign_sessions
+
+    return _sorted(assign_sessions(_events(sf_dir), SESSION_GAP_S), ["event_id"])
+
+
 def _q_sessionize(sf_dir: str):
     from shaclapi_ray.pipelines.events import sessionize
 
@@ -514,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
+        "assign_sessions": _q_assign_sessions,
         "event_type_stats": _q_event_type_stats,
         "parse_props": _q_parse_props,
         # multimodal
@@ -568,6 +575,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "tumbling_window": o.tumbling_window_sql(WINDOW_S),
         "hopping_window": o.hopping_window_sql(WINDOW_S, HOP_S),
         "sessionize": o.sessionize_sql(SESSION_GAP_S),
+        "assign_sessions": o.assign_sessions_sql(SESSION_GAP_S),
         "event_type_stats": o.event_type_stats_sql(),
         "parse_props": o.parse_props_sql(),
         "media_metadata": o.media_metadata_sql(pages_dir),

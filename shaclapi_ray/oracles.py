@@ -403,6 +403,23 @@ GROUP BY user_id, window_start ORDER BY user_id, window_start
 """
 
 
+def assign_sessions_sql(gap_s: int) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+         CASE WHEN lag(epoch_us(ts) // 1000000) OVER w IS NULL
+                OR (epoch_us(ts) // 1000000) - (lag(epoch_us(ts) // 1000000) OVER w) > {gap_s}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM e ORDER BY event_id
+"""
+
+
 def sessionize_sql(gap_s: int) -> str:
     return f"""
 WITH e AS (

@@ -170,6 +170,33 @@ def sessionize(events_ds, gap_s: int = 1800):
     return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def assign_sessions(events_ds, gap_s: int = 1800):
+    """(event_id, user_id, session_id): every event tagged with its
+    gap-session — the event-level range join onto the session intervals
+    sessionize() aggregates (same 1-based ts-ordered ids). One keyed
+    shuffle (groupby user), vectorized cumsum within group."""
+
+    def per_user(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        ts_s = (
+            pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64").to_numpy()
+            // 1_000_000_000
+        )
+        new_session = np.ones(len(g), dtype=bool)
+        new_session[1:] = (ts_s[1:] - ts_s[:-1]) > gap_s
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "session_id": np.cumsum(new_session).astype("int64"),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def event_type_stats(events_ds):
     """(event_type, n, sum_value, min_value, max_value): keyed aggregate
     with Ray-native partial+final combine."""
