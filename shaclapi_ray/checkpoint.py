@@ -66,7 +66,9 @@ def _stabilize_fsspec_http() -> None:
     import types
 
     try:
-        import fsspec.implementations.http  # noqa: F401
+        # the NAME must import, not just the module: under thread races a
+        # half-initialized module can be in sys.modules without the class
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
     except Exception:
         mod = types.ModuleType("fsspec.implementations.http")
 
