@@ -527,11 +527,24 @@ SIMHASH_SEED = 29
 
 
 class SimHasher:
-    """64-bit simhash over whitespace tokens; bucket = top-16-bit prefix.
+    """64-bit simhash over whitespace tokens; bucket = top-``bucket_bits``
+    prefix (default 16).
 
     Vectorized end-to-end: polars extract_all + explode produces the
     (row, token) table, ONE polars hash call covers every token, and the
-    per-doc ±1 bit accumulation is a numpy reduceat over doc runs."""
+    per-doc ±1 bit accumulation is a numpy reduceat over doc runs.
+
+    Scale note: pick ``bucket_bits`` so the EXPECTED bucket population
+    stays small — the near-dup verify is O(size²) numpy work per bucket,
+    and a 16-bit prefix caps the bucket count at 65k (fine to ~10M docs,
+    catastrophic at billions). Wider prefixes trade recall (pairs whose
+    differing bits fall inside the prefix are missed) for bucket size;
+    rotate the prefix across multiple tables to buy the recall back."""
+
+    def __init__(self, bucket_bits: int = 16):
+        if not 1 <= bucket_bits <= 63:
+            raise ValueError("bucket_bits must be in [1, 63]")
+        self.bucket_bits = bucket_bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -562,27 +575,37 @@ class SimHasher:
             ).sum(axis=1, dtype=np.uint64)
             sims[rows[run_starts]] = vals
         arr = pa.array(sims.view(np.int64), type=pa.int64())
+        bb = self.bucket_bits
+        bucket = pc.bit_wise_and(pc.shift_right(arr, 64 - bb), (1 << bb) - 1)
         return pa.table(
             {
                 "doc_id": doc_ids,
                 "simhash": arr,
-                "bucket": pc.cast(
-                    pc.bit_wise_and(pc.shift_right(arr, 48), 0xFFFF), pa.int32()
-                ),
+                # int32 preserved at the default width (existing outputs);
+                # wider prefixes need int64
+                "bucket": pc.cast(bucket, pa.int32() if bb <= 31 else pa.int64()),
             }
         )
 
 
-def simhash_signatures(docs_ds, concurrency=(1, 4)):
+def simhash_signatures(docs_ds, concurrency=(1, 4), bucket_bits: int = 16):
     return docs_ds.map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+        SimHasher,
+        fn_constructor_kwargs={"bucket_bits": bucket_bits},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
     )
 
 
-def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, concurrency=(1, 4)):
+def simhash_neardup_pairs(
+    docs_ds, max_hamming: int = 3, concurrency=(1, 4), bucket_bits: int = 16
+):
     """(a, b, hamming): near-duplicate candidate pairs by simhash —
-    docs sharing a 16-bit bucket prefix whose full 64-bit signatures are
-    within ``max_hamming`` bits.
+    docs sharing a ``bucket_bits``-bit prefix whose full 64-bit
+    signatures are within ``max_hamming`` bits. Size ``bucket_bits`` to
+    the corpus (see SimHasher scale note): per-bucket verify is
+    O(size²), so expected bucket population must stay small.
 
     Scale shape: signatures stream from simhash_signatures; the only
     shuffle is the narrow (bucket, doc_id, simhash) groupby; per-bucket
@@ -613,7 +636,9 @@ def simhash_neardup_pairs(docs_ds, max_hamming: int = 3, concurrency=(1, 4)):
             }
         ).astype("int64")
 
-    sigs = simhash_signatures(docs_ds, concurrency=concurrency)
+    sigs = simhash_signatures(
+        docs_ds, concurrency=concurrency, bucket_bits=bucket_bits
+    )
     pairs = sigs.groupby("bucket").map_groups(verify, batch_format="pandas")
     out = pairs.map_batches(
         lambda t: pa.table(

@@ -274,3 +274,32 @@ def test_dedup_corpus_minhash_drops_neardups(ray_session):
     assert kept == set(range(len(TEXTS))) - dropped
     assert 0 in kept and 2 in kept and 3 in kept
     assert 4 not in kept  # exact dup always clusters with 0
+
+
+def test_simhash_bucket_bits_widens(ray_session):
+    """Wider prefixes refine buckets: every 24-bit bucket maps to exactly
+    one 16-bit bucket (its top 16 bits), and candidate pairs under the
+    finer bucketing are a subset of the coarser ones."""
+    from shaclapi_ray.pipelines.dedup import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    texts = TEXTS + [TEXTS[0] + " slight change"]
+    s16 = simhash_signatures(_docs_ds(texts)).to_pandas().set_index("doc_id")
+    s24 = (
+        simhash_signatures(_docs_ds(texts), bucket_bits=24)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for i in s16.index:
+        assert int(s24.bucket[i]) >> 8 == int(s16.bucket[i])
+    p16 = set(
+        map(tuple, simhash_neardup_pairs(_docs_ds(texts), max_hamming=8)
+            .to_pandas()[["a", "b"]].itertuples(index=False))
+    )
+    p24 = set(
+        map(tuple, simhash_neardup_pairs(_docs_ds(texts), max_hamming=8, bucket_bits=24)
+            .to_pandas()[["a", "b"]].itertuples(index=False))
+    )
+    assert p24 <= p16
