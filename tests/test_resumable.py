@@ -34,9 +34,14 @@ def test_kill_and_resume_byte_identical(ray_session, pages_dir, tmp_path_factory
     base = tmp_path_factory.mktemp("out")
 
     # uninterrupted reference run
+    def canon(df):
+        # pagegen injects duplicate urls (the unique-constraint corpus),
+        # so sort on ALL columns for a deterministic comparison order
+        return df.sort_values(["doc_id", "norm_text"]).reset_index(drop=True)
+
     ref = ResumableMapJob(_fn, str(base / "ref"))
     assert ref.run(pages_dir)
-    want = ref.result().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = canon(ref.result().to_pandas())
 
     # killed after 2 partitions, then resumed
     job = ResumableMapJob(_fn, str(base / "resumed"))
@@ -49,7 +54,7 @@ def test_kill_and_resume_byte_identical(ray_session, pages_dir, tmp_path_factory
     mtimes = {p: os.path.getmtime(os.path.join(part_dir, p)) for p in os.listdir(part_dir)}
     job2 = ResumableMapJob(_fn, str(base / "resumed"))
     assert job2.run(pages_dir)
-    got = job2.result().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = canon(job2.result().to_pandas())
     assert got.equals(want)
     # finished partitions were skipped, not rewritten
     for p, t in mtimes.items():
