@@ -433,7 +433,7 @@ def minhash_lsh_clusters(
     num_perm: int = 64,
     bands: int = 16,
     k: int = 5,
-    concurrency=(1, 4),
+    concurrency=None,
     labeling: str = "auto",
 ):
     """(doc_id, cluster_id): near-duplicate clusters via banded MinHash-LSH.
@@ -448,13 +448,24 @@ def minhash_lsh_clusters(
     16 B per clustered doc."""
     import ray as _ray
 
-    sigs = docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    # MinHasher's state is a few KB of seed-derived numpy arrays, so the
+    # default path ships ONE serialized instance to stateless tasks (no
+    # actor-pool ramp-up — measured as seconds of dead time per run);
+    # pass ``concurrency`` to force an actor pool
+    if concurrency:
+        sigs = docs_ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    else:
+        sigs = docs_ds.map_batches(
+            MinHasher(num_perm=num_perm, bands=bands, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     sigs_m = sigs.materialize()
     pair_rows = _candidate_pairs(sigs_m)
 
@@ -588,18 +599,32 @@ class SimHasher:
         )
 
 
-def simhash_signatures(docs_ds, concurrency=(1, 4), bucket_bits: int = 16):
+def simhash_signatures(docs_ds, concurrency=None, bucket_bits: int = 16):
+    """SimHasher holds no real state (bucket_bits only), so the default
+    path is STATELESS TASKS — elastic, no actor-pool ramp-up (measured:
+    the (1,4) actor pool spent seconds starting actors for sub-second
+    batch work). Pass ``concurrency`` to force an actor pool anyway."""
+    if concurrency:
+        return docs_ds.map_batches(
+            SimHasher,
+            fn_constructor_kwargs={"bucket_bits": bucket_bits},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     return docs_ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"bucket_bits": bucket_bits},
+        SimHasher(bucket_bits),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
 
 def simhash_neardup_pairs(
-    docs_ds, max_hamming: int = 3, concurrency=(1, 4), bucket_bits: int = 16
+    docs_ds,
+    max_hamming: int = 3,
+    concurrency=None,
+    bucket_bits: int = 16,
+    coarse_bits: int = 8,
 ):
     """(a, b, hamming): near-duplicate candidate pairs by simhash —
     docs sharing a ``bucket_bits``-bit prefix whose full 64-bit
@@ -607,39 +632,64 @@ def simhash_neardup_pairs(
     the corpus (see SimHasher scale note): per-bucket verify is
     O(size²), so expected bucket population must stay small.
 
-    Scale shape: signatures stream from simhash_signatures; the only
-    shuffle is the narrow (bucket, doc_id, simhash) groupby; per-bucket
-    verification is a vectorized numpy XOR+popcount over the group.
+    Scale shape: signatures stream from simhash_signatures; the ONE
+    shuffle groups the narrow (bucket, doc_id, simhash) rows by the
+    top-``coarse_bits`` COARSE prefix (2^coarse_bits groups, not one
+    group per bucket — thousands of near-empty per-group pandas frames
+    are exactly the map_groups overhead the engine avoids elsewhere);
+    inside a coarse group the full buckets are contiguous runs of a
+    lexsort and each run verifies with one numpy XOR+popcount matrix.
     (Single-band prefix bucketing misses pairs whose differing bits fall
     in the prefix — the standard simhash recall/eff tradeoff; raise
     coverage by rotating the prefix like multi-table LSH if needed.)"""
+    if not 1 <= coarse_bits <= min(bucket_bits, 31):
+        raise ValueError("coarse_bits must be in [1, min(bucket_bits, 31)]")
+    sub_shift = bucket_bits - coarse_bits
 
     def verify(group):
         import pandas as pd
 
-        ids = np.asarray(group["doc_id"].tolist(), dtype=np.int64)
-        if len(ids) < 2:
+        ids = group["doc_id"].to_numpy(dtype=np.int64)
+        out = {"a": [], "b": [], "hamming": []}
+        if len(ids) >= 2:
+            sigs = group["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            buckets = group["bucket"].to_numpy(dtype=np.int64)
+            order = np.lexsort((ids, buckets))
+            b_sorted = buckets[order]
+            starts = np.flatnonzero(np.diff(b_sorted, prepend=-1))
+            ends = np.append(starts[1:], len(b_sorted))
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                idx = order[s:e]
+                g_ids, g_sigs = ids[idx], sigs[idx]
+                x = g_sigs[:, None] ^ g_sigs[None, :]
+                ham = np.zeros(x.shape, dtype=np.int64)
+                for _ in range(8):  # byte-wise table popcount
+                    ham += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.int64)]
+                    x = x >> np.uint64(8)
+                ai, bj = np.nonzero(ham <= max_hamming)
+                keep = g_ids[ai] < g_ids[bj]
+                out["a"].append(g_ids[ai][keep])
+                out["b"].append(g_ids[bj][keep])
+                out["hamming"].append(ham[ai, bj][keep])
+        if not out["a"]:
             return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype="int64")
-        sigs = np.asarray(group["simhash"].tolist(), dtype=np.int64).view(np.uint64)
-        x = sigs[:, None] ^ sigs[None, :]
-        ham = np.zeros(x.shape, dtype=np.int64)
-        for _ in range(8):  # byte-wise table popcount
-            ham += _POPCOUNT_TABLE[(x & np.uint64(0xFF)).astype(np.int64)]
-            x = x >> np.uint64(8)
-        ai, bj = np.nonzero(ham <= max_hamming)
-        keep = ids[ai] < ids[bj]
         return pd.DataFrame(
-            {
-                "a": ids[ai][keep],
-                "b": ids[bj][keep],
-                "hamming": ham[ai, bj][keep],
-            }
+            {k: np.concatenate(v) for k, v in out.items()}
         ).astype("int64")
 
     sigs = simhash_signatures(
         docs_ds, concurrency=concurrency, bucket_bits=bucket_bits
     )
-    pairs = sigs.groupby("bucket").map_groups(verify, batch_format="pandas")
+    coarse = sigs.map_batches(
+        lambda t: t.append_column(
+            "ck", pc.cast(pc.shift_right(t["bucket"], sub_shift), pa.int32())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = coarse.groupby("ck").map_groups(verify, batch_format="pandas")
     out = pairs.map_batches(
         lambda t: pa.table(
             {

@@ -223,13 +223,18 @@ class Fingerprinter:
         )
 
 
-def fingerprint(docs_ds, concurrency=(1, 4)):
-    """(doc_id, fp): md5 of text."""
+def fingerprint(docs_ds, concurrency=None):
+    """(doc_id, fp): md5 of text. Stateless -> task path by default
+    (no actor ramp-up); pass ``concurrency`` to force an actor pool."""
+    if concurrency:
+        return docs_ds.map_batches(
+            Fingerprinter,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     return docs_ds.map_batches(
-        Fingerprinter,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        Fingerprinter(), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -237,7 +242,7 @@ ROLL_B = 1000003  # odd => invertible mod 2^64
 ROLL_SEP = 0xFF  # never appears in UTF-8 text
 
 
-def rolling_fingerprint(docs_ds, window: int = 32, concurrency=(1, 4)):
+def rolling_fingerprint(docs_ds, window: int = 32, concurrency=None):
     """(doc_id, fp_min): minimum 64-bit rolling (Rabin-Karp style) hash
     h_i = sum_j text_bytes[i+j] * B^(w-1-j) (mod 2^64) over ALL byte
     windows of the FULL document — a locality-sensitive fingerprint used
@@ -303,6 +308,15 @@ def rolling_fingerprint(docs_ds, window: int = 32, concurrency=(1, 4)):
                 }
             )
 
+    # stateless (window + two derived constants): task path by default —
+    # no actor-pool ramp; pass ``concurrency`` to force an actor pool
+    if concurrency:
+        return docs_ds.map_batches(
+            Roller,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     return docs_ds.map_batches(
-        Roller, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+        Roller(), batch_format="pyarrow", zero_copy_batch=True
     )
