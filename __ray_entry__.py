@@ -233,6 +233,18 @@ def _q_normalize_text(sf_dir: str):
     return _sorted(normalize_text(_docs(sf_dir)), ["doc_id"])
 
 
+def _q_repetition_signals(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import repetition_signals
+
+    return _sorted(repetition_signals(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import top_docs_per_group
+
+    return _sorted(top_docs_per_group(_docs(sf_dir)), ["lang", "rank"])
+
+
 def _q_quality_signals(sf_dir: str):
     from shaclapi_ray.pipelines.textstats import quality_signals
 
@@ -500,6 +512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": _q_pii_scan,
         "sample_corpus": _q_sample_corpus,
         "quality_signals": _q_quality_signals,
+        "repetition_signals": _q_repetition_signals,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "rolling_fingerprint": _q_rolling_fingerprint,
@@ -565,6 +579,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "pii_scan": o.pii_scan_sql(),
         "sample_corpus": o.sample_corpus_sql(SAMPLE_FRACTION),
         "quality_signals": o.quality_signals_sql(),
+        "repetition_signals": o.repetition_signals_sql(),
+        "top_docs_per_lang": o.top_docs_per_group_sql(3),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
         "exact_dedup": o.exact_dedup_sql(),

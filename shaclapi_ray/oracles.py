@@ -290,6 +290,28 @@ FROM documents ORDER BY doc_id
 """
 
 
+def repetition_signals_sql() -> str:
+    return r"""
+SELECT doc_id,
+       length(string_split(text, chr(10))) AS n_lines,
+       length(list_distinct(string_split(text, chr(10)))) AS n_unique_lines,
+       length(regexp_extract_all(text, '\S+')) AS n_words,
+       length(list_distinct(regexp_extract_all(text, '\S+'))) AS n_unique_words
+FROM documents ORDER BY doc_id
+"""
+
+
+def top_docs_per_group_sql(k: int, group_col: str = "lang") -> str:
+    return f"""
+SELECT {group_col}, doc_id, n_chars, rank FROM (
+  SELECT {group_col}, doc_id, n_chars,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+WHERE rank <= {k} ORDER BY {group_col}, rank
+"""
+
+
 def lang_id_sql() -> str:
     langs = sorted(STOPWORDS)
     counts = ",\n       ".join(

@@ -238,6 +238,69 @@ def fingerprint(docs_ds, concurrency=None):
     )
 
 
+def repetition_signals(docs_ds):
+    """(doc_id, n_lines, n_unique_lines, n_words, n_unique_words):
+    Gopher-style repetition/diversity counts for quality filtering —
+    duplicate-line fraction and type-token ratio are computed downstream
+    from these exact integers (Rae et al. 2021, "Scaling Language Models",
+    §A1.1 repetition filters). Vectorized polars list kernels (split /
+    extract_all + list.len / list.n_unique); no per-row loops. The DuckDB
+    oracle shares the same split semantics (string_split / list_distinct /
+    regexp_extract_all)."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        lines = pl.col("text").str.split("\n")
+        words = pl.col("text").str.extract_all(r"\S+")
+        out = df.select(
+            pl.col("doc_id"),
+            lines.list.len().cast(pl.Int64).alias("n_lines"),
+            lines.list.n_unique().cast(pl.Int64).alias("n_unique_lines"),
+            words.list.len().cast(pl.Int64).alias("n_words"),
+            words.list.n_unique().cast(pl.Int64).alias("n_unique_words"),
+        )
+        return out.to_arrow()
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOPK_PER_GROUP = 3
+
+
+def top_docs_per_group(docs_ds, k: int = TOPK_PER_GROUP, group_col: str = "lang"):
+    """(lang, doc_id, n_chars, rank): the k largest documents per group —
+    grouped top-k, the per-domain/per-language selection step of corpus
+    curation. Two-level: each batch pre-truncates to its local top-k per
+    group (vectorized polars sort + group head — the combiner), so the
+    keyed shuffle moves at most k rows per (group, batch), never the
+    corpus; the final groupby finishes the merge. Ties break by doc_id
+    ascending — deterministic."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([group_col, "doc_id", "n_chars"]))
+        out = (
+            df.sort(["n_chars", "doc_id"], descending=[True, False])
+            .group_by(group_col, maintain_order=True)
+            .head(k)
+        )
+        return out.to_arrow()
+
+    def final(g):
+        import pandas as pd
+
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.RangeIndex(1, len(g) + 1).astype("int64")
+        return g[[group_col, "doc_id", "n_chars", "rank"]]
+
+    partials = docs_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
 ROLL_B = 1000003  # odd => invertible mod 2^64
 ROLL_SEP = 0xFF  # never appears in UTF-8 text
 
