@@ -382,6 +382,12 @@ def _q_assign_sessions(sf_dir: str):
     return _sorted(assign_sessions(_events(sf_dir), SESSION_GAP_S), ["event_id"])
 
 
+def _q_attribute_events(sf_dir: str):
+    from shaclapi_ray.pipelines.events import attribute_events
+
+    return _sorted(attribute_events(_events(sf_dir)), ["event_id"])
+
+
 def _q_sessionize(sf_dir: str):
     from shaclapi_ray.pipelines.events import sessionize
 
@@ -535,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
         "assign_sessions": _q_assign_sessions,
+        "attribute_events": _q_attribute_events,
         "event_type_stats": _q_event_type_stats,
         "parse_props": _q_parse_props,
         # multimodal
@@ -592,6 +599,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "hopping_window": o.hopping_window_sql(WINDOW_S, HOP_S),
         "sessionize": o.sessionize_sql(SESSION_GAP_S),
         "assign_sessions": o.assign_sessions_sql(SESSION_GAP_S),
+        "attribute_events": o.attribute_events_sql(),
         "event_type_stats": o.event_type_stats_sql(),
         "parse_props": o.parse_props_sql(),
         "media_metadata": o.media_metadata_sql(pages_dir),

@@ -464,6 +464,25 @@ FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+def attribute_events_sql(left_type: str = "click", right_type: str = "purchase") -> str:
+    """As-of join oracle. Deliberately NOT DuckDB's ASOF JOIN: its tie
+    order at equal timestamps is unspecified, so the lateral spells out
+    the contract (latest ts, then largest event_id; unmatched -> -1)."""
+    return f"""
+SELECT p.event_id,
+       coalesce(m.event_id, -1) AS matched_event_id,
+       coalesce(date_diff('microsecond', m.ts, p.ts), -1) AS lag_us
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT c.event_id, c.ts FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = '{left_type}' AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) m ON true
+WHERE p.event_type = '{right_type}'
+ORDER BY p.event_id
+"""
+
+
 def parse_props_sql() -> str:
     return (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "

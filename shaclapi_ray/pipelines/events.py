@@ -197,6 +197,53 @@ def assign_sessions(events_ds, gap_s: int = 1800):
     return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def attribute_events(events_ds, left_type: str = "click", right_type: str = "purchase"):
+    """(event_id, matched_event_id, lag_us): AS-OF JOIN — each ``right_type``
+    event is matched to the most recent ``left_type`` event by the SAME user
+    at or before its timestamp (attribution: purchase -> last click). Ray
+    Data has no as-of join; this is the documented composition: ONE keyed
+    shuffle (groupby user_id), then a vectorized np.searchsorted inside each
+    group — no per-event loops, no second shuffle. Partitioning assumption:
+    one user's events fit in a worker (same as sessionize; salt hot users
+    upstream if violated). Ties (equal ts) break toward the larger
+    event_id; unmatched rows get -1/-1 (avoids nullable-int schema drift
+    between engines). Equivalent to DuckDB's ASOF JOIN modulo its
+    unspecified tie order — the oracle spells out the tie-break instead."""
+
+    def per_user(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = (
+            pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64").to_numpy()
+            // 1_000
+        )
+        et = g["event_type"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        lmask = et == left_type
+        rmask = et == right_type
+        lts, lid = ts_us[lmask], eid[lmask]
+        rts, rid = ts_us[rmask], eid[rmask]
+        if lid.size:
+            idx = np.searchsorted(lts, rts, side="right") - 1
+            pos = np.maximum(idx, 0)
+            got = idx >= 0
+            matched = np.where(got, lid[pos], -1)
+            lag = np.where(got, rts - lts[pos], -1)
+        else:
+            matched = np.full(rid.size, -1, dtype=np.int64)
+            lag = np.full(rid.size, -1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": rid.astype("int64"),
+                "matched_event_id": matched.astype("int64"),
+                "lag_us": lag.astype("int64"),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def event_type_stats(events_ds):
     """(event_type, n, sum_value, min_value, max_value): keyed aggregate
     with Ray-native partial+final combine."""

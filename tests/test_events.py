@@ -67,3 +67,46 @@ def test_sample_corpus_layout_invariant(ray_session):
     assert a == b and 0 < len(a) < docs.count()
     c = sorted(sample_corpus(docs, 0.3, seed=9).to_pandas().doc_id)
     assert c != a  # independent sample under a different seed
+
+
+def test_attribute_events_asof_semantics(ray_session):
+    """As-of join contract: latest click at-or-before the purchase wins,
+    equal-ts ties break to the larger event_id, cross-user events never
+    match, and purchases with no prior click get -1/-1."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from shaclapi_ray.pipelines.events import attribute_events
+
+    def ts(s):
+        return pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=s)
+
+    rows = [
+        # user 1: clicks at t=10 (ids 1,2 tie) and t=20; purchases at t=15, t=20, t=5
+        (1, ts(10), 1, "click"),
+        (2, ts(10), 1, "click"),
+        (3, ts(20), 1, "click"),
+        (4, ts(15), 1, "purchase"),   # -> id 2 (tie at t=10 -> larger id)
+        (5, ts(20), 1, "purchase"),   # -> id 3 (click AT purchase ts counts)
+        (6, ts(5), 1, "purchase"),    # -> unmatched
+        # user 2: only a purchase; user 1's clicks must not leak
+        (7, ts(30), 2, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        attribute_events(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out.event_id.tolist() == [4, 5, 6, 7]
+    assert out.matched_event_id.tolist() == [2, 3, -1, -1]
+    assert out.lag_us.tolist() == [5_000_000, 0, -1, -1]
