@@ -97,6 +97,15 @@ def _q_links(sf_dir: str):
     return _sorted(extract_links(pages), ["url", "target_url"])
 
 
+def _q_extract_text(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.extract import extract_text
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    return _sorted(extract_text(pages), ["url"])
+
+
 def _q_linked_page_verdicts(sf_dir: str):
     from shaclapi_ray.engine import JobConfig, ValidationEngine
     from shaclapi_ray.fixtures import referential_schema
@@ -267,6 +276,12 @@ def _q_rolling_fingerprint(sf_dir: str):
     from shaclapi_ray.pipelines.textstats import rolling_fingerprint
 
     return _sorted(rolling_fingerprint(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_decontaminate(sf_dir: str):
+    from shaclapi_ray.pipelines.decontam import decontaminate
+
+    return _sorted(decontaminate(_docs(sf_dir)), ["doc_id"])
 
 
 def _q_exact_dedup(sf_dir: str):
@@ -503,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "or_shape_verdicts": _q_or_shape_verdicts,
         "column_violations": _q_column_violations,
         "links": _q_links,
+        "extract_text": _q_extract_text,
         "top_hosts": _q_top_hosts,
         "linked_page_verdicts": _q_linked_page_verdicts,
         "inverse_linked_verdicts": _q_inverse_linked_verdicts,
@@ -523,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "rolling_fingerprint": _q_rolling_fingerprint,
+        "decontaminate": _q_decontaminate,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "dedup_corpus": _q_dedup_corpus,
@@ -574,6 +591,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "or_shape_verdicts": o.or_shape_verdicts_sql(pages_dir),
         "column_violations": o.violations_sql(o.all_column_shapes(), pages_dir),
         "links": o.links_sql(pages_dir),
+        "extract_text": o.extract_text_sql(pages_dir),
         "top_hosts": o.top_hosts_sql(pages_dir),
         "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),
         "inverse_linked_verdicts": o.inverse_linked_verdicts_sql(pages_dir),
@@ -590,6 +608,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "top_docs_per_lang": o.top_docs_per_group_sql(3),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
+        "decontaminate": o.decontaminate_sql(),
         "exact_dedup": o.exact_dedup_sql(),
         "dedup_corpus": o.dedup_corpus_sql(),
         "ngram_jaccard": o.ngram_jaccard_sql(),

@@ -121,6 +121,18 @@ def links_sql(pages_dir: str) -> str:
     )
 
 
+def extract_text_sql(pages_dir: str) -> str:
+    return f"""
+SELECT url,
+       trim(regexp_replace(regexp_replace(decode(html), '<[^>]*>', '', 'g'),
+                           '\\s+', ' ', 'g'), ' ') AS text,
+       length(trim(regexp_replace(regexp_replace(decode(html), '<[^>]*>', '', 'g'),
+                                  '\\s+', ' ', 'g'), ' ')) AS n_text_chars
+FROM {pages_rel(pages_dir)} WHERE url IS NOT NULL
+ORDER BY url
+"""
+
+
 def top_hosts_sql(pages_dir: str, k: int = 5) -> str:
     return f"""
 WITH links AS (
@@ -267,6 +279,28 @@ def dedup_corpus_sql() -> str:
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY coalesce(text, ''))
 ORDER BY doc_id
+"""
+
+
+def decontaminate_sql(n: int = 3, eval_mod: int = 37) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, {gram} AS gram
+  FROM toks, LATERAL unnest(generate_series(1, length(t) - {n - 1})) AS u(i)
+  WHERE length(t) >= {n}
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {eval_mod} = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN eval_grams e USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
 """
 
 

@@ -1,0 +1,68 @@
+"""Decontamination: planted-overlap semantics with an external eval set."""
+
+import pyarrow as pa
+import ray
+
+
+def _docs_ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    from shaclapi_ray.pipelines.decontam import decontaminate
+
+    eval_ds = _docs_ds([(100, "the secret eval answer is here")])
+    corpus = _docs_ds(
+        [
+            # contains "the secret eval" and "secret eval answer" (2 distinct
+            # shared trigrams); the repeat of one of them counts ONCE
+            (1, "leak: the secret eval answer the secret eval answer"),
+            # shares words but no full trigram
+            (2, "secret answer eval the"),
+            # clean
+            (3, "completely unrelated text about nothing"),
+            # too short for a trigram
+            (4, "two words"),
+        ]
+    )
+    out = (
+        decontaminate(corpus, eval_ds=eval_ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [1, 2, 3, 4]
+    # doc 1 shares: "the secret eval", "secret eval answer", "eval answer the"?
+    # eval grams: {"the secret eval","secret eval answer","eval answer is","answer is here"}
+    assert out.n_hits.tolist()[0] == 2
+    assert out.n_hits.tolist()[1:] == [0, 0, 0]
+    assert out.contaminated.tolist() == [True, False, False, False]
+
+
+def test_decontaminate_default_eval_subset(ray_session):
+    """Self-decontamination default: eval docs (doc_id % mod == 0) are
+    always flagged against themselves when long enough."""
+    from shaclapi_ray.pipelines.decontam import decontaminate
+
+    corpus = _docs_ds(
+        [
+            (0, "alpha beta gamma delta"),  # eval doc (0 % 5 == 0)
+            (1, "alpha beta gamma epsilon"),  # shares "alpha beta gamma"
+            (2, "zeta eta theta iota"),  # clean
+        ]
+    )
+    out = (
+        decontaminate(corpus, eval_mod=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.contaminated.tolist() == [True, True, False]
+    assert out.n_hits.tolist() == [2, 1, 0]
