@@ -106,6 +106,15 @@ def _q_extract_text(sf_dir: str):
     return _sorted(extract_text(pages), ["url"])
 
 
+def _q_url_canonicalize(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.extract import url_canonicalize
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url"])
+    return _sorted(url_canonicalize(pages), ["url"])
+
+
 def _q_linked_page_verdicts(sf_dir: str):
     from shaclapi_ray.engine import JobConfig, ValidationEngine
     from shaclapi_ray.fixtures import referential_schema
@@ -276,6 +285,15 @@ def _q_rolling_fingerprint(sf_dir: str):
     from shaclapi_ray.pipelines.textstats import rolling_fingerprint
 
     return _sorted(rolling_fingerprint(_docs(sf_dir)), ["doc_id"])
+
+
+MIN_DF = 2
+
+
+def _q_doc_frequency(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import doc_frequency
+
+    return _sorted(doc_frequency(_docs(sf_dir), min_df=MIN_DF), ["token"])
 
 
 def _q_decontaminate(sf_dir: str):
@@ -519,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_violations": _q_column_violations,
         "links": _q_links,
         "extract_text": _q_extract_text,
+        "url_canonicalize": _q_url_canonicalize,
         "top_hosts": _q_top_hosts,
         "linked_page_verdicts": _q_linked_page_verdicts,
         "inverse_linked_verdicts": _q_inverse_linked_verdicts,
@@ -540,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "decontaminate": _q_decontaminate,
+        "doc_frequency": _q_doc_frequency,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "dedup_corpus": _q_dedup_corpus,
@@ -592,6 +612,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "column_violations": o.violations_sql(o.all_column_shapes(), pages_dir),
         "links": o.links_sql(pages_dir),
         "extract_text": o.extract_text_sql(pages_dir),
+        "url_canonicalize": o.url_canonicalize_sql(pages_dir),
         "top_hosts": o.top_hosts_sql(pages_dir),
         "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),
         "inverse_linked_verdicts": o.inverse_linked_verdicts_sql(pages_dir),
@@ -609,6 +630,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
         "decontaminate": o.decontaminate_sql(),
+        "doc_frequency": o.doc_frequency_sql(MIN_DF),
         "exact_dedup": o.exact_dedup_sql(),
         "dedup_corpus": o.dedup_corpus_sql(),
         "ngram_jaccard": o.ngram_jaccard_sql(),

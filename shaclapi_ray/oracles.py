@@ -133,6 +133,32 @@ ORDER BY url
 """
 
 
+def url_canonicalize_sql(pages_dir: str) -> str:
+    host = """CASE WHEN scheme='http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme='https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END"""
+    return f"""
+WITH f AS (
+  SELECT url, regexp_replace(url, '#.*$', '') AS frag
+  FROM {pages_rel(pages_dir)} WHERE url IS NOT NULL
+),
+p AS (
+  SELECT url, frag,
+         lower(regexp_extract(frag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(frag, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_replace(regexp_replace(frag,
+           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', ''), '/+$', '') AS rest
+  FROM f
+)
+SELECT url,
+       CASE WHEN scheme IS NULL OR scheme = '' THEN frag
+            ELSE scheme || '://' || {host} || rest END AS canon_url,
+       CASE WHEN scheme IS NULL OR scheme = '' THEN ''
+            ELSE {host} END AS host
+FROM p ORDER BY url
+"""
+
+
 def top_hosts_sql(pages_dir: str, k: int = 5) -> str:
     return f"""
 WITH links AS (
@@ -279,6 +305,17 @@ def dedup_corpus_sql() -> str:
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY coalesce(text, ''))
 ORDER BY doc_id
+"""
+
+
+def doc_frequency_sql(min_df: int = 1) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS df FROM toks
+GROUP BY token HAVING count(*) >= {min_df} ORDER BY token
 """
 
 

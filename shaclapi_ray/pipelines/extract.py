@@ -25,6 +25,55 @@ TAG_RE = r"<[^>]*>"
 WS_RE = r"\s+"
 
 
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+
+
+def url_canonicalize(pages_ds):
+    """(url, canon_url, host): canonical form of every page url — the
+    dedup key normalization of a web crawl (two spellings of one resource
+    must collide BEFORE exact dedup / link joins). Rules: fragment
+    stripped, scheme + host lowercased, default port (:80 http / :443
+    https) dropped, trailing slashes stripped; non-absolute urls pass
+    through fragment-stripped with host ''. Pure vectorized polars string
+    kernels, no shuffle; regexes shared verbatim with the DuckDB oracle.
+    Rows with null url are dropped (same contract as link extraction)."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["url"]))
+        df = pl.from_arrow(batch.select(["url"]))
+        frag = pl.col("url").str.replace(r"#.*$", "")
+        df = df.with_columns(
+            frag.alias("frag"),
+            frag.str.extract(SCHEME_RE, 1).str.to_lowercase().alias("scheme"),
+            frag.str.extract(HOSTPORT_RE, 1).str.to_lowercase().alias("hostport"),
+            frag.str.replace(AUTHORITY_RE, "")
+            .str.replace(r"/+$", "")
+            .alias("rest"),
+        )
+        host = (
+            pl.when(pl.col("scheme") == "http")
+            .then(pl.col("hostport").str.replace(r":80$", ""))
+            .when(pl.col("scheme") == "https")
+            .then(pl.col("hostport").str.replace(r":443$", ""))
+            .otherwise(pl.col("hostport"))
+        )
+        parseable = pl.col("scheme").is_not_null() & (pl.col("scheme") != "")
+        out = df.select(
+            pl.col("url"),
+            pl.when(parseable)
+            .then(pl.col("scheme") + "://" + host + pl.col("rest"))
+            .otherwise(pl.col("frag"))
+            .alias("canon_url"),
+            pl.when(parseable).then(host).otherwise(pl.lit("")).alias("host"),
+        )
+        return out.to_arrow()
+
+    return pages_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def extract_text(pages_ds):
     """(url, text, n_text_chars): visible text = html with tags stripped
     and whitespace runs collapsed; rows with null url are dropped (same

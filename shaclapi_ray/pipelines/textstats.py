@@ -301,6 +301,46 @@ def top_docs_per_group(docs_ds, k: int = TOPK_PER_GROUP, group_col: str = "lang"
     return partials.groupby(group_col).map_groups(final, batch_format="pandas")
 
 
+def doc_frequency(docs_ds, min_df: int = 1):
+    """(token, df): document frequency of every whitespace token — the
+    inverted-index / IDF statistics build of a corpus pipeline.
+
+    Shuffle discipline: each batch first reduces to DISTINCT (doc, token)
+    and pre-counts per token (the combiner), so the groupby(token)
+    all-to-all moves one row per (token, batch) — proportional to
+    vocabulary, not corpus size. min_df filters AFTER the global sum
+    (a token can be rare in one batch, frequent overall)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        toks = (
+            df.with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .unique()
+        )
+        counts = toks.group_by("t").agg(pl.len().cast(pl.Int64).alias("df"))
+        return counts.rename({"t": "token"}).to_arrow()
+
+    partials = docs_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"token": t["token"], "df": pc.cast(t["df"], pa.int64())}
+        )
+        if min_df > 1:
+            t = t.filter(pc.greater_equal(t["df"], min_df))
+        return t
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 ROLL_B = 1000003  # odd => invertible mod 2^64
 ROLL_SEP = 0xFF  # never appears in UTF-8 text
 

@@ -66,3 +66,30 @@ def test_decontaminate_default_eval_subset(ray_session):
     )
     assert out.contaminated.tolist() == [True, True, False]
     assert out.n_hits.tolist() == [2, 1, 0]
+
+
+def test_url_canonicalize_cases(ray_session):
+    """Canonicalization over adversarial urls: case, default ports,
+    fragments, trailing slashes, relative urls."""
+    import ray
+    import pyarrow as pa
+
+    from shaclapi_ray.pipelines.extract import url_canonicalize
+
+    urls = [
+        "HTTP://Example.COM:80/A/b/#frag",
+        "https://Host.org:443/",
+        "https://host.org:8443/x",
+        "ftp://Mixed.Case/z/",
+        "not-a-url/path#f",
+        None,
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = url_canonicalize(ds).to_pandas().sort_values("url").reset_index(drop=True)
+    got = dict(zip(out.url, zip(out.canon_url, out.host)))
+    assert got["HTTP://Example.COM:80/A/b/#frag"] == ("http://example.com/A/b", "example.com")
+    assert got["https://Host.org:443/"] == ("https://host.org", "host.org")
+    assert got["https://host.org:8443/x"] == ("https://host.org:8443/x", "host.org:8443")
+    assert got["ftp://Mixed.Case/z/"] == ("ftp://mixed.case/z", "mixed.case")
+    assert got["not-a-url/path#f"] == ("not-a-url/path", "")
+    assert len(out) == 5  # null url dropped
