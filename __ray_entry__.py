@@ -290,6 +290,12 @@ def _q_rolling_fingerprint(sf_dir: str):
 MIN_DF = 2
 
 
+def _q_chunk_text(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import chunk_text
+
+    return _sorted(chunk_text(_docs(sf_dir)), ["doc_id", "chunk_id"])
+
+
 def _q_doc_frequency(sf_dir: str):
     from shaclapi_ray.pipelines.textstats import doc_frequency
 
@@ -560,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": _q_rolling_fingerprint,
         "decontaminate": _q_decontaminate,
         "doc_frequency": _q_doc_frequency,
+        "chunk_text": _q_chunk_text,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "dedup_corpus": _q_dedup_corpus,
@@ -631,6 +638,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "fingerprint": o.fingerprint_sql(),
         "decontaminate": o.decontaminate_sql(),
         "doc_frequency": o.doc_frequency_sql(MIN_DF),
+        "chunk_text": o.chunk_text_sql(200, 50),
         "exact_dedup": o.exact_dedup_sql(),
         "dedup_corpus": o.dedup_corpus_sql(),
         "ngram_jaccard": o.ngram_jaccard_sql(),

@@ -166,11 +166,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("simhash_neardup", lambda: simhash_neardup_pairs(docs).count())
     timed("rolling_fingerprint", lambda: rolling_fingerprint(docs).count())
 
-    from shaclapi_ray.pipelines.events import sessionize
+    from shaclapi_ray.pipelines.events import attribute_events, sessionize
 
     events = read_table_split(f"{sf_dir}/events.parquet")
     timed("tumbling_window", lambda: tumbling_window(events).count())
     timed("sessionize", lambda: sessionize(events).count())
+    timed("attribute_events", lambda: attribute_events(events).count())
+
+    from shaclapi_ray.io import read_parquet
+    from shaclapi_ray.pipelines.decontam import decontaminate
+    from shaclapi_ray.pipelines.extract import extract_text, url_canonicalize
+    from shaclapi_ray.pipelines.textstats import doc_frequency
+
+    timed(
+        "extract_text",
+        lambda: extract_text(read_parquet(pages_dir, columns=["url", "html"])).count(),
+    )
+    timed(
+        "url_canonicalize",
+        lambda: url_canonicalize(read_parquet(pages_dir, columns=["url"])).count(),
+    )
+    timed("decontaminate", lambda: decontaminate(docs).count())
+    timed("doc_frequency", lambda: doc_frequency(docs, min_df=2).count())
 
     headline_sec = queries["referential_validation"]
     result = {

@@ -308,6 +308,20 @@ ORDER BY doc_id
 """
 
 
+def chunk_text_sql(chunk_chars: int, overlap: int) -> str:
+    stride = chunk_chars - overlap
+    return f"""
+SELECT doc_id, i AS chunk_id,
+       substr(text, i * {stride} + 1, {chunk_chars}) AS chunk,
+       length(substr(text, i * {stride} + 1, {chunk_chars})) AS n_chunk_chars
+FROM documents,
+     LATERAL unnest(generate_series(0,
+       CAST(floor((length(text) - 1) / {stride}) AS BIGINT))) AS u(i)
+WHERE length(text) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
 def doc_frequency_sql(min_df: int = 1) -> str:
     return f"""
 WITH toks AS (

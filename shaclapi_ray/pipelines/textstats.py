@@ -341,6 +341,57 @@ def doc_frequency(docs_ds, min_df: int = 1):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+
+
+def chunk_text(docs_ds, chunk_chars: int = CHUNK_CHARS, overlap: int = CHUNK_OVERLAP):
+    """(doc_id, chunk_id, chunk, n_chunk_chars): fixed-size overlapping
+    character chunks — the 1->N sharding step that turns documents into
+    training/RAG sequences. Chunk i covers characters [i*stride,
+    i*stride + chunk_chars) with stride = chunk_chars - overlap; every
+    character is in at least one chunk; docs with empty/null text emit no
+    chunks.
+
+    Vectorized 1->N explode: per-batch chunk counts from utf8_length,
+    row repetition via take(np.repeat), per-row slicing via polars
+    str.slice with a per-row offset column (character-based — verified
+    identical to DuckDB substr). No per-doc Python loops. The explode
+    happens inside map_batches, so output block sizes stay bounded by
+    the input batch size times the worst-case expansion — size
+    batch_size down for very long documents."""
+    import numpy as np
+    import polars as pl
+
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lens = pc.fill_null(pc.utf8_length(batch["text"]), 0).to_numpy(
+            zero_copy_only=False
+        )
+        n_chunks = np.where(lens > 0, (np.maximum(lens, 1) - 1) // stride + 1, 0)
+        idx = np.repeat(np.arange(len(lens)), n_chunks)
+        doc_starts = np.concatenate(([0], np.cumsum(n_chunks)[:-1].astype(np.int64)))
+        chunk_id = np.arange(idx.size, dtype=np.int64) - np.repeat(
+            doc_starts, n_chunks
+        )
+        rep = batch.select(["doc_id", "text"]).take(pa.array(idx))
+        df = pl.from_arrow(rep).with_columns(
+            pl.Series("chunk_id", chunk_id),
+            pl.Series("off", chunk_id * stride),
+        )
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("chunk_id"),
+            pl.col("text").str.slice(pl.col("off"), chunk_chars).alias("chunk"),
+        ).with_columns(pl.col("chunk").str.len_chars().cast(pl.Int64).alias("n_chunk_chars"))
+        return out.to_arrow()
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 ROLL_B = 1000003  # odd => invertible mod 2^64
 ROLL_SEP = 0xFF  # never appears in UTF-8 text
 

@@ -93,3 +93,34 @@ def test_url_canonicalize_cases(ray_session):
     assert got["ftp://Mixed.Case/z/"] == ("ftp://mixed.case/z", "mixed.case")
     assert got["not-a-url/path#f"] == ("not-a-url/path", "")
     assert len(out) == 5  # null url dropped
+
+
+def test_chunk_text_boundaries(ray_session):
+    """Chunk math: overlap coverage, short docs, exact-multiple lengths,
+    empty/null text, and non-ASCII character (not byte) offsets."""
+    import ray
+    import pyarrow as pa
+
+    from shaclapi_ray.pipelines.textstats import chunk_text
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["abcdefghij", "ab", "", None, "éàçüöéàçüö"], pa.string()),
+        }
+    )
+    out = (
+        chunk_text(ray.data.from_arrow(docs), chunk_chars=6, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # stride 4: doc 1 (len 10) -> offsets 0,4,8
+    d1 = out[out.doc_id == 1]
+    assert d1.chunk.tolist() == ["abcdef", "efghij", "ij"]
+    assert d1.n_chunk_chars.tolist() == [6, 6, 2]
+    assert out[out.doc_id == 2].chunk.tolist() == ["ab"]
+    assert (out.doc_id != 3).all() and (out.doc_id != 4).all()
+    # non-ASCII: character offsets, 10 chars -> 3 chunks
+    d5 = out[out.doc_id == 5]
+    assert d5.chunk.tolist() == ["éàçüöé", "öéàçüö", "üö"]
