@@ -128,120 +128,182 @@ def hopping_window(events_ds, window_s: int = 300, hop_s: int = 100):
     )
 
 
-def sessionize(events_ds, gap_s: int = 1800):
-    """(user_id, session_id, n_events, first_ts, last_ts): gap-based
+N_USER_BUCKETS = 64  # coarse shuffle width for per-user sequential ops
+
+
+def _with_user_bucket(events_ds, n_buckets: int, columns: list[str]):
+    """Project to ``columns`` and add a ``bucket`` column = mixed hash of
+    user_id mod n_buckets. The per-user sequential ops group by THIS
+    coarse key (n_buckets groups) instead of by user_id (one near-empty
+    pandas frame per user — the tiny-groups trap): one shuffle of narrow
+    rows, then one vectorized multi-user kernel per bucket.
+
+    Partitioning assumption: one BUCKET's (projected) rows fit in a
+    worker. Size n_buckets ≈ table_bytes / target_partition_bytes at
+    scale; the default 64 is right for the benchmark sizes. All events of
+    one user always land in one bucket, so hot users still need upstream
+    salting — same contract as the per-user form."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        b = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.select(columns).append_column("bucket", pa.array(b))
+
+    return events_ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sorted_user_ts(group: pa.Table, unit_div: int):
+    """Sort a bucket's rows by (user_id, ts, event_id); return the sorted
+    (user, ts_int, event_id) numpy arrays plus the new-user boundary mask."""
+    user = group["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    ts = (
+        group["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        // unit_div
+    )
+    eid = group["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, user))
+    user, ts, eid = user[order], ts[order], eid[order]
+    new_user = np.ones(len(user), dtype=bool)
+    if len(user) > 1:
+        new_user[1:] = user[1:] != user[:-1]
+    return user, ts, eid, new_user, order
+
+
+def _session_starts(ts_s, new_user, gap_s: int):
+    """Boundary mask + 1-based within-user session ids over (user, ts)-
+    sorted rows — one cumsum pass across ALL users in the bucket."""
+    n = len(ts_s)
+    new_session = np.ones(n, dtype=bool)
+    if n > 1:
+        new_session[1:] = new_user[1:] | ((ts_s[1:] - ts_s[:-1]) > gap_s)
+    sid_global = np.cumsum(new_session)  # 1..S across the bucket
+    # rebase to 1 at each user's first session
+    user_first = np.where(new_user, sid_global, 0)
+    np.maximum.accumulate(user_first, out=user_first)
+    return new_session, (sid_global - user_first + 1).astype(np.int64)
+
+
+def sessionize(events_ds, gap_s: int = 1800, n_buckets: int = N_USER_BUCKETS):
+    """(user_id, session_id, n_events, first_ts_s, last_ts_s): gap-based
     session windows per user. session_id is 1-based in ts order within
-    user — deterministic. groupby(user).map_groups over ts-sorted rows."""
+    user — deterministic. One coarse keyed shuffle (see
+    _with_user_bucket), then per-bucket segment reduction: session
+    boundaries by flatnonzero, counts by diff, first/last by boundary
+    indexing — no per-user or per-session frames."""
 
-    def per_user(g):
-        import pandas as pd
-
-        g = g.sort_values(["ts", "event_id"])
-        # normalize to ns first (pandas 2.x may keep us resolution), then
-        # to integer epoch seconds
-        ts_s = (
-            pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64").to_numpy()
-            // 1_000_000_000
-        )
-        new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (ts_s[1:] - ts_s[:-1]) > gap_s
-        sid = np.cumsum(new_session)
-        out = (
-            pd.DataFrame(
-                {
-                    "user_id": g["user_id"].to_numpy(),
-                    "session_id": sid.astype("int64"),
-                    "ts_s": ts_s,
-                }
-            )
-            .groupby("session_id")
-            .agg(
-                user_id=("user_id", "first"),
-                n_events=("ts_s", "size"),
-                first_ts_s=("ts_s", "min"),
-                last_ts_s=("ts_s", "max"),
-            )
-            .reset_index()
-        )
-        return out[
-            ["user_id", "session_id", "n_events", "first_ts_s", "last_ts_s"]
-        ].astype({"n_events": "int64", "first_ts_s": "int64", "last_ts_s": "int64"})
-
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-
-
-def assign_sessions(events_ds, gap_s: int = 1800):
-    """(event_id, user_id, session_id): every event tagged with its
-    gap-session — the event-level range join onto the session intervals
-    sessionize() aggregates (same 1-based ts-ordered ids). One keyed
-    shuffle (groupby user), vectorized cumsum within group."""
-
-    def per_user(g):
-        import pandas as pd
-
-        g = g.sort_values(["ts", "event_id"])
-        ts_s = (
-            pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64").to_numpy()
-            // 1_000_000_000
-        )
-        new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (ts_s[1:] - ts_s[:-1]) > gap_s
-        return pd.DataFrame(
+    def per_bucket(group: pa.Table) -> pa.Table:
+        user, ts_s, _eid, new_user, _ = _sorted_user_ts(group, 1_000_000)
+        new_session, sid = _session_starts(ts_s, new_user, gap_s)
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], len(ts_s)) - 1
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "session_id": np.cumsum(new_session).astype("int64"),
+                "user_id": pa.array(user[starts], pa.int64()),
+                "session_id": pa.array(sid[starts], pa.int64()),
+                "n_events": pa.array(ends - starts + 1, pa.int64()),
+                "first_ts_s": pa.array(ts_s[starts], pa.int64()),
+                "last_ts_s": pa.array(ts_s[ends], pa.int64()),
             }
         )
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    ds = _with_user_bucket(events_ds, n_buckets, ["user_id", "ts", "event_id"])
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
-def attribute_events(events_ds, left_type: str = "click", right_type: str = "purchase"):
+def assign_sessions(events_ds, gap_s: int = 1800, n_buckets: int = N_USER_BUCKETS):
+    """(event_id, user_id, session_id): every event tagged with its
+    gap-session — the event-level range join onto the session intervals
+    sessionize() aggregates (same 1-based ts-ordered ids). Same coarse
+    shuffle + one cumsum pass per bucket."""
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        user, ts_s, eid, new_user, _ = _sorted_user_ts(group, 1_000_000)
+        _, sid = _session_starts(ts_s, new_user, gap_s)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(user, pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+            }
+        )
+
+    ds = _with_user_bucket(events_ds, n_buckets, ["user_id", "ts", "event_id"])
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def attribute_events(
+    events_ds,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    n_buckets: int = N_USER_BUCKETS,
+):
     """(event_id, matched_event_id, lag_us): AS-OF JOIN — each ``right_type``
     event is matched to the most recent ``left_type`` event by the SAME user
     at or before its timestamp (attribution: purchase -> last click). Ray
-    Data has no as-of join; this is the documented composition: ONE keyed
-    shuffle (groupby user_id), then a vectorized np.searchsorted inside each
-    group — no per-event loops, no second shuffle. Partitioning assumption:
-    one user's events fit in a worker (same as sessionize; salt hot users
-    upstream if violated). Ties (equal ts) break toward the larger
-    event_id; unmatched rows get -1/-1 (avoids nullable-int schema drift
-    between engines). Equivalent to DuckDB's ASOF JOIN modulo its
-    unspecified tie order — the oracle spells out the tie-break instead."""
+    Data has no as-of join; this is the documented composition: filter to
+    the two event types at the read (everything else never enters the
+    shuffle), ONE coarse keyed shuffle (see _with_user_bucket), then a
+    single merged forward-scan per bucket — rows sorted by (user, ts,
+    left-before-right, event_id), last-left positions via
+    np.maximum.accumulate, user-boundary reset by comparing against each
+    row's segment start. No per-event or per-user loops, no second
+    shuffle. Ties (equal ts) break toward the larger left event_id
+    (lefts sort before rights at equal ts, so same-ts lefts are visible —
+    identical to per-user searchsorted side='right'); unmatched rows get
+    -1/-1 (avoids nullable-int schema drift between engines). Equivalent
+    to DuckDB's ASOF JOIN modulo its unspecified tie order — the oracle
+    spells out the tie-break instead."""
 
-    def per_user(g):
-        import pandas as pd
-
-        g = g.sort_values(["ts", "event_id"])
-        ts_us = (
-            pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64").to_numpy()
-            // 1_000
+    def per_bucket(group: pa.Table) -> pa.Table:
+        user = group["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # timestamp[us] casts to int64 microseconds directly
+        ts = group["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_right = (
+            pc.equal(group["event_type"], right_type)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
         )
-        et = g["event_type"].to_numpy()
-        eid = g["event_id"].to_numpy()
-        lmask = et == left_type
-        rmask = et == right_type
-        lts, lid = ts_us[lmask], eid[lmask]
-        rts, rid = ts_us[rmask], eid[rmask]
-        if lid.size:
-            idx = np.searchsorted(lts, rts, side="right") - 1
-            pos = np.maximum(idx, 0)
-            got = idx >= 0
-            matched = np.where(got, lid[pos], -1)
-            lag = np.where(got, rts - lts[pos], -1)
-        else:
-            matched = np.full(rid.size, -1, dtype=np.int64)
-            lag = np.full(rid.size, -1, dtype=np.int64)
-        return pd.DataFrame(
+        order = np.lexsort((eid, is_right, ts, user))
+        user, ts, eid, is_right = (
+            user[order],
+            ts[order],
+            eid[order],
+            is_right[order],
+        )
+        n = len(user)
+        pos = np.arange(n, dtype=np.int64)
+        last_left = np.where(~is_right, pos, -1)
+        np.maximum.accumulate(last_left, out=last_left)
+        new_user = np.ones(n, dtype=bool)
+        if n > 1:
+            new_user[1:] = user[1:] != user[:-1]
+        seg_start = np.where(new_user, pos, 0)
+        np.maximum.accumulate(seg_start, out=seg_start)
+        got = last_left >= seg_start  # a left exists in THIS user's segment
+        safe = np.maximum(last_left, 0)
+        matched = np.where(got, eid[safe], -1)
+        lag = np.where(got, ts - ts[safe], -1)
+        return pa.table(
             {
-                "event_id": rid.astype("int64"),
-                "matched_event_id": matched.astype("int64"),
-                "lag_us": lag.astype("int64"),
+                "event_id": pa.array(eid[is_right], pa.int64()),
+                "matched_event_id": pa.array(matched[is_right], pa.int64()),
+                "lag_us": pa.array(lag[is_right], pa.int64()),
             }
         )
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    filtered = events_ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array([left_type, right_type]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = _with_user_bucket(
+        filtered, n_buckets, ["user_id", "ts", "event_id", "event_type"]
+    )
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def event_type_stats(events_ds):
