@@ -302,6 +302,23 @@ def _q_doc_frequency(sf_dir: str):
     return _sorted(doc_frequency(_docs(sf_dir), min_df=MIN_DF), ["token"])
 
 
+TFIDF_K = 5
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import tfidf_top_terms
+
+    return _sorted(
+        tfidf_top_terms(_docs(sf_dir), k=TFIDF_K, min_df=MIN_DF), ["doc_id", "rank"]
+    )
+
+
+def _q_rebalance_corpus(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import rebalance_corpus
+
+    return _sorted(rebalance_corpus(_docs(sf_dir)), ["doc_id"])
+
+
 def _q_decontaminate(sf_dir: str):
     from shaclapi_ray.pipelines.decontam import decontaminate
 
@@ -566,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": _q_rolling_fingerprint,
         "decontaminate": _q_decontaminate,
         "doc_frequency": _q_doc_frequency,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "rebalance_corpus": _q_rebalance_corpus,
         "chunk_text": _q_chunk_text,
         # dedup
         "exact_dedup": _q_exact_dedup,
@@ -638,6 +657,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "fingerprint": o.fingerprint_sql(),
         "decontaminate": o.decontaminate_sql(),
         "doc_frequency": o.doc_frequency_sql(MIN_DF),
+        "tfidf_top_terms": o.tfidf_top_terms_sql(TFIDF_K, MIN_DF),
+        "rebalance_corpus": o.rebalance_corpus_sql(),
         "chunk_text": o.chunk_text_sql(200, 50),
         "exact_dedup": o.exact_dedup_sql(),
         "dedup_corpus": o.dedup_corpus_sql(),

@@ -333,6 +333,77 @@ GROUP BY token HAVING count(*) >= {min_df} ORDER BY token
 """
 
 
+def tfidf_top_terms_sql(k: int = 5, min_df: int = 1) -> str:
+    """Mirror of pipelines.textstats.tfidf_top_terms: tfidf rounded to 6
+    decimals BEFORE ranking (ties token-asc), df >= min_df, N = all docs."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf,
+         round(t.tf * ln((SELECT count(*) FROM documents) / d.df), 6) AS tfidf
+  FROM tf t JOIN df d USING (token)
+  WHERE d.df >= {min_df}
+),
+ranked AS (
+  SELECT doc_id, token, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf, rank FROM ranked WHERE rank <= {k}
+ORDER BY doc_id, rank
+"""
+
+
+def rebalance_corpus_sql(seed: int = 0) -> str:
+    """Mirror of pipelines.textstats.rebalance_corpus: classify with the
+    lang_id stopword heuristic, then keep rows whose Knuth hash clears the
+    per-class integer threshold (min_count << 32) // class_count."""
+    from shaclapi_ray.pipelines.textstats import SAMPLE_KNUTH
+
+    langs = sorted(STOPWORDS)
+    counts = ",\n       ".join(
+        f"length(regexp_extract_all(text, '{_word_alt_pattern(STOPWORDS[lang])}')) AS c_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN c_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+       {counts}
+  FROM documents WHERE text IS NOT NULL
+),
+l AS (
+  SELECT doc_id,
+       CASE WHEN {greatest} = 0 THEN 'und'
+            {cases}
+       END AS lang_pred
+  FROM c
+),
+cnt AS (SELECT lang_pred, count(*) AS n FROM l GROUP BY lang_pred),
+thr AS (
+  SELECT lang_pred, ((SELECT min(n) FROM cnt) * 4294967296) // n AS t
+  FROM cnt
+)
+SELECT l.doc_id, l.lang_pred
+FROM l JOIN thr USING (lang_pred)
+WHERE ((l.doc_id + {seed}) * {SAMPLE_KNUTH}) % 4294967296 < thr.t
+ORDER BY doc_id
+"""
+
+
 def decontaminate_sql(n: int = 3, eval_mod: int = 37) -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
     return f"""

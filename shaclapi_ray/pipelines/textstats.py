@@ -341,6 +341,157 @@ def doc_frequency(docs_ds, min_df: int = 1):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+TFIDF_HASH_SEED = 0xBEEF
+
+
+def tfidf_top_terms(docs_ds, k: int = 5, min_df: int = 1):
+    """(doc_id, token, tf, tfidf, rank): the top-``k`` tokens of every
+    document by TF-IDF (tfidf = tf * ln(N / df), rounded to 6 decimals) —
+    the keyword/topic-signal stage of a corpus pipeline. Rank is 1-based,
+    ties break token-ascending; tokens below ``min_df`` are excluded.
+
+    Two-pass broadcast design: pass 1 is doc_frequency's combiner-first
+    groupby (shuffle volume ∝ vocabulary); the resulting (token, idf)
+    vocabulary is collected ONCE, hashed/sorted into two numpy arrays and
+    ray.put — each map task reads it zero-copy from the object store (no
+    per-task rebuild, no per-batch join). Pass 2 is embarrassingly
+    parallel: one doc = one row, so per-doc tf and top-k never shuffle.
+    Scale bound: the broadcast is vocabulary-sized (prune with min_df);
+    beyond object-store vocab sizes, switch to a keyed token join."""
+    import numpy as np
+    import polars as pl
+    import ray
+
+    n_docs = docs_ds.count()
+    vocab = doc_frequency(docs_ds, min_df=min_df).to_pandas()
+    h = (
+        pl.Series("t", vocab["token"].to_numpy())
+        .hash(seed=TFIDF_HASH_SEED)
+        .to_numpy()
+    )
+    order = np.argsort(h)
+    idf = np.log(n_docs / vocab["df"].to_numpy(np.float64))
+    vocab_ref = ray.put((h[order], idf[order]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hashes, idfs = ray.get(vocab_ref)
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        tf = (
+            df.with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .group_by(["doc_id", "t"])
+            .agg(pl.len().cast(pl.Int64).alias("tf"))
+        )
+        th = tf["t"].hash(seed=TFIDF_HASH_SEED).to_numpy()
+        pos = np.searchsorted(hashes, th)
+        pos_c = np.minimum(pos, max(len(hashes) - 1, 0))
+        found = (len(hashes) > 0) & (hashes[pos_c] == th)
+        out = (
+            tf.with_columns(
+                pl.Series("tfidf", tf["tf"].to_numpy() * idfs[pos_c]).round(6),
+                pl.Series("found", found),
+            )
+            .filter(pl.col("found"))
+            .sort(["doc_id", "tfidf", "t"], descending=[False, True, False])
+            .with_columns(
+                (pl.int_range(pl.len()).over("doc_id") + 1).alias("rank")
+            )
+            .filter(pl.col("rank") <= k)
+        )
+        return out.select(
+            pl.col("doc_id"),
+            pl.col("t").alias("token"),
+            pl.col("tf"),
+            pl.col("tfidf"),
+            pl.col("rank").cast(pl.Int64),
+        ).to_arrow()
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rebalance_corpus(docs_ds, seed: int = 0):
+    """(doc_id, lang_pred): class-balanced subsample — every language
+    class (per the lang_id heuristic) downsampled to the MINORITY class
+    size, the data-mixing step that equalizes domain/language proportions
+    before training. Rows with null text are dropped.
+
+    Pass 1 classifies per batch and pre-aggregates per-class counts (the
+    shuffle moves one row per (class, batch)); the driver derives one
+    exact integer threshold per class, thr = (min_count << 32) //
+    class_count. Pass 2 re-classifies (cheap regex — recomputing beats
+    materializing a doc_id->lang table at scale) and keeps rows where the
+    sample_corpus Knuth hash < thr[class] — deterministic across runs,
+    cluster sizes and block layouts, and exactly reproducible in SQL
+    (integer arithmetic only, no float rounding)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def classify(batch: pa.Table):
+        keep = pc.is_valid(batch["text"])
+        batch = batch.filter(keep)
+        pats = {l: _word_alt_pattern(ws) for l, ws in sorted(STOPWORDS.items())}
+        counts = {
+            lang: pc.cast(pc.count_substring_regex(batch["text"], pat), pa.int64())
+            for lang, pat in pats.items()
+        }
+        best_lang = pa.array(["und"] * batch.num_rows, type=pa.string())
+        best_score = pa.array([0] * batch.num_rows, type=pa.int64())
+        for lang in reversed(sorted(counts)):
+            take = pc.and_(
+                pc.greater_equal(counts[lang], best_score),
+                pc.greater(counts[lang], 0),
+            )
+            best_lang = pc.if_else(take, lang, best_lang)
+            best_score = pc.if_else(take, counts[lang], best_score)
+        return batch, best_lang
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        batch, lang = classify(batch)
+        g = pa.table({"lang_pred": lang}).group_by("lang_pred").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"lang_pred": g["lang_pred"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts_tbl = (
+        docs_ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang_pred")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cnt = dict(zip(counts_tbl["lang_pred"], counts_tbl["n"].astype(int)))
+    if not cnt:
+        return docs_ds.map_batches(
+            lambda b: pa.table(
+                {"doc_id": pa.array([], pa.int64()), "lang_pred": pa.array([], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    m = min(cnt.values())
+    thr = {lang: (m << 32) // n for lang, n in cnt.items()}
+
+    def sample(batch: pa.Table) -> pa.Table:
+        batch, lang = classify(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids + seed) * SAMPLE_KNUTH) % (1 << 32)
+        lang_np = lang.to_numpy(zero_copy_only=False)
+        t = np.zeros(len(ids), dtype=np.int64)
+        for l, v in thr.items():
+            t[lang_np == l] = v
+        mask = pa.array(h < t)
+        return pa.table(
+            {
+                "doc_id": pc.filter(batch["doc_id"], mask),
+                "lang_pred": pc.filter(lang, mask),
+            }
+        )
+
+    return docs_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
 CHUNK_CHARS = 200
 CHUNK_OVERLAP = 50
 

@@ -68,3 +68,87 @@ def test_rolling_fingerprint_hashes_full_long_docs(ray_session):
     # different (larger) minimum than the full-document minimum
     head_only = _direct_fp_min(head)
     assert got <= head_only
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_tfidf_top_terms_golden(ray_session):
+    from shaclapi_ray.pipelines.textstats import tfidf_top_terms
+
+    texts = [
+        "apple apple banana cherry",
+        "banana banana banana date",
+        "apple date date",
+        None,  # null text contributes no tokens but counts toward N
+    ]
+    df = (
+        tfidf_top_terms(_docs_ds(texts), k=2, min_df=1)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    n = 4  # N includes the null-text doc
+    # doc 0: apple tf=2 df=2, banana tf=1 df=2, cherry tf=1 df=1
+    # scores: apple 2*ln(2)=1.386294, cherry 1*ln(4)=1.386294 -> tie,
+    # token asc => apple rank 1, cherry rank 2
+    d0 = df[df.doc_id == 0]
+    assert list(d0.token) == ["apple", "cherry"]
+    assert list(d0["rank"]) == [1, 2]
+    assert abs(d0.tfidf.iloc[0] - round(2 * np.log(n / 2), 6)) < 1e-9
+    assert abs(d0.tfidf.iloc[1] - round(1 * np.log(n / 1), 6)) < 1e-9
+    # doc 1: banana tf=3 beats date tf=1
+    d1 = df[df.doc_id == 1]
+    assert list(d1.token) == ["banana", "date"]
+    # doc 3 (null) emits nothing
+    assert not (df.doc_id == 3).any()
+
+
+def test_tfidf_min_df_prunes_vocabulary(ray_session):
+    from shaclapi_ray.pipelines.textstats import tfidf_top_terms
+
+    texts = ["rare common", "common other"]
+    df = tfidf_top_terms(_docs_ds(texts), k=5, min_df=2).to_pandas()
+    # only 'common' (df=2) survives min_df=2 — and its idf is ln(1)=0
+    assert set(df.token) == {"common"}
+    assert (df.tfidf == 0.0).all()
+
+
+def test_rebalance_corpus_thresholds(ray_session):
+    """Every class is downsampled toward the minority class size with the
+    deterministic Knuth-hash rule; verify against a direct recompute."""
+    from shaclapi_ray.pipelines.textstats import (
+        SAMPLE_KNUTH,
+        rebalance_corpus,
+    )
+
+    # 20 english-ish, 5 und docs -> en downsampled to ~5
+    texts = ["the and is of to be that" for _ in range(20)] + [
+        "zzz qqq xxx" for _ in range(5)
+    ]
+    df = (
+        rebalance_corpus(_docs_ds(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    thr = {"en": (5 << 32) // 20, "und": (5 << 32) // 5}
+    expect = [
+        (i, lang)
+        for i, lang in enumerate(["en"] * 20 + ["und"] * 5)
+        if (i * SAMPLE_KNUTH) % (1 << 32) < thr[lang]
+    ]
+    got = list(zip(df.doc_id, df.lang_pred))
+    assert got == expect
+    # the und class keeps everything (threshold == 2^32)
+    assert sum(1 for _, l in got if l == "und") == 5
