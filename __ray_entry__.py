@@ -661,6 +661,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "rebalance_corpus": o.rebalance_corpus_sql(),
         "chunk_text": o.chunk_text_sql(200, 50),
         "exact_dedup": o.exact_dedup_sql(),
+        "simhash": o.simhash_sql(),
+        "simhash_neardup": o.simhash_neardup_sql(),
         "dedup_corpus": o.dedup_corpus_sql(),
         "ngram_jaccard": o.ngram_jaccard_sql(),
         "embedding_neardup": o.embedding_neardup_sql(EMB_NEARDUP_TAU),
@@ -677,6 +679,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # each has a hard check in tests/ instead — golden values,
         # bruteforce equivalence, or planted-pair recall):
         # drift_verdicts, hll_distinct_urls, rolling_fingerprint,
-        # minhash_clusters, simhash, simhash_neardup,
-        # embedding_neardup_lsh, knn_ivf, featurize_media
+        # minhash_clusters, embedding_neardup_lsh, knn_ivf,
+        # featurize_media
     }

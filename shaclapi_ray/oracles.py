@@ -504,6 +504,66 @@ def exact_dedup_sql() -> str:
     )
 
 
+def _simhash_sig_cte() -> str:
+    """Shared CTE chain computing (doc_id, simhash BIGINT, u HUGEINT)
+    per document — the exact semantics of pipelines/dedup.SimHasher:
+    whitespace tokens (every occurrence, not distinct), token hash =
+    md5_number_lower (upper 8 md5 digest bytes little-endian, matching
+    _md5_low64), per-bit ±1 accumulation, bit set iff acc > 0."""
+    return """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, md5_number_lower(t)::UBIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+), rawsig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << bit) ELSE 0 END) AS u
+  FROM bits GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id,
+         coalesce(s.u, 0) AS u,
+         CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808::HUGEINT
+                   THEN coalesce(s.u, 0) - 18446744073709551616::HUGEINT
+                   ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN rawsig s USING (doc_id)
+)"""
+
+
+def simhash_sql(bucket_bits: int = 16) -> str:
+    """(doc_id, simhash, bucket): 64-bit simhash signatures + top-prefix
+    bucket, matching pipelines/dedup.simhash_signatures exactly."""
+    return f"""
+WITH {_simhash_sig_cte()}
+SELECT doc_id, simhash,
+       CAST((u // {1 << (64 - bucket_bits)}::HUGEINT) % {1 << bucket_bits}
+            AS {"INTEGER" if bucket_bits <= 31 else "BIGINT"}) AS bucket
+FROM sig ORDER BY doc_id
+"""
+
+
+def simhash_neardup_sql(max_hamming: int = 3, bucket_bits: int = 16) -> str:
+    """(a, b, hamming): doc pairs sharing the ``bucket_bits``-bit simhash
+    prefix with full-signature hamming distance <= max_hamming — the
+    same candidate semantics as pipelines/dedup.simhash_neardup_pairs."""
+    div = (1 << (64 - bucket_bits))
+    return f"""
+WITH {_simhash_sig_cte()}
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y
+  ON (x.u // {div}::HUGEINT) = (y.u // {div}::HUGEINT)
+ AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
 def ngram_jaccard_sql(k: int = 5, threshold: float = 0.5) -> str:
     """(a, b, inter_size, union_size): ALL pairs with char-k-gram Jaccard
     >= threshold. The Ray side evaluates the same predicate on LSH

@@ -534,7 +534,28 @@ def minhash_lsh_clusters(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_SEED = 29
+def _md5_low64(tokens: pa.Array) -> np.ndarray:
+    """uint64 md5-based token hash: upper 8 digest bytes, little-endian —
+    exactly DuckDB's md5_number_lower(token), which is what makes the
+    simhash SQL-oracle-able (and version-stable, unlike polars' hash).
+    md5 is inherently per-value, so hash only the DISTINCT tokens of the
+    batch (vocabulary-bounded, not token-count-bounded): Arrow
+    dictionary_encode yields distinct values + inverse indices ~30×
+    cheaper than np.unique over object strings (measured at sf0.1)."""
+    import hashlib
+
+    d = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    d = d.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    hu = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hu[d.indices.to_numpy().astype(np.int64)]
 
 
 class SimHasher:
@@ -542,8 +563,9 @@ class SimHasher:
     prefix (default 16).
 
     Vectorized end-to-end: polars extract_all + explode produces the
-    (row, token) table, ONE polars hash call covers every token, and the
-    per-doc ±1 bit accumulation is a numpy reduceat over doc runs.
+    (row, token) table, tokens are hashed via _md5_low64 (distinct-only,
+    = DuckDB md5_number_lower), and the per-doc ±1 bit accumulation is a
+    numpy reduceat over doc runs.
 
     Scale note: pick ``bucket_bits`` so the EXPECTED bucket population
     stays small — the near-dup verify is O(size²) numpy work per bucket,
@@ -574,7 +596,7 @@ class SimHasher:
         )
         sims = np.zeros(n, dtype=np.uint64)
         if len(toks):
-            h = toks["t"].hash(seed=SIMHASH_SEED).to_numpy()
+            h = _md5_low64(toks["t"].to_arrow())
             rows = toks["row"].to_numpy()
             shifts = np.arange(64, dtype=np.uint64)
             bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)

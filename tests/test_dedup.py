@@ -43,10 +43,11 @@ def test_exact_dedup_min_id_and_counts(ray_session):
 
 def test_simhash_matches_independent_accumulation(ray_session):
     """Golden check: the vectorized simhash equals a per-token reference
-    implementation using the same (polars, seeded) token hash."""
-    import polars as pl
+    implementation using the same md5-low-64 token hash (the hash that
+    DuckDB's md5_number_lower reproduces, making simhash oracle-able)."""
+    import hashlib
 
-    from shaclapi_ray.pipelines.dedup import SIMHASH_SEED, simhash_signatures
+    from shaclapi_ray.pipelines.dedup import simhash_signatures
 
     df = simhash_signatures(_docs_ds()).to_pandas().sort_values("doc_id")
     for doc_id, text in enumerate(TEXTS):
@@ -56,7 +57,7 @@ def test_simhash_matches_independent_accumulation(ray_session):
         else:
             acc = np.zeros(64, dtype=np.int64)
             for w in toks:
-                h = int(pl.Series([w]).hash(seed=SIMHASH_SEED)[0])
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
                 for i in range(64):
                     acc[i] += 1 if (h >> i) & 1 else -1
             val = sum(1 << i for i in range(64) if acc[i] > 0)
