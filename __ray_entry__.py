@@ -191,6 +191,24 @@ def _q_drift_verdicts(sf_dir: str):
     return _sorted(res.verdicts().select_columns(["url", "valid"]), ["url", "valid"])
 
 
+def _q_profile_columns(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.profile import profile_columns
+
+    return profile_columns(ray.data.read_parquet(_pages(sf_dir)))
+
+
+def _q_psi_drift(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.profile import psi_drift
+
+    return psi_drift(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url", "warc_ts", "text"])
+    )
+
+
 def _q_hll_distinct_urls(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -569,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reduce_schema": _q_reduce_schema,
         "annotated_pages": _q_annotated_pages,
         "drift_verdicts": _q_drift_verdicts,
+        "profile_columns": _q_profile_columns,
+        "psi_drift": _q_psi_drift,
         "hll_distinct_urls": _q_hll_distinct_urls,
         # text analysis
         "token_count": _q_token_count,
@@ -615,6 +635,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _profile_sql(pages_dir: str) -> str:
+    from shaclapi_ray.pipelines.profile import profile_columns_sql
+
+    return profile_columns_sql(pages_dir)
+
+
+def _psi_sql(pages_dir: str) -> str:
+    from shaclapi_ray.pipelines.profile import psi_drift_sql
+
+    return psi_drift_sql(pages_dir)
+
+
 def oracle_sql() -> dict[str, str]:
     return oracle_sql_for(SF01)  # driver compares at sf=0.01
 
@@ -646,6 +678,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "verdict_counts": o.verdict_counts_sql(o.all_column_shapes(), pages_dir),
         "reduce_schema": o.reduce_schema_sql(["LinkedPageShape", "TargetPageShape"]),
         "annotated_pages": o.annotated_pages_sql(pages_dir),
+        "profile_columns": _profile_sql(pages_dir),
+        "psi_drift": _psi_sql(pages_dir),
         "token_count": o.token_count_sql(),
         "normalize_text": o.normalize_text_sql(),
         "pii_scan": o.pii_scan_sql(),

@@ -1,0 +1,345 @@
+"""Column-statistics profiling + exact distribution-drift (PSI) checks.
+
+North-rule coverage: "column stats, uniqueness, referential,
+distribution-drift checks" — this module is the column-stats profiler
+and the EXACT (SQL-oracle-checked) PSI drift test; the approximate
+t-digest/KS path lives in engine._eval_drift (reference analog:
+shaclAPI's per-shape statistics in shaclapi/reduction — recast as
+table-level profiling rather than SPARQL endpoint stats).
+
+Scale shape:
+- ``profile_columns``: ONE fused map_batches pass computes per-batch
+  partials for every column (counts, nulls, min/max, length sums) —
+  partial rows are #batches × #columns, combined in a tiny groupby.
+  Exact distinct counts melt each batch to narrow (column, hash64)
+  rows, pre-deduped per batch, then two keyed aggregations — the only
+  data-sized shuffle, on 12-byte rows. At 10^12 rows swap the 64-bit
+  hash for 128-bit (birthday bound) — noted where it happens.
+- ``psi_drift``: per-batch vectorized (host, bin, side) counts, one
+  tiny groupby-sum (hosts × bins × 2 rows), PSI formula on the driver
+  over that small frame. No full-data shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HOST_RE = r"^https?://([^/]+)"
+
+# profiled pages columns -> kind: how min/max/len are computed
+PAGE_COLUMNS = {
+    "url": "string",
+    "warc_ts": "timestamp",
+    "html": "binary",
+    "text": "string",
+    "lang": "string",
+}
+
+
+def _col_partials(batch: pa.Table, columns: dict[str, str]) -> pa.Table:
+    """One partial row per profiled column for this batch."""
+    out = {
+        "column": [],
+        "n_rows": [],
+        "n_nulls": [],
+        "min_v": [],
+        "max_v": [],
+        "len_sum": [],
+    }
+    for name, kind in columns.items():
+        col = batch[name]
+        n = len(col)
+        nulls = col.null_count
+        if kind == "string":
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            lsum = pc.sum(pc.utf8_length(col)).as_py() or 0
+        elif kind == "timestamp":
+            us = pc.cast(col, pa.int64())
+            mm = pc.min_max(us)
+            mn = None if mm["min"].as_py() is None else str(mm["min"].as_py())
+            mx = None if mm["max"].as_py() is None else str(mm["max"].as_py())
+            lsum = 0
+        else:  # binary
+            mn = mx = None
+            lsum = pc.sum(pc.binary_length(col)).as_py() or 0
+        out["column"].append(name)
+        out["n_rows"].append(n)
+        out["n_nulls"].append(nulls)
+        out["min_v"].append(mn)
+        out["max_v"].append(mx)
+        out["len_sum"].append(lsum)
+    return pa.table(
+        {
+            "column": pa.array(out["column"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "min_v": pa.array(out["min_v"], pa.string()),
+            "max_v": pa.array(out["max_v"], pa.string()),
+            "len_sum": pa.array(out["len_sum"], pa.int64()),
+        }
+    )
+
+
+def _distinct_melt(batch: pa.Table, columns: dict[str, str]) -> pa.Table:
+    """Narrow (column, h) rows: per-batch-deduped 64-bit value hashes.
+    Nulls are DROPPED (matching SQL COUNT(DISTINCT)).
+
+    64-bit process-stable polars hash — collision-free in practice at
+    test scales; at 10^12 rows switch to a 128-bit hash (two seeds,
+    struct key) or the distinct count undercounts by the birthday bound.
+    """
+    import polars as pl
+
+    names, hs = [], []
+    for name, kind in columns.items():
+        col = batch[name]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if kind == "timestamp":
+            arr = pc.cast(arr, pa.int64())
+        if kind == "binary":
+            s = pl.from_arrow(arr).bin.encode("hex")
+        else:
+            s = pl.from_arrow(arr).cast(pl.Utf8)
+        h = s.drop_nulls().hash(seed=0).unique()
+        names.extend([name] * len(h))
+        hs.append(h.to_numpy().view(np.int64))
+    return pa.table(
+        {
+            "column": pa.array(names, pa.string()),
+            "h": pa.array(
+                np.concatenate(hs) if hs else np.array([], dtype=np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def profile_columns(pages_ds, columns: dict[str, str] | None = None):
+    """Per-column stats over the pages table: (column, n_rows, n_nulls,
+    n_distinct, min_v, max_v, avg_len).
+
+    min_v/max_v are VARCHAR: lexicographic for strings, epoch-micros
+    (stringified int64) for timestamps, NULL for binary. avg_len is the
+    mean utf8/byte length over ALL rows (nulls excluded from the sum but
+    included in neither numerator nor denominator — denominator is
+    non-null count), NULL for timestamps.
+    """
+    import pandas as pd
+
+    columns = columns or PAGE_COLUMNS
+
+    stats = pages_ds.map_batches(
+        lambda t: _col_partials(t, columns), batch_format="pyarrow"
+    )
+    # tiny combine: #batches × #columns rows, one group per column
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "column": [g["column"].iloc[0]],
+                "n_rows": [int(g["n_rows"].sum())],
+                "n_nulls": [int(g["n_nulls"].sum())],
+                "min_v": [g["min_v"].dropna().min() if g["min_v"].notna().any() else None],
+                "max_v": [g["max_v"].dropna().max() if g["max_v"].notna().any() else None],
+                "len_sum": [int(g["len_sum"].sum())],
+            }
+        )
+
+    combined = stats.groupby("column").map_groups(combine, batch_format="pandas")
+
+    distinct = (
+        pages_ds.map_batches(
+            lambda t: _distinct_melt(t, columns), batch_format="pyarrow"
+        )
+        .groupby(["column", "h"])
+        .count()
+        .groupby("column")
+        .count()
+    )
+
+    sdf = combined.to_pandas()
+    ddf = distinct.to_pandas().rename(columns={"count()": "n_distinct"})
+    df = sdf.merge(ddf[["column", "n_distinct"]], on="column", how="left")
+    nn = df["n_rows"] - df["n_nulls"]
+    df["avg_len"] = np.where(nn > 0, df["len_sum"] / nn.clip(lower=1), np.nan)
+    df.loc[[columns.get(c) == "timestamp" for c in df["column"]], "avg_len"] = np.nan
+    df["n_distinct"] = df["n_distinct"].astype("int64")
+    return (
+        df[["column", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "avg_len"]]
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+
+
+def profile_columns_sql(pages_dir: str, columns: dict[str, str] | None = None) -> str:
+    """DuckDB oracle for profile_columns — same stats per column.
+
+    Timestamp min/max via epoch_us (exact integer parity with the Arrow
+    int64 cast); distinct via COUNT(DISTINCT value) (the Ray side hashes
+    — equality holds absent 64-bit collisions, guaranteed at gate scale).
+    """
+    columns = columns or PAGE_COLUMNS
+    rel = f"read_parquet('{pages_dir}/part-*.parquet')"
+    parts = []
+    for name, kind in columns.items():
+        if kind == "string":
+            mn = f"CAST(min({name}) AS VARCHAR)"
+            mx = f"CAST(max({name}) AS VARCHAR)"
+            ln = f"avg(length({name}))"
+        elif kind == "timestamp":
+            mn = f"CAST(min(epoch_us({name})) AS VARCHAR)"
+            mx = f"CAST(max(epoch_us({name})) AS VARCHAR)"
+            ln = "CAST(NULL AS DOUBLE)"
+        else:
+            mn = "CAST(NULL AS VARCHAR)"
+            mx = "CAST(NULL AS VARCHAR)"
+            ln = f"avg(octet_length({name}))"
+        parts.append(
+            f'SELECT \'{name}\' AS "column", count(*) AS n_rows, '
+            f"count(*) - count({name}) AS n_nulls, "
+            f"count(DISTINCT {name}) AS n_distinct, "
+            f"{mn} AS min_v, {mx} AS max_v, {ln} AS avg_len FROM {rel}"
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+# ---------------------------------------------------------------------------
+# Exact PSI drift
+# ---------------------------------------------------------------------------
+
+PSI_BIN_WIDTH = 500
+PSI_N_BINS = 10
+PSI_SPLIT_TS = "2017-01-01 00:00:00"  # ref = warc_ts < split, cur = rest
+PSI_EPS = 0.5  # Laplace smoothing per bin
+PSI_THRESHOLD = 0.2
+
+
+def psi_drift(
+    pages_ds,
+    bin_width: int = PSI_BIN_WIDTH,
+    n_bins: int = PSI_N_BINS,
+    split_ts: str = PSI_SPLIT_TS,
+    threshold: float = PSI_THRESHOLD,
+):
+    """Per-host Population Stability Index of the text-length
+    distribution, reference slice = rows with warc_ts < ``split_ts``,
+    current slice = the rest. Returns (host, n_ref, n_cur, psi, drifted).
+
+    Exact (integer bin counts + closed-form PSI), unlike the t-digest/KS
+    DriftConstraint path — this is the oracle-checked drift operator.
+    Bins: least(len(text) // bin_width, n_bins - 1); null text counts as
+    length 0; rows with null url get host ''. PSI uses Laplace-smoothed
+    proportions p_i=(c_i+eps)/(tot+eps*n_bins) so empty bins are finite.
+    """
+    import pandas as pd
+    import polars as pl
+
+    split_us = int(pd.Timestamp(split_ts).value // 1000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].combine_chunks() if isinstance(
+            batch["url"], pa.ChunkedArray
+        ) else batch["url"]
+        host = (
+            pl.from_arrow(urls).fill_null("").str.extract(HOST_RE, 1).fill_null("")
+        )
+        ln = np.asarray(pc.fill_null(pc.utf8_length(batch["text"]), 0))
+        b = np.minimum(ln // bin_width, n_bins - 1).astype(np.int64)
+        # null warc_ts counts as "current" (SQL: COALESCE(ts < split, FALSE))
+        ts = np.asarray(
+            pc.fill_null(pc.cast(batch["warc_ts"], pa.int64()), split_us)
+        )
+        is_ref = ts < split_us
+        g = (
+            pl.DataFrame({"host": host, "bin": b, "is_ref": is_ref})
+            .group_by(["host", "bin", "is_ref"])
+            .len()
+        )
+        return g.rename({"len": "cnt"}).to_arrow().cast(
+            pa.schema(
+                [
+                    ("host", pa.string()),
+                    ("bin", pa.int64()),
+                    ("is_ref", pa.bool_()),
+                    ("cnt", pa.int64()),
+                ]
+            )
+        )
+
+    counts = (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "bin", "is_ref"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    # small frame: hosts × bins × 2 — PSI per host on the driver
+    rows = []
+    for host, g in counts.groupby("host"):
+        ref = np.zeros(n_bins)
+        cur = np.zeros(n_bins)
+        for _, r in g.iterrows():
+            (ref if r["is_ref"] else cur)[int(r["bin"])] = r["sum(cnt)"]
+        n_ref, n_cur = ref.sum(), cur.sum()
+        p = (ref + PSI_EPS) / (n_ref + PSI_EPS * n_bins)
+        q = (cur + PSI_EPS) / (n_cur + PSI_EPS * n_bins)
+        psi = float(((p - q) * np.log(p / q)).sum())
+        rows.append(
+            {
+                "host": host,
+                "n_ref": int(n_ref),
+                "n_cur": int(n_cur),
+                "psi": psi,
+                "drifted": psi > threshold,
+            }
+        )
+    return (
+        pd.DataFrame(rows, columns=["host", "n_ref", "n_cur", "psi", "drifted"])
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+def psi_drift_sql(
+    pages_dir: str,
+    bin_width: int = PSI_BIN_WIDTH,
+    n_bins: int = PSI_N_BINS,
+    split_ts: str = PSI_SPLIT_TS,
+    threshold: float = PSI_THRESHOLD,
+) -> str:
+    """DuckDB oracle for psi_drift — identical binning, smoothing, PSI."""
+    rel = f"read_parquet('{pages_dir}/part-*.parquet')"
+    eps = PSI_EPS
+    return f"""
+WITH rowsx AS (
+  SELECT COALESCE(regexp_extract(url, '{HOST_RE}', 1), '') AS host,
+         LEAST(COALESCE(length(text), 0) // {bin_width}, {n_bins - 1}) AS bin,
+         COALESCE(warc_ts < TIMESTAMP '{split_ts}', FALSE) AS is_ref
+  FROM {rel}
+), counts AS (
+  SELECT host, bin, is_ref, count(*) AS cnt FROM rowsx GROUP BY ALL
+), tot AS (
+  SELECT host,
+         sum(CASE WHEN is_ref THEN cnt ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT is_ref THEN cnt ELSE 0 END) AS n_cur
+  FROM counts GROUP BY host
+), grid AS (
+  SELECT t.host, b.bin, t.n_ref, t.n_cur,
+         COALESCE((SELECT cnt FROM counts c
+                   WHERE c.host = t.host AND c.bin = b.bin AND c.is_ref), 0) AS rc,
+         COALESCE((SELECT cnt FROM counts c
+                   WHERE c.host = t.host AND c.bin = b.bin AND NOT c.is_ref), 0) AS cc
+  FROM tot t CROSS JOIN (SELECT unnest(range({n_bins})) AS bin) b
+), psi AS (
+  SELECT host, CAST(max(n_ref) AS BIGINT) AS n_ref, CAST(max(n_cur) AS BIGINT) AS n_cur,
+         sum(((rc + {eps}) / (n_ref + {eps * n_bins})
+              - (cc + {eps}) / (n_cur + {eps * n_bins}))
+             * ln(((rc + {eps}) / (n_ref + {eps * n_bins}))
+                  / ((cc + {eps}) / (n_cur + {eps * n_bins})))
+            ) AS psi
+  FROM grid GROUP BY host
+)
+SELECT host, n_ref, n_cur, psi, (psi > {threshold}) AS drifted
+FROM psi ORDER BY host
+"""
