@@ -209,6 +209,15 @@ def _q_psi_drift(sf_dir: str):
     )
 
 
+def _q_pagerank(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.graph import pagerank
+
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    return _sorted(pagerank(pages), ["url"])
+
+
 def _q_hll_distinct_urls(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -589,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_verdicts": _q_drift_verdicts,
         "profile_columns": _q_profile_columns,
         "psi_drift": _q_psi_drift,
+        "pagerank": _q_pagerank,
         "hll_distinct_urls": _q_hll_distinct_urls,
         # text analysis
         "token_count": _q_token_count,
@@ -647,6 +657,12 @@ def _psi_sql(pages_dir: str) -> str:
     return psi_drift_sql(pages_dir)
 
 
+def _pagerank_sql(pages_dir: str) -> str:
+    from shaclapi_ray.pipelines.graph import pagerank_sql
+
+    return pagerank_sql(pages_dir)
+
+
 def oracle_sql() -> dict[str, str]:
     return oracle_sql_for(SF01)  # driver compares at sf=0.01
 
@@ -680,6 +696,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "annotated_pages": o.annotated_pages_sql(pages_dir),
         "profile_columns": _profile_sql(pages_dir),
         "psi_drift": _psi_sql(pages_dir),
+        "pagerank": _pagerank_sql(pages_dir),
         "token_count": o.token_count_sql(),
         "normalize_text": o.normalize_text_sql(),
         "pii_scan": o.pii_scan_sql(),
