@@ -218,6 +218,17 @@ def _q_pagerank(sf_dir: str):
     return _sorted(pagerank(pages), ["url"])
 
 
+def _q_link_components(sf_dir: str):
+    import ray.data
+
+    from shaclapi_ray.pipelines.graph import connected_components
+
+    # auto: union-find under CC_LOCAL_EDGE_LIMIT edges; the any-scale
+    # 'propagate' path is equivalence-tested in tests/test_graph.py
+    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    return _sorted(connected_components(pages, strategy="auto"), ["url"])
+
+
 def _q_hll_distinct_urls(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -599,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": _q_profile_columns,
         "psi_drift": _q_psi_drift,
         "pagerank": _q_pagerank,
+        "link_components": _q_link_components,
         "hll_distinct_urls": _q_hll_distinct_urls,
         # text analysis
         "token_count": _q_token_count,
@@ -663,6 +675,12 @@ def _pagerank_sql(pages_dir: str) -> str:
     return pagerank_sql(pages_dir)
 
 
+def _components_sql(pages_dir: str) -> str:
+    from shaclapi_ray.pipelines.graph import connected_components_sql
+
+    return connected_components_sql(pages_dir)
+
+
 def oracle_sql() -> dict[str, str]:
     return oracle_sql_for(SF01)  # driver compares at sf=0.01
 
@@ -697,6 +715,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "profile_columns": _profile_sql(pages_dir),
         "psi_drift": _psi_sql(pages_dir),
         "pagerank": _pagerank_sql(pages_dir),
+        "link_components": _components_sql(pages_dir),
         "token_count": o.token_count_sql(),
         "normalize_text": o.normalize_text_sql(),
         "pii_scan": o.pii_scan_sql(),

@@ -42,6 +42,9 @@ PAGERANK_BROADCAST_LIMIT = 50_000_000
 DAMPING = 0.85
 ITERATIONS = 5
 
+CC_ROUNDS = 8
+CC_LOCAL_EDGE_LIMIT = 20_000_000
+
 
 def _nodes_ds(pages_ds):
     """Distinct non-null urls as a 1-column Dataset (one shuffle)."""
@@ -95,14 +98,18 @@ def pagerank(
 # broadcast (node-indexed) path
 # ---------------------------------------------------------------------------
 
+def _node_hash_array(nodes) -> np.ndarray:
+    """Sorted uint64 hashes of the node urls (8 bytes/node on the driver)."""
+    parts = [
+        hash_strings(b["url"]) for b in nodes.iter_batches(batch_format="pyarrow")
+    ]
+    return np.sort(np.concatenate(parts)) if parts else np.array([], np.uint64)
+
+
 def _pagerank_broadcast(pages_ds, nodes, iterations, damping):
     # sorted node-hash array: index i == rank slot i (ONE driver collect
     # of 8 bytes/node, guarded by the broadcast limit)
-    hash_parts = [
-        hash_strings(b["url"])
-        for b in nodes.iter_batches(batch_format="pyarrow")
-    ]
-    node_h = np.sort(np.concatenate(hash_parts)) if hash_parts else np.array([], np.uint64)
+    node_h = _node_hash_array(nodes)
     n = node_h.size
     node_h_ref = ray.put(node_h)
 
@@ -274,6 +281,158 @@ def _pagerank_join(pages_ds, nodes, iterations, damping, num_partitions):
 
 
 # ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pages_ds,
+    rounds: int = CC_ROUNDS,
+    strategy: str = "auto",
+    num_partitions: int = 32,
+    local_edge_limit: int = CC_LOCAL_EDGE_LIMIT,
+):
+    """(url, component) over the undirected internal-link graph.
+
+    ``component`` is the lexicographically smallest url reachable within
+    ``rounds`` hops of min-label propagation; once ``rounds`` >= the
+    component diameter that IS the true connected-component id. Two
+    strategies, equivalence-tested:
+
+    - 'local' (<= ``local_edge_limit`` distinct edges): collect the
+      narrow (src, dst) edge list, union-find with union-by-min on the
+      driver (exact at any diameter), broadcast a hash->component map
+      back via ray.put.
+    - 'propagate' (any scale): labels stay a Dataset; each round is one
+      hash join (edges x labels) + union + groupby-min — the same plan
+      as pipelines/dedup.label_propagation but with string labels so the
+      result matches the SQL oracle verbatim. Early-exits at fixpoint
+      (labels only decrease, so stopping early never diverges from the
+      fixed-round oracle).
+    """
+    nodes = _nodes_ds(pages_ds).materialize()
+    node_h_ref = ray.put(_node_hash_array(nodes))
+    edges = _distinct_edges(pages_ds, node_h_ref).materialize()
+    if strategy == "auto":
+        strategy = "local" if edges.count() <= local_edge_limit else "propagate"
+    if strategy == "local":
+        return _cc_local(nodes, edges)
+    return _cc_propagate(nodes, edges, rounds, clamp_partitions(num_partitions))
+
+
+def _cc_local(nodes, edges):
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    touched: set = set()
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        srcs = b["src"].to_pylist()
+        dsts = b["dst"].to_pylist()
+        touched.update(srcs)
+        touched.update(dsts)
+        for s, d in zip(srcs, dsts):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo  # union-by-min: the root is the min url
+
+    keys = sorted(touched)
+    comps = np.array([find(u) for u in keys], dtype=object)
+    h = hash_strings(pa.array(keys, pa.string())) if keys else np.array([], np.uint64)
+    order = np.argsort(h, kind="stable")
+    map_ref = ray.put((h[order], comps[order]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        hk, cv = ray.get(map_ref)
+        urls = batch["url"]
+        own = urls.to_numpy(zero_copy_only=False)
+        out = own.copy()
+        if hk.size:
+            hh = hash_strings(urls)
+            pos = np.minimum(np.searchsorted(hk, hh), hk.size - 1)
+            hit = hk[pos] == hh
+            out[hit] = cv[pos[hit]]
+        return pa.table(
+            {"url": urls, "component": pa.array(out, pa.string())}
+        )
+
+    return nodes.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cc_propagate(nodes, edges, rounds, num_partitions):
+    from ray.data.aggregate import Min
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["url"], "label": t["url"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks() if isinstance(t["src"], pa.ChunkedArray) else t["src"]
+        d = t["dst"].combine_chunks() if isinstance(t["dst"], pa.ChunkedArray) else t["dst"]
+        return pa.table(
+            {"src": pa.concat_arrays([s, d]), "dst": pa.concat_arrays([d, s])}
+        )
+
+    sym = drop_empty_blocks(edges.map_batches(symmetrize, batch_format="pyarrow"))
+    if sym is None:
+        return labels.map_batches(
+            lambda t: pa.table({"url": t["node"], "component": t["label"]}),
+            batch_format="pyarrow",
+        )
+    sym = sym.materialize()
+
+    def checksum(lds) -> int:
+        # labels strictly decrease until fixpoint, so an unchanged
+        # uint64-wrapped hash sum means an unchanged label table
+        tot = 0
+        for b in lds.iter_batches(batch_format="pyarrow"):
+            tot = (tot + int(hash_strings(b["label"]).sum())) % (1 << 64)
+        return tot
+
+    prev = None
+    for _ in range(rounds):
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+        lbl = labels.map_batches(
+            lambda t: pa.table({"j_node": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        lbl = drop_empty_blocks(lbl) or lbl
+        msgs = sym.join(
+            lbl,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("j_node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table({"url": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle
 # ---------------------------------------------------------------------------
 
@@ -314,4 +473,43 @@ r0 AS (SELECT url, 1.0::DOUBLE AS r FROM nodes)"""
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT url, r AS pr FROM r{iterations} ORDER BY url"
+    )
+
+
+def connected_components_sql(pages_dir: str, rounds: int = CC_ROUNDS) -> str:
+    """DuckDB oracle: the same min-label propagation as chained CTEs.
+
+    Propagation is monotone (labels only shrink), so running the fixed
+    ``rounds`` here matches the Ray side even when it early-exits at
+    fixpoint."""
+    rel = f"read_parquet('{pages_dir}/part-*.parquet')"
+    ctes = [
+        f"""pg AS (SELECT url, html FROM {rel} WHERE url IS NOT NULL),
+nodes AS (SELECT DISTINCT url FROM pg),
+rawlinks AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(decode(html), 'href="([^"]+)"', 1)) AS dst
+  FROM pg
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM rawlinks
+  WHERE dst IN (SELECT url FROM nodes)
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+c0 AS (SELECT url AS node, url AS label FROM nodes)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""c{k} AS (
+  SELECT node, min(label) AS label FROM (
+    SELECT node, label FROM c{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.label FROM sym e JOIN c{k - 1} p ON e.src = p.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS url, label AS component FROM c{rounds} ORDER BY url"
     )

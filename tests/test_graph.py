@@ -96,3 +96,93 @@ def test_pagerank_empty_edges(ray_session):
         df = pagerank(_pages_ds(graph), strategy=strategy).to_pandas()
         assert len(df) == 2
         assert np.allclose(df.pr, 0.15)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+CC_GRAPH = {
+    # component 1: a1 <-> b2, b2 -> c3 (plus dangling external link)
+    "https://a.org/1": ["https://b.org/2", "https://x.org/gone"],
+    "https://b.org/2": ["https://a.org/1", "https://c.org/3"],
+    "https://c.org/3": [],
+    # component 2: d4 -> e5
+    "https://d.org/4": ["https://e.org/5"],
+    "https://e.org/5": [],
+    # isolated
+    "https://f.org/6": [],
+}
+
+CC_WANT = {
+    "https://a.org/1": "https://a.org/1",
+    "https://b.org/2": "https://a.org/1",
+    "https://c.org/3": "https://a.org/1",
+    "https://d.org/4": "https://d.org/4",
+    "https://e.org/5": "https://d.org/4",
+    "https://f.org/6": "https://f.org/6",
+}
+
+
+def test_connected_components_local(ray_session):
+    from shaclapi_ray.pipelines.graph import connected_components
+
+    got = (
+        connected_components(_pages_ds(CC_GRAPH), strategy="local")
+        .to_pandas()
+        .set_index("url")["component"]
+        .to_dict()
+    )
+    assert got == CC_WANT
+
+
+def test_connected_components_propagate_equals_local(ray_session):
+    from shaclapi_ray.pipelines.graph import connected_components
+
+    got = (
+        connected_components(
+            _pages_ds(CC_GRAPH), strategy="propagate", num_partitions=4
+        )
+        .to_pandas()
+        .set_index("url")["component"]
+        .to_dict()
+    )
+    assert got == CC_WANT
+
+
+def test_connected_components_long_chain(ray_session):
+    """A chain longer than the round budget: propagate stops at the
+    K-hop label (matching the fixed-round oracle); local is exact."""
+    from shaclapi_ray.pipelines.graph import connected_components
+
+    n = 6
+    urls = [f"https://c.org/{i}" for i in range(n)]
+    chain = {u: ([urls[i + 1]] if i + 1 < n else []) for i, u in enumerate(urls)}
+
+    local = (
+        connected_components(_pages_ds(chain), strategy="local")
+        .to_pandas()
+        .set_index("url")["component"]
+        .to_dict()
+    )
+    assert local == {u: urls[0] for u in urls}
+
+    two_hop = (
+        connected_components(
+            _pages_ds(chain), strategy="propagate", rounds=2, num_partitions=4
+        )
+        .to_pandas()
+        .set_index("url")["component"]
+        .to_dict()
+    )
+    assert two_hop == {u: urls[max(0, i - 2)] for i, u in enumerate(urls)}
+
+    converged = (
+        connected_components(
+            _pages_ds(chain), strategy="propagate", rounds=50, num_partitions=4
+        )
+        .to_pandas()
+        .set_index("url")["component"]
+        .to_dict()
+    )
+    assert converged == local
