@@ -307,6 +307,12 @@ def _q_quality_signals(sf_dir: str):
     return _sorted(quality_signals(_docs(sf_dir)), ["doc_id"])
 
 
+def _q_quantile_filter(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import quality_quantile_filter
+
+    return _sorted(quality_quantile_filter(_docs(sf_dir), q=0.5), ["doc_id"])
+
+
 def _q_lang_id(sf_dir: str):
     from shaclapi_ray.pipelines.textstats import lang_id
 
@@ -618,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": _q_pii_scan,
         "sample_corpus": _q_sample_corpus,
         "quality_signals": _q_quality_signals,
+        "quantile_filter": _q_quantile_filter,
         "repetition_signals": _q_repetition_signals,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_id": _q_lang_id,
@@ -721,6 +728,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "pii_scan": o.pii_scan_sql(),
         "sample_corpus": o.sample_corpus_sql(SAMPLE_FRACTION),
         "quality_signals": o.quality_signals_sql(),
+        "quantile_filter": o.quantile_filter_sql(q=0.5),
         "repetition_signals": o.repetition_signals_sql(),
         "top_docs_per_lang": o.top_docs_per_group_sql(3),
         "lang_id": o.lang_id_sql(),

@@ -732,3 +732,26 @@ def all_column_shapes() -> list[Shape]:
 
 def or_shape_verdicts_sql(pages_dir: str) -> str:
     return shape_verdicts_sql(or_shape(), pages_dir)
+
+
+def quantile_filter_sql(q: float = 0.5) -> str:
+    """Exact rank-defined per-lang quantile filter: keep docs whose token
+    count strictly exceeds the ceil(q*n)-th smallest score in their lang."""
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         length(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS score
+  FROM documents
+),
+thr AS (
+  SELECT lang, min(score) AS thr FROM (
+    SELECT lang, score,
+           row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM s
+  ) WHERE rn = CAST(ceil({q} * n) AS BIGINT)
+  GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.score FROM s JOIN thr USING (lang)
+WHERE s.score > thr.thr ORDER BY s.doc_id
+"""

@@ -625,3 +625,83 @@ def rolling_fingerprint(docs_ds, window: int = 32, concurrency=None):
     return docs_ds.map_batches(
         Roller(), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def quality_quantile_filter(docs_ds, q: float = 0.5, group_col: str = "lang"):
+    """(doc_id, <group_col>, score): documents whose token count strictly
+    exceeds their group's exact q-quantile — the classic "keep the top
+    half per language" corpus-curation filter.
+
+    The quantile is EXACT and rank-defined (the ceil(q*n)-th smallest
+    score in the group), not an approximation, yet no stage holds a
+    corpus-sized group: scores are small integers, so the per-group
+    distribution is a (group, score) HISTOGRAM. Per-batch partial counts
+    (polars group_by) pre-aggregate before the shuffle, the global
+    groupby moves only histogram rows, the cumulative scan over the tiny
+    histogram runs on the driver, and the thresholds broadcast back as a
+    hash map (stages/hashset — zero per-task build).
+    """
+    import math
+
+    import numpy as np
+    import polars as pl
+    import ray
+
+    from shaclapi_ray.stages.hashset import build_hash_map, lookup
+
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                group_col: batch[group_col],
+                "score": pc.cast(
+                    pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+                ),
+            }
+        )
+
+    scored = docs_ds.map_batches(
+        score_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch.select([group_col, "score"]))
+            .group_by([group_col, "score"])
+            .len()
+        )
+        t = df.to_arrow()
+        return pa.table(
+            {
+                group_col: t[group_col].cast(pa.string()),
+                "score": t["score"],
+                "c": t["len"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        scored.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby([group_col, "score"])
+        .sum("c")
+        .to_pandas()  # |groups| x |distinct integer scores| rows — tiny
+    )
+
+    groups, thresholds = [], []
+    for grp, sub in hist.groupby(group_col, sort=True):
+        sub = sub.sort_values("score")
+        cum = sub["sum(c)"].cumsum()
+        k = math.ceil(q * int(cum.iloc[-1]))
+        thr = int(sub["score"][cum >= k].iloc[0])
+        groups.append(grp)
+        thresholds.append(thr)
+    thr_ref = ray.put(build_hash_map(groups, thresholds))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        thr = lookup(ray.get(thr_ref), batch[group_col])
+        score = batch["score"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(score > thr))
+
+    return scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -152,3 +152,41 @@ def test_rebalance_corpus_thresholds(ray_session):
     assert got == expect
     # the und class keeps everything (threshold == 2^32)
     assert sum(1 for _, l in got if l == "und") == 5
+
+
+def test_quality_quantile_filter_golden(ray_session):
+    """Per-group exact median filter: survivors are the docs STRICTLY
+    above the ceil(q*n)-th smallest token count in their group."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.textstats import quality_quantile_filter
+
+    def words(n):
+        return " ".join("w" for _ in range(n))
+
+    # group a: token counts 1..5 (median value 3 -> keep 4, 5)
+    # group b: counts [2, 2, 7] (ceil(.5*3)=2nd smallest = 2 -> keep 7)
+    rows = [(0, words(1), "a"), (1, words(2), "a"), (2, words(3), "a"),
+            (3, words(4), "a"), (4, words(5), "a"),
+            (5, words(2), "b"), (6, words(2), "b"), (7, words(7), "b")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    df = (
+        quality_quantile_filter(ds, q=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(df.doc_id) == [3, 4, 7]
+    assert list(df.score) == [4, 5, 7]
+
+    # q=1: threshold is the max -> nothing strictly above it survives
+    empty = quality_quantile_filter(ds, q=1.0).to_pandas()
+    assert len(empty) == 0
