@@ -176,6 +176,16 @@ def read_table_split(path, columns=None, min_rows_per_block: int = 500):
     The repartition is a one-pass block split (no key shuffle), sized from
     parquet metadata (driver-local, cheap)."""
     ds = read_parquet(path, columns=columns)
+    # pandas-written parquet carries schema metadata whose presence makes
+    # pa.Schema unhashable (hash(schema) -> "unhashable type: 'dict'");
+    # every downstream repartition/sort/aggregate reduce then logs a
+    # schema-dedup warning per task. Strip it once — a metadata-only,
+    # zero-copy table rewrite.
+    ds = ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     rows = _metadata_rows(path)
     n = max(1, min(target_blocks(factor=1), rows // min_rows_per_block))
     if n > 1:
