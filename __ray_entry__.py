@@ -369,6 +369,25 @@ def _q_decontaminate(sf_dir: str):
     return _sorted(decontaminate(_docs(sf_dir)), ["doc_id"])
 
 
+PACK_SHARDS = 8
+PACK_BUDGET = 512
+
+
+def _q_dup_span_coverage(sf_dir: str):
+    from shaclapi_ray.pipelines.spans import dup_span_coverage
+
+    return _sorted(dup_span_coverage(_docs(sf_dir)), ["doc_id"])
+
+
+def _q_pack_sequences(sf_dir: str):
+    from shaclapi_ray.pipelines.spans import pack_sequences
+
+    return _sorted(
+        pack_sequences(_docs(sf_dir), n_shards=PACK_SHARDS, budget=PACK_BUDGET),
+        ["doc_id"],
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     from shaclapi_ray.pipelines.dedup import exact_dedup
 
@@ -635,7 +654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "rebalance_corpus": _q_rebalance_corpus,
         "chunk_text": _q_chunk_text,
+        "pack_sequences": _q_pack_sequences,
         # dedup
+        "dup_span_coverage": _q_dup_span_coverage,
         "exact_dedup": _q_exact_dedup,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_corpus_minhash": _q_dedup_corpus_minhash,
@@ -694,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from shaclapi_ray import oracles as o
+    from shaclapi_ray.pipelines import spans as sp
     from shaclapi_ray.fixtures import (
         fresh_page_shape,
         lang_shape,
@@ -738,6 +760,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "tfidf_top_terms": o.tfidf_top_terms_sql(TFIDF_K, MIN_DF),
         "rebalance_corpus": o.rebalance_corpus_sql(),
         "chunk_text": o.chunk_text_sql(200, 50),
+        "pack_sequences": sp.pack_sequences_sql(PACK_SHARDS, PACK_BUDGET),
+        "dup_span_coverage": sp.dup_span_coverage_sql(),
         "exact_dedup": o.exact_dedup_sql(),
         "simhash": o.simhash_sql(),
         "simhash_neardup": o.simhash_neardup_sql(),

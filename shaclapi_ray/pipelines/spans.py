@@ -1,0 +1,281 @@
+"""Cross-document duplicated-span coverage and training-sequence packing.
+
+Two training-data operators over the documents corpus. The reference has
+no analog (it validates RDF bindings; cf. `shaclapi/api.py:1` scope) —
+these are first-class LLM-corpus operators per the brief.
+
+- ``dup_span_coverage``: per document, how many token positions are
+  covered by a word n-gram that also occurs in >= ``min_docs`` distinct
+  documents. This is the per-document signal behind exact-substring
+  deduplication of training corpora (Lee et al. 2021, "Deduplicating
+  Training Data Makes Language Models Better": spans above a minimum
+  match length that repeat across the corpus are removed); the coverage
+  fraction is what a removal pass would delete.
+
+- ``pack_sequences``: deterministic concat-and-chop packing of tokenized
+  documents into fixed token-budget training sequences (the standard
+  GPT-style pretraining layout): documents are hash-assigned to shards,
+  ordered by doc_id within a shard, concatenated, and chopped every
+  ``budget`` tokens. Output is a placement table (which sequence a doc
+  starts/ends in, at what offset).
+
+Scale design (dup_span_coverage):
+- Pass 1 (dup-gram discovery): per batch, DISTINCT (doc_id, gram) pairs
+  are built fully vectorized (polars token explode + shift-over-doc
+  windows — the decontam kernel, plus start positions) and reduced to
+  8-byte gram HASHES; occurrence counts combine via
+  stages.aggregates.grouped_count ('auto': driver merge while partials
+  are small, Ray hash shuffle at scale). Documents are whole rows, so a
+  doc never spans batches and per-batch distinct == per-doc distinct.
+- The duplicated-gram set is collected (hashes only) sorted and
+  broadcast once via ray.put; probes are np.searchsorted with zero
+  per-task setup (stages/hashset.py rationale). Ceiling ~50M hashes
+  (400 MB object); beyond that flip pass 2 to a hash-partitioned join
+  of (doc_id, s, gram_hash) against the dup set, the same exchange
+  shape as JobConfig.ref_strategy='bucket'.
+- Pass 2 (coverage): one streaming map_batches; the interval union of
+  n-token windows is computed per doc with clipped successive-start
+  differences — all vectorized, no per-row Python.
+
+Scale design (pack_sequences):
+- Token counts + shard assignment are one streaming pass that projects
+  the corpus down to (doc_id, shard, n_tokens) — 24 B/row; the text
+  never moves.
+- The per-shard exclusive prefix sum is groupby(shard).map_groups with
+  a numpy cumsum: at 10^12 rows and 10^5 shards a group is ~10^7 rows
+  = 240 MB of narrow columns. Shard count is the parallelism knob; the
+  assignment hash (Knuth multiplicative, sample_corpus arithmetic) is
+  reproducible across runs, cluster sizes and block layouts.
+- Parity caveat shared with sample_corpus: the shard hash is exact up
+  to doc_id ~3.4e9 (beyond that int64 wraps differ from SQL's exact
+  arithmetic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from shaclapi_ray.stages.hashset import hash_strings
+
+N_SPAN = 5
+MIN_DUP_DOCS = 2
+# above this many duplicated grams, the broadcast object (8 B/hash) stops
+# being "small side" — callers should partition-join instead (see module
+# docstring); enforced so the failure is loud, not an OOM.
+BROADCAST_LIMIT = 50_000_000
+
+TOKEN_RE = r"\S+"  # shared with textstats.token_count / the SQL oracles
+KNUTH = 2654435761  # sample_corpus multiplicative-hash constant
+
+
+def _gram_starts(batch: pa.Table, n: int):
+    """polars frame (doc_id, s, gram): every word n-gram start position.
+
+    Vectorized: token explode, per-doc position index, n-1 shift-over-doc
+    windows, string concat. Order within a doc is ascending s.
+    """
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    ex = (
+        df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
+        .drop("text")
+        .explode("t")
+        .filter(pl.col("t").is_not_null())  # explode([]) emits a null row
+    )
+    ex = ex.with_columns(pl.int_range(pl.len()).over("doc_id").alias("s"))
+    shifted = [
+        pl.col("t").shift(-i).over("doc_id").alias(f"t{i}") for i in range(1, n)
+    ]
+    ex = ex.with_columns(shifted)
+    named = [pl.col("t")] + [pl.col(f"t{i}") for i in range(1, n)]
+    ex = ex.filter(pl.all_horizontal([c.is_not_null() for c in named]))
+    return ex.select(
+        "doc_id", "s", pl.concat_str(named, separator=" ").alias("gram")
+    )
+
+
+def dup_gram_hashes(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
+    """Sorted uint64 hashes of every word n-gram present in >= min_docs
+    distinct documents. Only hashes leave the scan tasks; the count
+    combine is the pre-aggregate-then-combine path."""
+    from shaclapi_ray.stages.aggregates import grouped_count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _gram_starts(batch, n)
+        if len(g) == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64())})
+        dg = g.select("doc_id", "gram").unique()
+        return pa.table(
+            {"h": pa.array(hash_strings(dg["gram"].to_arrow()), type=pa.uint64())}
+        )
+
+    pairs = docs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_count(pairs, "h", out_name="n_docs")
+
+    chunks = []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        keep = b.filter(pc.greater_equal(b["n_docs"], min_docs))
+        chunks.append(keep["h"].to_numpy(zero_copy_only=False))
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    out = np.sort(np.concatenate(chunks).astype(np.uint64))
+    if out.size > BROADCAST_LIMIT:
+        raise ValueError(
+            f"duplicated-gram set has {out.size} hashes (> {BROADCAST_LIMIT}); "
+            "use a hash-partitioned join of gram hashes against the dup set "
+            "instead of the broadcast path at this scale"
+        )
+    return out
+
+
+def dup_span_coverage(
+    docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS
+):
+    """(doc_id, n_tokens, n_dup_tokens, dup_frac): per document, tokens
+    covered by at least one cross-document duplicated n-gram.
+
+    n_dup_tokens is the size of the UNION of all duplicated n-token
+    windows — computed per doc as sum(min(n, next_start - start)) over
+    ascending duplicated-window starts (last window contributes n)."""
+    import ray
+
+    dup_ref = ray.put(dup_gram_hashes(docs_ds, n, min_docs))
+
+    def cover(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        sorted_h = ray.get(dup_ref)
+        n_tokens = pc.cast(
+            pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+        )
+        g = _gram_starts(batch, n)
+        if sorted_h.size and len(g):
+            h = hash_strings(g["gram"].to_arrow())
+            pos = np.minimum(np.searchsorted(sorted_h, h), sorted_h.size - 1)
+            hit = sorted_h[pos] == h
+        else:
+            hit = np.zeros(len(g), dtype=bool)
+        cov = (
+            g.filter(pl.Series("hit", hit))
+            .with_columns(
+                pl.min_horizontal(
+                    pl.col("s").shift(-1).over("doc_id") - pl.col("s"),
+                    pl.lit(n, dtype=pl.Int64),
+                )
+                .fill_null(n)
+                .alias("c")
+            )
+            .group_by("doc_id")
+            .agg(pl.col("c").sum().alias("n_dup_tokens"))
+        )
+        out = (
+            pl.from_arrow(pa.table({"doc_id": batch["doc_id"], "n_tokens": n_tokens}))
+            .join(cov, on="doc_id", how="left")
+            .with_columns(pl.col("n_dup_tokens").fill_null(0).cast(pl.Int64))
+            .with_columns(
+                pl.when(pl.col("n_tokens") == 0)
+                .then(pl.lit(0.0))
+                .otherwise(pl.col("n_dup_tokens") / pl.col("n_tokens"))
+                .alias("dup_frac")
+            )
+        )
+        return out.to_arrow()
+
+    return docs_ds.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences(docs_ds, n_shards: int = 8, budget: int = 512, seed: int = 0):
+    """(doc_id, shard, n_tokens, start_seq, start_off, end_seq):
+    concat-and-chop placement of each document into fixed ``budget``-token
+    training sequences, per shard, docs ordered by doc_id within a shard.
+
+    start_seq/end_seq are shard-local sequence indices containing the
+    doc's first/last token; start_off is the offset of the first token in
+    start_seq. A doc may span sequences (standard pretraining packing).
+    Zero-token docs get end_seq = start_seq."""
+    if n_shards < 1 or budget < 1:
+        raise ValueError("n_shards and budget must be >= 1")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = ((ids + seed) * KNUTH) % (1 << 32) % n_shards
+        n_tokens = pc.cast(
+            pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shard": pa.array(shard.astype(np.int64)),
+                "n_tokens": n_tokens,
+            }
+        )
+
+    narrow = docs_ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pack(group):
+        g = group.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        ntok = g["n_tokens"].to_numpy()
+        start = np.concatenate(([0], np.cumsum(ntok)[:-1])) if len(g) else ntok
+        g["start_seq"] = start // budget
+        g["start_off"] = start % budget
+        g["end_seq"] = np.where(ntok == 0, start, start + ntok - 1) // budget
+        return g[["doc_id", "shard", "n_tokens", "start_seq", "start_off", "end_seq"]]
+
+    return narrow.groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (exact gram STRINGS — a parity pass also certifies the
+# 64-bit hash path collision-free on the fixture, like decontaminate)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_coverage_sql(n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS) -> str:
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS t, unnest(range(len(l))) AS s FROM lists),
+grams AS (
+  SELECT doc_id, s,
+         string_agg(t, ' ') OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS w
+  FROM toks),
+fg AS (SELECT doc_id, s, gram FROM grams WHERE w = {n}),
+dup AS (SELECT gram FROM fg GROUP BY gram HAVING count(DISTINCT doc_id) >= {min_docs}),
+hits AS (SELECT f.doc_id, f.s FROM fg f JOIN dup USING (gram)),
+cov AS (
+  SELECT doc_id, least({n}, coalesce(nxt - s, {n})) AS c FROM (
+    SELECT doc_id, s, lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt FROM hits)),
+cov2 AS (SELECT doc_id, sum(c)::BIGINT AS n_dup_tokens FROM cov GROUP BY doc_id),
+nt AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM lists)
+SELECT nt.doc_id, nt.n_tokens, coalesce(cov2.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+       CASE WHEN nt.n_tokens = 0 THEN 0.0
+            ELSE coalesce(cov2.n_dup_tokens, 0) / nt.n_tokens END AS dup_frac
+FROM nt LEFT JOIN cov2 USING (doc_id) ORDER BY doc_id
+"""
+
+
+def pack_sequences_sql(
+    n_shards: int = 8, budget: int = 512, seed: int = 0
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         (((doc_id + {seed}) * {KNUTH}) % 4294967296) % {n_shards} AS shard,
+         length(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_tokens
+  FROM documents),
+scan AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM base)
+SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+       (st // {budget})::BIGINT AS start_seq,
+       (st % {budget})::BIGINT AS start_off,
+       (CASE WHEN n_tokens = 0 THEN st ELSE st + n_tokens - 1 END // {budget})::BIGINT AS end_seq
+FROM scan ORDER BY doc_id
+"""

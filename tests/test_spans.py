@@ -1,0 +1,110 @@
+"""Cross-document duplicated-span coverage and sequence-packing tests:
+hand-computed goldens, window-union semantics, block-layout invariance,
+and zero-token edge cases. (The SQL-parity check runs separately in
+test_oracle_parity via the queries()/oracle_sql() entries.)"""
+
+import pyarrow as pa
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_dup_span_coverage_golden(ray_session):
+    from shaclapi_ray.pipelines.spans import dup_span_coverage
+
+    texts = [
+        "a b c d e f",  # shares "a b c d e" with doc 1
+        "x a b c d e y",  # ... at start position 1
+        "q w e r t z",  # no duplicated 5-gram
+    ]
+    df = (
+        dup_span_coverage(_docs_ds(texts), n=5, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df.n_tokens.tolist() == [6, 7, 6]
+    assert df.n_dup_tokens.tolist() == [5, 5, 0]
+    assert abs(df.dup_frac[0] - 5 / 6) < 1e-9
+    assert df.dup_frac[2] == 0.0
+
+
+def test_dup_span_coverage_union_of_overlapping_windows(ray_session):
+    """Two identical 7-token docs: all three 5-gram windows are dups and
+    their UNION is 7 tokens, not 3*5."""
+    from shaclapi_ray.pipelines.spans import dup_span_coverage
+
+    texts = ["a b c d e f g", "a b c d e f g"]
+    df = dup_span_coverage(_docs_ds(texts), n=5, min_docs=2).to_pandas()
+    assert df.n_dup_tokens.tolist() == [7, 7]
+    assert df.dup_frac.tolist() == [1.0, 1.0]
+
+
+def test_dup_span_coverage_min_docs_threshold(ray_session):
+    from shaclapi_ray.pipelines.spans import dup_span_coverage
+
+    texts = ["a b c d e", "a b c d e", "a b c d e"]
+    df = dup_span_coverage(_docs_ds(texts), n=5, min_docs=4).to_pandas()
+    assert df.n_dup_tokens.tolist() == [0, 0, 0]  # only 3 docs share it
+
+
+def test_pack_sequences_golden(ray_session):
+    from shaclapi_ray.pipelines.spans import pack_sequences
+
+    texts = ["t " * 4, "t " * 8, "t " * 3, "t " * 12]
+    df = (
+        pack_sequences(_docs_ds(texts), n_shards=1, budget=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # cumulative starts: 0, 4, 12, 15
+    assert df.n_tokens.tolist() == [4, 8, 3, 12]
+    assert df.start_seq.tolist() == [0, 0, 1, 1]
+    assert df.start_off.tolist() == [0, 4, 2, 5]
+    assert df.end_seq.tolist() == [0, 1, 1, 2]  # doc 3 spans seqs 1..2
+
+
+def test_pack_sequences_zero_token_doc(ray_session):
+    from shaclapi_ray.pipelines.spans import pack_sequences
+
+    df = (
+        pack_sequences(_docs_ds(["t " * 10, "", "t t t"]), n_shards=1, budget=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df.n_tokens.tolist() == [10, 0, 3]
+    assert df.start_seq[1] == df.end_seq[1] == 1  # empty doc sits at seq 1
+    assert df.start_off[1] == 0
+
+
+def test_pack_sequences_block_layout_invariant(ray_session):
+    """Placement must be reproducible across block layouts — the shard
+    hash and doc_id order define it, not Ray's partitioning."""
+    from shaclapi_ray.pipelines.spans import pack_sequences
+
+    texts = [f"tok{i} " * (3 + i % 7) for i in range(40)]
+    a = (
+        pack_sequences(_docs_ds(texts), n_shards=4, budget=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(_docs_ds(texts).repartition(7), n_shards=4, budget=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
