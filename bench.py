@@ -189,6 +189,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("decontaminate", lambda: decontaminate(docs).count())
     timed("doc_frequency", lambda: doc_frequency(docs, min_df=2).count())
 
+    from shaclapi_ray.pipelines.spans import dup_span_coverage, pack_sequences
+
+    timed("dup_span_coverage", lambda: dup_span_coverage(docs).count())
+    timed("pack_sequences", lambda: pack_sequences(docs).count())
+
     headline_sec = queries["referential_validation"]
     result = {
         "metric": "validated_docs_per_sec",

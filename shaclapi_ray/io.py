@@ -30,6 +30,43 @@ def target_blocks(factor: int = 2, rows: int | None = None) -> int:
     return n
 
 
+def _clean_schema(path, columns=None):
+    """File schema with key-value metadata stripped (projected to
+    ``columns`` when given). pandas-written parquet embeds metadata that
+    makes pa.Schema unhashable (hash -> "unhashable type: 'dict'"), so
+    every repartition/sort/aggregate reduce over such blocks logs a
+    schema-dedup warning per task. Passing a metadata-free schema to the
+    read drops it AT THE SOURCE — no extra pipeline stage (an explicit
+    map_batches strip measured ~2x on short pipelines by splitting the
+    fused read stage). Returns None when the footer can't be read
+    (non-string path, object store URI quirks): callers fall back to
+    Ray's own schema inference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        if isinstance(path, str):
+            import os
+
+            f = path
+            if os.path.isdir(path):
+                names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+                if not names:
+                    return None
+                f = os.path.join(path, sorted(names)[0])
+            schema = pq.read_schema(f).remove_metadata()
+        else:
+            return None
+    except Exception:
+        return None
+    if columns is not None:
+        try:
+            schema = pa.schema([schema.field(c) for c in columns])
+        except KeyError:
+            return None
+    return schema
+
+
 def read_parquet(path, columns=None, num_blocks: int | None = None):
     """Plain pruned read. Ray's default block sizing (file/row-group
     granularity) beats forced small blocks when per-task overhead is high;
@@ -40,6 +77,7 @@ def read_parquet(path, columns=None, num_blocks: int | None = None):
     passes their schema-LESS empty blocks through downstream operators
     untouched — a hash-shuffle join partition fed only such blocks aborts
     with 'No match for key field' (observed with Ray 2.49)."""
+    schema = _clean_schema(path, columns)
     if num_blocks:
         if isinstance(path, str):
             try:
@@ -47,8 +85,10 @@ def read_parquet(path, columns=None, num_blocks: int | None = None):
                 num_blocks = max(1, min(num_blocks, row_groups))
             except Exception:
                 pass
-        return ray.data.read_parquet(path, columns=columns, override_num_blocks=num_blocks)
-    return ray.data.read_parquet(path, columns=columns)
+        return ray.data.read_parquet(
+            path, columns=columns, schema=schema, override_num_blocks=num_blocks
+        )
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 _META_CACHE: dict = {}
@@ -176,16 +216,6 @@ def read_table_split(path, columns=None, min_rows_per_block: int = 500):
     The repartition is a one-pass block split (no key shuffle), sized from
     parquet metadata (driver-local, cheap)."""
     ds = read_parquet(path, columns=columns)
-    # pandas-written parquet carries schema metadata whose presence makes
-    # pa.Schema unhashable (hash(schema) -> "unhashable type: 'dict'");
-    # every downstream repartition/sort/aggregate reduce then logs a
-    # schema-dedup warning per task. Strip it once — a metadata-only,
-    # zero-copy table rewrite.
-    ds = ds.map_batches(
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
     rows = _metadata_rows(path)
     n = max(1, min(target_blocks(factor=1), rows // min_rows_per_block))
     if n > 1:
