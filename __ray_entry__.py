@@ -450,11 +450,19 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_embedding_neardup_lsh(sf_dir: str):
-    """Scale path: bucketed multi-table hyperplane LSH (approximate)."""
+    """Scale path: bucketed multi-table hyperplane LSH (approximate).
+
+    Bucket-bit count must be sized to tau: P(bit agrees) = 1 - theta/pi,
+    so at this fixture's LOW tau (0.45, theta ~63 deg) the default 12-bit
+    buckets give ~3% recall by construction. 4 planes x 12 tables puts
+    recall near 0.8 here (measured 11/14 true pairs); the (12, 6) default
+    is tuned for realistic near-dup thresholds (tau >= 0.9)."""
     from shaclapi_ray.pipelines.dedup import embedding_neardup_pairs
 
     return _sorted(
-        embedding_neardup_pairs(_emb(sf_dir), tau=EMB_NEARDUP_TAU, method="lsh"),
+        embedding_neardup_pairs(
+            _emb(sf_dir), tau=EMB_NEARDUP_TAU, method="lsh", n_planes=4, n_tables=12
+        ),
         ["a", "b"],
     )
 

@@ -996,17 +996,26 @@ def embedding_neardup_pairs(
         )
 
         def verify_bucket(group):
-            import pandas as pd
-
+            # returns Arrow (not pandas): the output feeds a hash-shuffle
+            # groupby, and pandas-converted blocks carry schema metadata
+            # that defeats Ray's schema dedup (unhashable-dict warnings
+            # per reduce task)
             ids = np.asarray(group["vec_id"].tolist(), dtype=np.int64)
             if len(ids) < 2:
-                return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
             m = _norm_rows(np.asarray(group["embedding"].tolist(), dtype=np.float64))
             sims = m @ m.T
             ai, bj = np.nonzero(sims >= tau)
             a, b = ids[ai], ids[bj]
             keep = a < b
-            return pd.DataFrame({"a": a[keep], "b": b[keep]}).astype("int64")
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], type=pa.int64()),
+                    "b": pa.array(b[keep], type=pa.int64()),
+                }
+            )
 
         pairs = bucketed.groupby(["tbl", "bucket"]).map_groups(
             verify_bucket, batch_format="pandas"
