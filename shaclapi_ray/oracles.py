@@ -333,6 +333,21 @@ GROUP BY token HAVING count(*) >= {min_df} ORDER BY token
 """
 
 
+def inverted_index_sql(min_df: int = 2, max_df: int | None = None) -> str:
+    """Mirror of pipelines.textstats.inverted_index: distinct (doc, token)
+    pairs, ascending-doc_id CSV posting list, df-band filter."""
+    cap = f"AND count(*) <= {max_df}" if max_df is not None else ""
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents
+)
+SELECT token, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY token HAVING count(*) >= {min_df} {cap} ORDER BY token
+"""
+
+
 def tfidf_top_terms_sql(k: int = 5, min_df: int = 1) -> str:
     """Mirror of pipelines.textstats.tfidf_top_terms: tfidf rounded to 6
     decimals BEFORE ranking (ties token-asc), df >= min_df, N = all docs."""

@@ -705,3 +705,62 @@ def quality_quantile_filter(docs_ds, q: float = 0.5, group_col: str = "lang"):
         return batch.filter(pa.array(score > thr))
 
     return scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+INDEX_COARSE_GROUPS = 256
+
+
+def inverted_index(docs_ds, min_df: int = 2, max_df: int | None = None):
+    """(token, df, postings): the materialized inverted index — per token,
+    its document frequency and the ascending doc_id posting list as a
+    comma-joined string (a deterministic, hashable surface for the layout
+    an index writer would emit as list<int64> bucket-partitioned parquet).
+
+    Shuffle discipline: each batch reduces to DISTINCT (token, doc_id)
+    pairs first; the exchange then moves one row per distinct pair —
+    proportional to the index itself (which IS the output), never to raw
+    token occurrences. The keyed exchange groups by a COARSE 8-bit
+    token-hash key (INDEX_COARSE_GROUPS groups, not one map_groups
+    invocation per vocabulary entry) and builds every posting list of a
+    coarse group with one vectorized polars group_by inside — the same
+    regrouping that took simhash verify from 65k near-empty groups to
+    2^8 dense ones. ``max_df`` prunes stopword-class tokens whose posting
+    lists would dominate output size and skew the shuffle (the hot-key
+    bound); ``min_df`` prunes the singleton tail AFTER the global merge.
+    """
+    import polars as pl
+
+    from shaclapi_ray.stages.hashset import hash_strings
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        toks = (
+            df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .unique()
+            .rename({"t": "token"})
+        )
+        out = toks.to_arrow()
+        ck = (hash_strings(out["token"]) % INDEX_COARSE_GROUPS).astype("int64")
+        return out.append_column("ck", pa.array(ck, type=pa.int64()))
+
+    pair_ds = docs_ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def build(group: pa.Table) -> pa.Table:
+        pf = pl.from_arrow(group.select(["token", "doc_id"]))
+        agg = (
+            pf.sort("doc_id")
+            .group_by("token")
+            .agg(
+                pl.len().cast(pl.Int64).alias("df"),
+                pl.col("doc_id").cast(pl.Utf8).str.join(",").alias("postings"),
+            )
+            .filter(pl.col("df") >= min_df)
+        )
+        if max_df is not None:
+            agg = agg.filter(pl.col("df") <= max_df)
+        return agg.select("token", "df", "postings").to_arrow()
+
+    return pair_ds.groupby("ck").map_groups(build, batch_format="pyarrow")

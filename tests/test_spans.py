@@ -108,3 +108,24 @@ def test_pack_sequences_block_layout_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_inverted_index_postings_and_df_band(ray_session):
+    from shaclapi_ray.pipelines.textstats import inverted_index
+
+    texts = [
+        "alpha beta gamma",
+        "beta gamma",
+        "gamma beta zeta",
+        "alpha",
+    ]
+    df = (
+        inverted_index(_docs_ds(texts), min_df=2, max_df=2)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    # beta/gamma (df=3) pruned by max_df; zeta (df=1) pruned by min_df
+    assert df.token.tolist() == ["alpha"]
+    assert df.df.tolist() == [2]
+    assert df.postings.tolist() == ["0,3"]
