@@ -352,6 +352,12 @@ def _q_inverted_index(sf_dir: str):
     return _sorted(inverted_index(_docs(sf_dir), min_df=MIN_DF), ["token"])
 
 
+def _q_unigram_logprob(sf_dir: str):
+    from shaclapi_ray.pipelines.textstats import unigram_logprob
+
+    return _sorted(unigram_logprob(_docs(sf_dir)), ["doc_id"])
+
+
 TFIDF_K = 5
 
 
@@ -666,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "doc_frequency": _q_doc_frequency,
         "inverted_index": _q_inverted_index,
+        "unigram_logprob": _q_unigram_logprob,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "rebalance_corpus": _q_rebalance_corpus,
         "chunk_text": _q_chunk_text,
@@ -773,6 +780,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "decontaminate": o.decontaminate_sql(),
         "doc_frequency": o.doc_frequency_sql(MIN_DF),
         "inverted_index": o.inverted_index_sql(MIN_DF),
+        "unigram_logprob": o.unigram_logprob_sql(),
         "tfidf_top_terms": o.tfidf_top_terms_sql(TFIDF_K, MIN_DF),
         "rebalance_corpus": o.rebalance_corpus_sql(),
         "chunk_text": o.chunk_text_sql(200, 50),

@@ -348,6 +348,25 @@ FROM toks GROUP BY token HAVING count(*) >= {min_df} {cap} ORDER BY token
 """
 
 
+def unigram_logprob_sql() -> str:
+    """Mirror of pipelines.textstats.unigram_logprob: natural log of
+    corpus-unigram probability, per-doc mean, 0.0 for empty docs."""
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+),
+tf AS (SELECT token, count(*)::DOUBLE AS c FROM toks GROUP BY token),
+tot AS (SELECT sum(c) AS t FROM tf),
+sc AS (
+  SELECT toks.doc_id, avg(ln(tf.c / tot.t)) AS logprob
+  FROM toks JOIN tf USING (token), tot GROUP BY toks.doc_id
+)
+SELECT d.doc_id, length(regexp_extract_all(d.text, '\\S+'))::BIGINT AS n_tokens,
+       coalesce(sc.logprob, 0.0) AS logprob
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id
+"""
+
+
 def tfidf_top_terms_sql(k: int = 5, min_df: int = 1) -> str:
     """Mirror of pipelines.textstats.tfidf_top_terms: tfidf rounded to 6
     decimals BEFORE ranking (ties token-asc), df >= min_df, N = all docs."""

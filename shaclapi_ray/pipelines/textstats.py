@@ -764,3 +764,99 @@ def inverted_index(docs_ds, min_df: int = 2, max_df: int | None = None):
         return agg.select("token", "df", "postings").to_arrow()
 
     return pair_ds.groupby("ck").map_groups(build, batch_format="pyarrow")
+
+
+VOCAB_BROADCAST_LIMIT = 50_000_000
+
+
+def unigram_logprob(docs_ds):
+    """(doc_id, n_tokens, logprob): mean natural-log corpus-unigram
+    probability of each document's tokens — the language-model quality
+    filter of CCNet-class pipelines (Wenzek et al. 2020) with the LM
+    replaced by the corpus's own unigram statistics, so the operator is
+    exact and self-contained. Low (very negative) scores mark documents
+    of rare/garbage tokens; 0.0 marks empty documents.
+
+    Scale design: pass 1 computes term frequencies with the
+    pre-aggregate-then-combine discipline (one (token, cnt) row per
+    batch leaves each task); the resulting unigram table is broadcast
+    once via ray.put as a sorted-hash (token -> tf) numpy map
+    (stages/hashset.build_hash_map — zero per-task setup) with a
+    VOCAB_BROADCAST_LIMIT ceiling; a raw \\S+ web-scale vocabulary can
+    exceed it, at which point the scorer should switch to a
+    hash-partitioned join on token (loud ValueError, not an OOM).
+    Pass 2 streams: explode tokens, vectorized lookup, per-doc mean."""
+    import numpy as np
+    import polars as pl
+
+    import ray as _ray
+
+    from shaclapi_ray.stages.aggregates import combine_partials
+    from shaclapi_ray.stages.hashset import build_hash_map, lookup
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["text"]))
+        toks = (
+            df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+        )
+        counts = toks.group_by("t").agg(pl.len().cast(pl.Int64).alias("cnt"))
+        return counts.rename({"t": "token"}).to_arrow()
+
+    partials = docs_ds.map_batches(
+        tf_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tf = combine_partials(partials, "token", "cnt", "tf", "auto")
+
+    tok_chunks, cnt_chunks = [], []
+    for b in tf.iter_batches(batch_format="pyarrow"):
+        tok_chunks.append(b["token"].to_pylist())
+        cnt_chunks.append(b["tf"].to_numpy(zero_copy_only=False))
+    tokens = [t for ch in tok_chunks for t in ch]
+    if len(tokens) > VOCAB_BROADCAST_LIMIT:
+        raise ValueError(
+            f"vocabulary has {len(tokens)} tokens (> {VOCAB_BROADCAST_LIMIT}); "
+            "switch to a hash-partitioned join on token at this scale"
+        )
+    counts = (
+        np.concatenate(cnt_chunks) if cnt_chunks else np.empty(0, dtype=np.int64)
+    )
+    total = float(counts.sum()) if counts.size else 1.0
+    hm_ref = _ray.put(build_hash_map(tokens, counts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hm = _ray.get(hm_ref)
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        ex = (
+            df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+        )
+        n_tokens = pc.cast(
+            pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+        )
+        if len(ex):
+            tfs = lookup(hm, ex["t"].to_arrow(), default=0)
+            # every token came from this corpus, so tf >= 1 by construction
+            lp = np.log(tfs.astype(np.float64) / total)
+            per_doc = (
+                ex.with_columns(pl.Series("lp", lp))
+                .group_by("doc_id")
+                .agg(pl.col("lp").mean().alias("logprob"))
+            )
+        else:
+            per_doc = pl.DataFrame(
+                {"doc_id": pl.Series([], dtype=pl.Int64),
+                 "logprob": pl.Series([], dtype=pl.Float64)}
+            )
+        out = (
+            pl.from_arrow(pa.table({"doc_id": batch["doc_id"], "n_tokens": n_tokens}))
+            .join(per_doc, on="doc_id", how="left")
+            .with_columns(pl.col("logprob").fill_null(0.0))
+        )
+        return out.to_arrow()
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

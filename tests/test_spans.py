@@ -129,3 +129,22 @@ def test_inverted_index_postings_and_df_band(ray_session):
     assert df.token.tolist() == ["alpha"]
     assert df.df.tolist() == [2]
     assert df.postings.tolist() == ["0,3"]
+
+
+def test_unigram_logprob_golden(ray_session):
+    import math
+
+    from shaclapi_ray.pipelines.textstats import unigram_logprob
+
+    texts = ["a a b", "b", ""]
+    # corpus tf: a=2, b=2, total=4 -> p(a)=p(b)=0.5
+    df = (
+        unigram_logprob(_docs_ds(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df.n_tokens.tolist() == [3, 1, 0]
+    assert abs(df.logprob[0] - math.log(0.5)) < 1e-12
+    assert abs(df.logprob[1] - math.log(0.5)) < 1e-12
+    assert df.logprob[2] == 0.0  # empty doc sentinel
