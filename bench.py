@@ -190,9 +190,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("doc_frequency", lambda: doc_frequency(docs, min_df=2).count())
 
     from shaclapi_ray.pipelines.spans import dup_span_coverage, pack_sequences
+    from shaclapi_ray.pipelines.textstats import inverted_index, unigram_logprob
 
     timed("dup_span_coverage", lambda: dup_span_coverage(docs).count())
     timed("pack_sequences", lambda: pack_sequences(docs).count())
+    timed("inverted_index", lambda: inverted_index(docs).count())
+    timed("unigram_logprob", lambda: unigram_logprob(docs).count())
 
     headline_sec = queries["referential_validation"]
     result = {
