@@ -301,6 +301,22 @@ def top_docs_per_group(docs_ds, k: int = TOPK_PER_GROUP, group_col: str = "lang"
     return partials.groupby(group_col).map_groups(final, batch_format="pandas")
 
 
+def _explode_tokens(batch: pa.Table, cols: list[str]):
+    """polars frame of ``cols`` plus the exploded token column 't'
+    (TOKEN_RE matches, null rows dropped) — the ONE tokenize kernel
+    shared by every corpus operator here, mirrored by the single \\S+
+    regex in the DuckDB oracles; change it in exactly one place."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select([*cols, "text"]))
+    return (
+        df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
+        .drop("text")
+        .explode("t")
+        .filter(pl.col("t").is_not_null())
+    )
+
+
 def doc_frequency(docs_ds, min_df: int = 1):
     """(token, df): document frequency of every whitespace token — the
     inverted-index / IDF statistics build of a corpus pipeline.
@@ -314,14 +330,7 @@ def doc_frequency(docs_ds, min_df: int = 1):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["doc_id", "text"]))
-        toks = (
-            df.with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
-            .drop("text")
-            .explode("t")
-            .filter(pl.col("t").is_not_null())
-            .unique()
-        )
+        toks = _explode_tokens(batch, ["doc_id"]).unique()
         counts = toks.group_by("t").agg(pl.len().cast(pl.Int64).alias("df"))
         return counts.rename({"t": "token"}).to_arrow()
 
@@ -375,12 +384,8 @@ def tfidf_top_terms(docs_ds, k: int = 5, min_df: int = 1):
 
     def fn(batch: pa.Table) -> pa.Table:
         hashes, idfs = ray.get(vocab_ref)
-        df = pl.from_arrow(batch.select(["doc_id", "text"]))
         tf = (
-            df.with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
-            .drop("text")
-            .explode("t")
-            .filter(pl.col("t").is_not_null())
+            _explode_tokens(batch, ["doc_id"])
             .group_by(["doc_id", "t"])
             .agg(pl.len().cast(pl.Int64).alias("tf"))
         )
@@ -724,25 +729,46 @@ def inverted_index(docs_ds, min_df: int = 2, max_df: int | None = None):
     invocation per vocabulary entry) and builds every posting list of a
     coarse group with one vectorized polars group_by inside — the same
     regrouping that took simhash verify from 65k near-empty groups to
-    2^8 dense ones. ``max_df`` prunes stopword-class tokens whose posting
-    lists would dominate output size and skew the shuffle (the hot-key
-    bound); ``min_df`` prunes the singleton tail AFTER the global merge.
+    2^8 dense ones. With ``max_df`` set, a cheap token-level df pass
+    (doc_frequency's pre-aggregated combine) finds the stopword-class
+    tokens FIRST and their hashes are broadcast so their pairs are
+    dropped BEFORE the exchange — the hot-key/skew bound AND the output
+    bound; ``min_df`` prunes the singleton tail after the global merge.
     """
+    import numpy as np
     import polars as pl
+
+    import ray as _ray
 
     from shaclapi_ray.stages.hashset import hash_strings
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["doc_id", "text"]))
-        toks = (
-            df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
-            .drop("text")
-            .explode("t")
-            .filter(pl.col("t").is_not_null())
-            .unique()
-            .rename({"t": "token"})
+    stop_ref = None
+    if max_df is not None:
+        chunks = []
+        for b in doc_frequency(docs_ds, min_df=1).iter_batches(
+            batch_format="pyarrow"
+        ):
+            hot = b.filter(pc.greater(b["df"], max_df))
+            if hot.num_rows:
+                chunks.append(hash_strings(hot["token"]))
+        stop = (
+            np.sort(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.uint64)
         )
+        stop_ref = _ray.put(stop)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = _explode_tokens(batch, ["doc_id"]).unique().rename({"t": "token"})
         out = toks.to_arrow()
+        if stop_ref is not None and out.num_rows:
+            stop_sorted = _ray.get(stop_ref)
+            if stop_sorted.size:
+                h = hash_strings(out["token"])
+                pos = np.minimum(
+                    np.searchsorted(stop_sorted, h), stop_sorted.size - 1
+                )
+                out = out.filter(pa.array(stop_sorted[pos] != h))
         ck = (hash_strings(out["token"]) % INDEX_COARSE_GROUPS).astype("int64")
         return out.append_column("ck", pa.array(ck, type=pa.int64()))
 
@@ -795,14 +821,11 @@ def unigram_logprob(docs_ds):
     from shaclapi_ray.stages.hashset import build_hash_map, lookup
 
     def tf_partial(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["text"]))
-        toks = (
-            df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
-            .drop("text")
-            .explode("t")
-            .filter(pl.col("t").is_not_null())
+        counts = (
+            _explode_tokens(batch, [])
+            .group_by("t")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
         )
-        counts = toks.group_by("t").agg(pl.len().cast(pl.Int64).alias("cnt"))
         return counts.rename({"t": "token"}).to_arrow()
 
     partials = docs_ds.map_batches(
@@ -810,16 +833,26 @@ def unigram_logprob(docs_ds):
     )
     tf = combine_partials(partials, "token", "cnt", "tf", "auto")
 
+    # vocab stays Arrow end-to-end (no Python string lists on the driver:
+    # near the broadcast ceiling those copies are multi-GB)
     tok_chunks, cnt_chunks = [], []
     for b in tf.iter_batches(batch_format="pyarrow"):
-        tok_chunks.append(b["token"].to_pylist())
+        col = b["token"]
+        tok_chunks.append(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
         cnt_chunks.append(b["tf"].to_numpy(zero_copy_only=False))
-    tokens = [t for ch in tok_chunks for t in ch]
-    if len(tokens) > VOCAB_BROADCAST_LIMIT:
+    n_vocab = sum(len(c) for c in tok_chunks)
+    if n_vocab > VOCAB_BROADCAST_LIMIT:
         raise ValueError(
-            f"vocabulary has {len(tokens)} tokens (> {VOCAB_BROADCAST_LIMIT}); "
+            f"vocabulary has {n_vocab} tokens (> {VOCAB_BROADCAST_LIMIT}); "
             "switch to a hash-partitioned join on token at this scale"
         )
+    tokens = (
+        pa.concat_arrays(tok_chunks)
+        if tok_chunks
+        else pa.array([], type=pa.string())
+    )
     counts = (
         np.concatenate(cnt_chunks) if cnt_chunks else np.empty(0, dtype=np.int64)
     )
@@ -828,34 +861,44 @@ def unigram_logprob(docs_ds):
 
     def score(batch: pa.Table) -> pa.Table:
         hm = _ray.get(hm_ref)
-        df = pl.from_arrow(batch.select(["doc_id", "text"]))
-        ex = (
-            df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
-            .drop("text")
-            .explode("t")
-            .filter(pl.col("t").is_not_null())
-        )
-        n_tokens = pc.cast(
-            pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
-        )
+        ex = _explode_tokens(batch, ["doc_id"])
         if len(ex):
             tfs = lookup(hm, ex["t"].to_arrow(), default=0)
-            # every token came from this corpus, so tf >= 1 by construction
+            if not (tfs > 0).all():
+                # every token came from this corpus, so tf >= 1 by
+                # construction; a miss means pass 1 and pass 2 saw
+                # different corpora (non-deterministic upstream stage?) —
+                # fail loudly instead of folding log(0) = -inf into scores
+                raise ValueError(
+                    "token absent from the unigram table: the scored "
+                    "corpus diverged from the one the statistics were "
+                    "built on"
+                )
             lp = np.log(tfs.astype(np.float64) / total)
             per_doc = (
                 ex.with_columns(pl.Series("lp", lp))
                 .group_by("doc_id")
-                .agg(pl.col("lp").mean().alias("logprob"))
+                .agg(
+                    pl.len().cast(pl.Int64).alias("n_tokens"),
+                    pl.col("lp").mean().alias("logprob"),
+                )
             )
         else:
             per_doc = pl.DataFrame(
-                {"doc_id": pl.Series([], dtype=pl.Int64),
-                 "logprob": pl.Series([], dtype=pl.Float64)}
+                {
+                    "doc_id": pl.Series([], dtype=pl.Int64),
+                    "n_tokens": pl.Series([], dtype=pl.Int64),
+                    "logprob": pl.Series([], dtype=pl.Float64),
+                }
             )
         out = (
-            pl.from_arrow(pa.table({"doc_id": batch["doc_id"], "n_tokens": n_tokens}))
+            pl.from_arrow(batch.select(["doc_id"]))
             .join(per_doc, on="doc_id", how="left")
-            .with_columns(pl.col("logprob").fill_null(0.0))
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("logprob").fill_null(0.0),
+            )
+            .select("doc_id", "n_tokens", "logprob")
         )
         return out.to_arrow()
 
