@@ -507,6 +507,12 @@ def _q_tumbling_window(sf_dir: str):
     return _sorted(tumbling_window(_events(sf_dir), WINDOW_S), ["user_id", "window_start"])
 
 
+def _q_drop_late_events(sf_dir: str):
+    from shaclapi_ray.pipelines.events import drop_late_events
+
+    return _sorted(drop_late_events(_events(sf_dir), WINDOW_S), ["event_id"])
+
+
 def _q_hopping_window(sf_dir: str):
     from shaclapi_ray.pipelines.events import hopping_window
 
@@ -693,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         # stream-shaped
         "tumbling_window": _q_tumbling_window,
+        "drop_late_events": _q_drop_late_events,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
         "assign_sessions": _q_assign_sessions,
@@ -794,6 +801,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "embedding_neardup": o.embedding_neardup_sql(EMB_NEARDUP_TAU),
         "knn_bruteforce": o.knn_bruteforce_sql(KNN_QUERY_IDS, KNN_K),
         "tumbling_window": o.tumbling_window_sql(WINDOW_S),
+        "drop_late_events": o.drop_late_events_sql(WINDOW_S),
         "hopping_window": o.hopping_window_sql(WINDOW_S, HOP_S),
         "sessionize": o.sessionize_sql(SESSION_GAP_S),
         "assign_sessions": o.assign_sessions_sql(SESSION_GAP_S),

@@ -653,6 +653,23 @@ ORDER BY query_id, rank
 """
 
 
+def drop_late_events_sql(
+    window_s: int = 300, allowed_lateness_s: int = 60, max_delay_s: int = 600
+) -> str:
+    """Mirror of pipelines.events.drop_late_events (arrival = ts + Knuth
+    delay; late iff arrival > window close + allowed lateness)."""
+    from shaclapi_ray.pipelines.events import LATE_KNUTH
+
+    return f"""
+SELECT event_id,
+       (epoch_us(ts) // ({window_s} * 1000000)) * {window_s} AS window_start,
+       ((event_id * {LATE_KNUTH}) % 4294967296) % {max_delay_s} AS delay_s,
+       ((epoch_us(ts) // 1000000) + delay_s)
+         > window_start + {window_s} + {allowed_lateness_s} AS late
+FROM events ORDER BY event_id
+"""
+
+
 def tumbling_window_sql(window_s: int) -> str:
     return f"""
 SELECT user_id,

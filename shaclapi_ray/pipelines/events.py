@@ -346,3 +346,52 @@ def parse_props(events_ds):
         )
 
     return events_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+LATE_KNUTH = 2654435761  # sample_corpus Knuth constant (deterministic delay)
+
+
+def drop_late_events(
+    events_ds,
+    window_s: int = 300,
+    allowed_lateness_s: int = 60,
+    max_delay_s: int = 600,
+):
+    """(event_id, window_start, delay_s, late): watermark-style late-data
+    suppression over the bounded events table (SURVEY §2.8 'late data').
+
+    The reference ignores post-emission arrivals via its finished_set
+    (/root/reference/shaclapi/multiprocessing/functions.py:45-48 — once
+    an id has been emitted, late mappings for it are dropped); the
+    streaming analog is an allowed-lateness watermark: an event whose
+    ARRIVAL lands after its tumbling window's close plus the allowed
+    lateness is marked late and excluded from window results. The fixture
+    events carry no arrival time, so arrival is derived deterministically
+    as ts + delay with delay = (event_id * Knuth) mod 2^32 mod
+    max_delay_s — reproducible across runs, cluster sizes and block
+    layouts, and mirrored exactly in the SQL oracle.
+
+    Pure per-batch vectorized arithmetic: once the watermark rule is
+    fixed, the late verdict is row-local — no shuffle, no state."""
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(
+            pc.divide(epoch_s, window_s), pa.scalar(window_s, pa.int64())
+        )
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        delay = ((ids * LATE_KNUTH) % (1 << 32)) % max_delay_s
+        arrival = epoch_s.to_numpy(zero_copy_only=False) + delay
+        close = win.to_numpy(zero_copy_only=False) + window_s
+        late = arrival > close + allowed_lateness_s
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "window_start": win,
+                "delay_s": pa.array(delay, type=pa.int64()),
+                "late": pa.array(late),
+            }
+        )
+
+    return events_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -110,3 +110,35 @@ def test_attribute_events_asof_semantics(ray_session):
     assert out.event_id.tolist() == [4, 5, 6, 7]
     assert out.matched_event_id.tolist() == [2, 3, -1, -1]
     assert out.lag_us.tolist() == [5_000_000, 0, -1, -1]
+
+
+def test_drop_late_events_golden(ray_session):
+    """Hand-computed watermark verdicts on synthetic timestamps."""
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.events import LATE_KNUTH, drop_late_events
+
+    # windows of 10s, lateness 2s, delays mod 20s
+    # (Knuth delays for ids 0,1,2 are 0,1,6 — so only event 2, arriving
+    # 19+6=25 > its window close 20 + 2, is late)
+    ts = [pa.scalar(t * 1_000_000, type=pa.timestamp("us")) for t in [3, 9, 19]]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "ts": pa.array([s.as_py() for s in ts], pa.timestamp("us")),
+            }
+        )
+    )
+    df = (
+        drop_late_events(ev, window_s=10, allowed_lateness_s=2, max_delay_s=20)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    delays = [((i * LATE_KNUTH) % (1 << 32)) % 20 for i in range(3)]
+    assert delays == [0, 1, 6]
+    assert df.delay_s.tolist() == delays
+    assert df.window_start.tolist() == [0, 0, 10]
+    assert df.late.tolist() == [False, False, True]
