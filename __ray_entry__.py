@@ -479,6 +479,35 @@ def _q_embedding_neardup_lsh(sf_dir: str):
     )
 
 
+def _q_embed_corpus(sf_dir: str):
+    """Batched 'model inference' over documents (deterministic
+    feature-hash encoder; rows-only check — float-vector output).
+    Returns (doc_id, dim, norm) so the driver check is schema-stable."""
+    import numpy as np
+    import pandas as pd
+
+    from shaclapi_ray.pipelines.knn import embed_corpus
+
+    rows = []
+    for b in embed_corpus(_docs(sf_dir)).iter_batches(batch_format="pyarrow"):
+        m = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+                    "dim": m.shape[1] if m.ndim == 2 else 0,
+                    "norm": np.round(np.linalg.norm(m, axis=1), 6)
+                    if m.ndim == 2
+                    else 0.0,
+                }
+            )
+        )
+    out = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {"doc_id": [], "dim": [], "norm": []}
+    )
+    return _sorted(out, ["doc_id"])
+
+
 def _q_knn_bruteforce(sf_dir: str):
     from shaclapi_ray.pipelines.knn import knn_bruteforce
 
@@ -695,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         # similarity search
+        "embed_corpus": _q_embed_corpus,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         # stream-shaped
@@ -799,6 +829,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "dedup_corpus": o.dedup_corpus_sql(),
         "ngram_jaccard": o.ngram_jaccard_sql(),
         "embedding_neardup": o.embedding_neardup_sql(EMB_NEARDUP_TAU),
+        "embed_corpus": o.embed_corpus_sql(),
         "knn_bruteforce": o.knn_bruteforce_sql(KNN_QUERY_IDS, KNN_K),
         "tumbling_window": o.tumbling_window_sql(WINDOW_S),
         "drop_late_events": o.drop_late_events_sql(WINDOW_S),

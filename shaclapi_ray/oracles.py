@@ -653,6 +653,19 @@ ORDER BY query_id, rank
 """
 
 
+def embed_corpus_sql(dim: int = 64) -> str:
+    """Invariant oracle for the feature-hash embedder: constant dim and
+    exact unit l2 norm for every non-empty document (zero vector, norm 0,
+    for empty ones). The vector VALUES are checked by golden/cosine unit
+    tests instead (float lists are not a stable hash surface)."""
+    return f"""
+SELECT doc_id, {dim} AS dim,
+       CASE WHEN length(regexp_extract_all(text, '\\S+')) > 0
+            THEN 1.0 ELSE 0.0 END AS norm
+FROM documents ORDER BY doc_id
+"""
+
+
 def drop_late_events_sql(
     window_s: int = 300, allowed_lateness_s: int = 60, max_delay_s: int = 600
 ) -> str:

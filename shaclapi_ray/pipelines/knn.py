@@ -353,3 +353,82 @@ def ivf_recall_vs_bruteforce(emb_ds, query_ids: list[int], k: int = 10, **ivf_kw
     bset = set(zip(bf["query_id"], bf["neighbor_id"]))
     iset = set(zip(iv["query_id"], iv["neighbor_id"]))
     return len(bset & iset) / max(1, len(bset))
+
+
+EMBED_DIM = 64
+EMBED_HASH_SEED = 0x5EED
+
+
+class TextEmbedder:
+    """Actor-pool batched "model inference" stage: text -> embedding.
+
+    The model seam is __init__ — that is where real encoder weights load
+    ONCE PER ACTOR (not per batch); this environment ships no model libs,
+    so the default model='hash' is a deterministic feature-hashing
+    embedding (the hashing trick: l2-normalized token-hash bucket counts
+    — cosine similarity then reflects token overlap, so near-duplicate
+    documents genuinely score high), and model='error' raises exactly
+    where a real encoder.forward() would run. The Ray-side plumbing —
+    callable class for map_batches, batch sizing, list<float32> output
+    schema — is the production shape either way.
+
+    Per-batch work is fully vectorized: one polars token explode, one
+    vectorized hash, one np.bincount over row*dim+bucket, one matrix
+    normalize."""
+
+    def __init__(self, dim: int = EMBED_DIM, model: str = "hash"):
+        if model not in ("hash", "error"):
+            raise ValueError(f"unknown model {model!r}")
+        self.dim = int(dim)
+        self.model = model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.model == "error":
+            raise NotImplementedError(
+                "encoder stub: no model runtime installed — use model='hash'"
+            )
+        import polars as pl
+
+        n = batch.num_rows
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        ex = (
+            df.with_row_index("row")
+            .with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+        )
+        mat = np.zeros((n, self.dim), dtype=np.float64)
+        if len(ex):
+            buckets = (
+                ex["t"].hash(seed=EMBED_HASH_SEED).to_numpy() % self.dim
+            ).astype(np.int64)
+            rows = ex["row"].to_numpy().astype(np.int64)
+            flat = np.bincount(rows * self.dim + buckets, minlength=n * self.dim)
+            mat = flat.reshape(n, self.dim).astype(np.float64)
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "embedding": pa.array(
+                    mat.astype(np.float32).tolist(), type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def embed_corpus(
+    docs_ds, dim: int = EMBED_DIM, model: str = "hash", batch_size: int = 4096
+):
+    """(doc_id, embedding list<float32>): embed every document with an
+    actor pool (TextEmbedder state built once per actor). batch_size
+    bounds batch x concurrency memory; at GPU scale add num_gpus to the
+    map_batches resources and size the pool to the accelerator count."""
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        TextEmbedder,
+        fn_constructor_kwargs={"dim": dim, "model": model},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )

@@ -148,3 +148,36 @@ def test_unigram_logprob_golden(ray_session):
     assert abs(df.logprob[0] - math.log(0.5)) < 1e-12
     assert abs(df.logprob[1] - math.log(0.5)) < 1e-12
     assert df.logprob[2] == 0.0  # empty doc sentinel
+
+
+def test_embed_corpus_hash_embedding_semantics(ray_session):
+    import numpy as np
+    import pytest
+
+    from shaclapi_ray.pipelines.knn import embed_corpus
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "the quick brown fox jumps over a sleepy dog",  # near-dup of 0
+        "completely unrelated text about ray data pipelines",
+        "",
+    ]
+    df = (
+        embed_corpus(_docs_ds(texts), dim=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    m = np.asarray(df.embedding.tolist(), dtype=np.float64)
+    assert m.shape == (5, 32)
+    norms = np.linalg.norm(m, axis=1)
+    assert np.allclose(norms[:4], 1.0) and norms[4] == 0.0
+    assert np.allclose(m[0], m[1])  # identical text -> identical vector
+    near = m[0] @ m[2]
+    far = m[0] @ m[3]
+    assert near > far  # token overlap orders cosine
+    assert near > 0.8
+
+    with pytest.raises(Exception, match="encoder stub"):
+        embed_corpus(_docs_ds(["x"]), model="error").to_pandas()
