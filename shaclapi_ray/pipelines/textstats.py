@@ -903,3 +903,67 @@ def unigram_logprob(docs_ds):
         return out.to_arrow()
 
     return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_inverted_index(
+    docs_ds,
+    index_dir: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+):
+    """Persist the inverted index as TOKEN-HASH-PARTITIONED parquet
+    (``ck=<id>/`` hive dirs, INDEX_COARSE_GROUPS partitions) — the same
+    I/O-pruning layout as the IVF ANN index (knn.build_ivf_index): a
+    token lookup then reads ONLY the partitions its tokens hash into, so
+    point-lookup I/O is index_size/partitions, never a full index scan.
+    Partition dirs are independent, which is also the resume unit."""
+    import polars as pl  # noqa: F401  (parity with sibling stages)
+
+    from shaclapi_ray.stages.hashset import hash_strings
+
+    idx = inverted_index(docs_ds, min_df=min_df, max_df=max_df)
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("ck", pa.array([], type=pa.int64()))
+        ck = (hash_strings(t["token"]) % INDEX_COARSE_GROUPS).astype("int64")
+        return t.append_column("ck", pa.array(ck, type=pa.int64()))
+
+    idx.map_batches(add_ck, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["ck"]
+    )
+    return index_dir
+
+
+def lookup_tokens(index_dir: str, tokens: list[str]) -> pa.Table:
+    """(token, df, postings) for exactly ``tokens`` — reads ONLY the
+    ``ck=`` partitions those tokens hash into (driver-local point lookup;
+    at cluster scale, fan the per-partition reads out as Ray tasks)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from shaclapi_ray.stages.hashset import hash_strings
+
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "postings": pa.array([], pa.string()),
+        }
+    )
+    toks = sorted(set(tokens))
+    if not toks:
+        return empty
+    cks = sorted({int(h) % INDEX_COARSE_GROUPS for h in hash_strings(toks)})
+    parts = []
+    for c in cks:
+        d = os.path.join(index_dir, f"ck={c}")
+        if os.path.isdir(d):
+            parts.append(pq.read_table(d, columns=["token", "df", "postings"]))
+    if not parts:
+        return empty
+    tbl = pa.concat_tables(parts)
+    mask = pc.is_in(tbl["token"], value_set=pa.array(toks))
+    out = tbl.filter(mask)
+    return out.sort_by("token")

@@ -181,3 +181,46 @@ def test_embed_corpus_hash_embedding_semantics(ray_session):
 
     with pytest.raises(Exception, match="encoder stub"):
         embed_corpus(_docs_ds(["x"]), model="error").to_pandas()
+
+
+def test_write_inverted_index_partitioned_lookup(ray_session, tmp_path):
+    """Index persists as token-hash-partitioned parquet; a lookup reads
+    ONLY its tokens' partitions — proven by deleting every other
+    partition dir and still answering correctly."""
+    import os
+    import shutil
+
+    from shaclapi_ray.pipelines.textstats import (
+        INDEX_COARSE_GROUPS,
+        inverted_index,
+        lookup_tokens,
+        write_inverted_index,
+    )
+    from shaclapi_ray.stages.hashset import hash_strings
+
+    texts = [f"tok{i % 7} common" for i in range(20)]
+    idx_dir = str(tmp_path / "idx")
+    write_inverted_index(_docs_ds(texts), idx_dir, min_df=1)
+
+    want = ["tok0", "tok3", "common"]
+    expected = (
+        inverted_index(_docs_ds(texts), min_df=1)
+        .to_pandas()
+        .set_index("token")
+        .loc[want]
+        .sort_index()
+    )
+    got = lookup_tokens(idx_dir, want).to_pandas().set_index("token").sort_index()
+    assert got.df.tolist() == expected.df.tolist()
+    assert got.postings.tolist() == expected.postings.tolist()
+
+    # destroy every partition the lookup does NOT need; it must still work
+    need = {int(h) % INDEX_COARSE_GROUPS for h in hash_strings(want)}
+    for name in os.listdir(idx_dir):
+        if name.startswith("ck=") and int(name.split("=")[1]) not in need:
+            shutil.rmtree(os.path.join(idx_dir, name))
+    again = lookup_tokens(idx_dir, want).to_pandas().set_index("token").sort_index()
+    assert again.equals(got)
+
+    # unknown token resolves to empty, not an error
+    assert len(lookup_tokens(idx_dir, ["nope"])) == 0
