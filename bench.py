@@ -208,9 +208,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline_sec, 1),
         "ivf_recall_vs_bruteforce": ivf_recall,
-        # recall is vs the probed fraction: nprobe/n_centroids of the
-        # corpus is scanned, so recall ~2x random at this operating point
-        "ivf_nprobe": 4,
+        # fixture embeddings are near-uniform random, so recall tracks
+        # the probed fraction (nprobe/n_centroids) — IVF's worst case
+        "ivf_nprobe": 8,
         "ivf_n_centroids": 16,
     }
     ray.shutdown()
