@@ -221,3 +221,39 @@ def read_table_split(path, columns=None, min_rows_per_block: int = 500):
     if n > 1:
         ds = ds.repartition(n)
     return ds
+
+
+def read_table_any(path, columns=None, format: str | None = None,
+                   min_rows_per_block: int = 500):
+    """Format-dispatching source: parquet (the scale path — pruned,
+    metadata-sized blocks), JSONL, or CSV into the same Dataset contract
+    every pipeline stage consumes. The reference's single binding-stream
+    source (`contactSource`) becomes a pluggable file-format seam here.
+
+    JSONL/CSV have no footer metadata or column pruning at the read, so
+    projection happens right after (`select_columns`) and fan-out uses
+    the CPU-count block target; these formats are for interchange and
+    small sides — bulk corpora belong in parquet."""
+    import os
+
+    fmt = format
+    if fmt is None:
+        if os.path.isdir(path):
+            fmt = "parquet"  # partitioned dirs are always the parquet path
+        else:
+            ext = os.path.splitext(path)[1].lower().lstrip(".")
+            fmt = {"parquet": "parquet", "json": "json", "jsonl": "json",
+                   "csv": "csv"}.get(ext)
+    if fmt == "parquet":
+        return read_table_split(
+            path, columns=columns, min_rows_per_block=min_rows_per_block
+        )
+    if fmt == "json":
+        ds = ray.data.read_json(path)
+    elif fmt == "csv":
+        ds = ray.data.read_csv(path)
+    else:
+        raise ValueError(f"unsupported source format {fmt!r} for {path!r}")
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    return ds.repartition(target_blocks(factor=1))

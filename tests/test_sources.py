@@ -1,0 +1,70 @@
+"""Pluggable source formats (§2.1): the engine's input seam is a Dataset,
+so JSONL and CSV corpora must validate identically to the same rows read
+from parquet."""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from shaclapi_ray.engine import JobConfig, ValidationEngine
+from shaclapi_ray.fixtures import lang_shape, url_shape
+from shaclapi_ray.io import read_table_any
+
+PAGES_PARQUET = "/root/testdata/sf0.001"  # pagegen-derived dir created lazily
+
+
+@pytest.fixture(scope="module")
+def string_pages(tmp_path_factory):
+    """The string-typed page columns (url, text, lang) in all three
+    formats. html/binary and timestamps are parquet-only by design."""
+    from shaclapi_ray.pagegen import ensure_pages
+
+    pages_dir = ensure_pages(PAGES_PARQUET)
+    tbl = pq.read_table(
+        [f for f in __import__("glob").glob(f"{pages_dir}/part-*.parquet")],
+        columns=["url", "text", "lang"],
+    )
+    d = tmp_path_factory.mktemp("sources")
+    jsonl = d / "pages.jsonl"
+    with open(jsonl, "w") as f:
+        for row in tbl.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    csv = d / "pages.csv"
+    tbl.to_pandas().to_csv(csv, index=False)
+    return pages_dir, str(jsonl), str(csv)
+
+
+def _verdict_counts(ds):
+    res = ValidationEngine([url_shape(), lang_shape()], JobConfig()).run(ds)
+    df = res.verdicts().select_columns(["url", "shape_id", "valid"]).to_pandas()
+    return (
+        df.sort_values(["url", "shape_id"], kind="mergesort").reset_index(drop=True)
+    )
+
+
+def test_jsonl_and_csv_sources_validate_identically(ray_session, string_pages):
+    pages_dir, jsonl, csv = string_pages
+    base = _verdict_counts(read_table_any(pages_dir, columns=["url", "text", "lang"]))
+    from_jsonl = _verdict_counts(read_table_any(jsonl))
+    assert from_jsonl.equals(base)
+    from_csv = _verdict_counts(read_table_any(csv))
+    # CSV cannot represent empty-string vs null (both serialize to an
+    # empty field), so the url LABEL conflates the two; the verdicts
+    # themselves are unaffected (a missing and an empty url fail the
+    # UrlShape identically). Compare modulo that label conflation.
+    def norm(df):
+        df = df.copy()
+        df["url"] = df["url"].replace("null", "")
+        return df.sort_values(
+            ["url", "shape_id", "valid"], kind="mergesort"
+        ).reset_index(drop=True)
+
+    assert norm(from_csv).equals(norm(base))
+
+
+def test_unknown_format_raises(ray_session):
+    with pytest.raises(ValueError, match="unsupported source format"):
+        read_table_any("/tmp/whatever.xml")
