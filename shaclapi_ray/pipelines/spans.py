@@ -279,3 +279,25 @@ SELECT doc_id, shard::BIGINT AS shard, n_tokens,
        (CASE WHEN n_tokens = 0 THEN st ELSE st + n_tokens - 1 END // {budget})::BIGINT AS end_seq
 FROM scan ORDER BY doc_id
 """
+
+
+def write_training_shards(docs_ds, out_dir: str, n_shards: int = 8, seed: int = 0):
+    """Materialize the corpus as shard-partitioned parquet
+    (``shard=<id>/`` hive dirs, same Knuth assignment as pack_sequences):
+    the physical layout a trainer consumes next to the placement table.
+    One directory per shard is also the resume/retry unit — a failed run
+    rewrites only the shards it hadn't finished, and shard count is the
+    read-parallelism knob for the training job."""
+    import pyarrow.compute as _pc  # noqa: F401  (parity with siblings)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = ((ids + seed) * KNUTH) % (1 << 32) % n_shards
+        return batch.append_column(
+            "shard", pa.array(shard.astype(np.int64), type=pa.int64())
+        )
+
+    docs_ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(out_dir, partition_cols=["shard"])
+    return out_dir

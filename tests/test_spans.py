@@ -224,3 +224,31 @@ def test_write_inverted_index_partitioned_lookup(ray_session, tmp_path):
 
     # unknown token resolves to empty, not an error
     assert len(lookup_tokens(idx_dir, ["nope"])) == 0
+
+
+def test_write_training_shards_layout_matches_pack_assignment(
+    ray_session, tmp_path
+):
+    """Physical shard dirs contain exactly the docs pack_sequences
+    assigns to that shard, and a single-shard read round-trips."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from shaclapi_ray.pipelines.spans import pack_sequences, write_training_shards
+
+    texts = [f"w{i} " * (2 + i % 5) for i in range(30)]
+    out = str(tmp_path / "shards")
+    write_training_shards(_docs_ds(texts), out, n_shards=4)
+
+    placement = pack_sequences(_docs_ds(texts), n_shards=4).to_pandas()
+    by_shard = placement.groupby("shard")["doc_id"].apply(set).to_dict()
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == len(by_shard)
+    for d in dirs:
+        sid = int(d.split("=")[1])
+        t = pq.read_table(os.path.join(out, d), columns=["doc_id", "text"])
+        assert set(t["doc_id"].to_pylist()) == by_shard[sid]
+        # text survives the round trip byte-identically
+        for r in t.to_pylist():
+            assert r["text"] == texts[r["doc_id"]]
