@@ -4,8 +4,6 @@ from parquet."""
 
 import json
 
-import pandas as pd
-import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
