@@ -197,6 +197,12 @@ class CheckpointedValidation:
             tmp_dir = part_dir + ".tmp"
             if os.path.exists(tmp_dir):
                 shutil.rmtree(tmp_dir)  # leftover from a crash: redo
+            if os.path.exists(part_dir):
+                # crash between os.replace() and the manifest write: the
+                # partition committed but was never recorded — treat the
+                # unrecorded part_dir as debris so the redo's os.replace
+                # cannot fail with ENOTEMPTY
+                shutil.rmtree(part_dir)
             os.makedirs(tmp_dir)
 
             # ONE storage read per partition; everything below derives

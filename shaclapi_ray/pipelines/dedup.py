@@ -290,12 +290,52 @@ class MinHasher:
 DRIVER_PAIR_LIMIT = 2_000_000  # candidate edges; above this, distributed labels
 
 
+COARSE_GROUP_MASK = 0x3F  # 64 coarse hash groups per band on the shuffle path
+
+
+def _bucket_pairs_table(t: pa.Table) -> pa.Table:
+    """Vectorized (a, b) star edges from (band_id, band_hash, doc_id)
+    rows: within every (band_id, band_hash) bucket, a = min doc_id, b =
+    each other member. One polars sort + numpy run detection — no
+    per-bucket Python, so a 65k-tiny-bucket input costs one kernel pass,
+    not 65k lambda calls."""
+    import polars as pl
+
+    df = (
+        pl.from_arrow(t)
+        .unique(subset=["band_id", "band_hash", "doc_id"])
+        .sort(["band_id", "band_hash", "doc_id"])
+    )
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if df.height < 2:
+        return empty
+    bid = df["band_id"].to_numpy().astype(np.int64, copy=False)
+    h = df["band_hash"].to_numpy().astype(np.int64, copy=False)
+    d = df["doc_id"].to_numpy().astype(np.int64, copy=False)
+    new_run = np.r_[True, (h[1:] != h[:-1]) | (bid[1:] != bid[:-1])]
+    run_id = np.cumsum(new_run) - 1
+    roots = d[np.flatnonzero(new_run)][run_id]
+    mask = d != roots
+    if not mask.any():
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(roots[mask], type=pa.int64()),
+            "b": pa.array(d[mask], type=pa.int64()),
+        }
+    )
+
+
 def _candidate_pairs(sigs_m):
     """(a, b) candidate edges from LSH buckets (a = bucket min id).
 
-    Below DRIVER_MERGE_LIMIT band rows the grouping runs on the driver
-    with one pyarrow C++ group_by over pre-merged blocks; above it, a
-    keyed Ray shuffle groupby."""
+    Below DRIVER_MERGE_LIMIT band rows the pairing runs on the driver as
+    ONE vectorized _bucket_pairs_table call over pre-merged blocks and
+    returns a pandas DataFrame. Above it, a keyed Ray shuffle groupby on
+    a coarse (band_id, band_hash & MASK) key — buckets stay intact inside
+    each coarse group, vectorized within — and the edges are returned AS
+    A DATASET so the driver never holds the full edge set exactly when it
+    outgrew the driver limit."""
     import pandas as pd
     import ray as _ray
 
@@ -305,31 +345,20 @@ def _candidate_pairs(sigs_m):
         sig_tables = [t for t in (_ray.get(r) for r in sigs_m.to_arrow_refs()) if t.num_rows]
         if not sig_tables:
             return pd.DataFrame({"a": [], "b": []}, dtype="int64")
-        sdf = pa.concat_tables(sig_tables).to_pandas()
-        groups = sdf.groupby(["band_id", "band_hash"])["doc_id"].agg(
-            lambda s: sorted(set(s))
+        return _bucket_pairs_table(pa.concat_tables(sig_tables)).to_pandas()
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        g = (
+            t["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+            & COARSE_GROUP_MASK
         )
-        rows_a: list[int] = []
-        rows_b: list[int] = []
-        for ids in groups:
-            if len(ids) > 1:
-                rows_a.extend([ids[0]] * (len(ids) - 1))
-                rows_b.extend(ids[1:])
-        return pd.DataFrame({"a": rows_a, "b": rows_b}, dtype="int64")
+        return t.append_column("grp", pa.array(g, type=pa.int64()))
 
-    def bucket_pairs(group):
-        import pandas as pd
-
-        ids = sorted(set(group["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
-        root = ids[0]
-        return pd.DataFrame({"a": [root] * (len(ids) - 1), "b": ids[1:]})
-
-    pairs = sigs_m.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    return (
+        sigs_m.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band_id", "grp"])
+        .map_groups(_bucket_pairs_table, batch_format="pyarrow")
     )
-    return pairs.to_pandas()
 
 
 def _union_find_labels(pair_rows) -> dict[int, int]:
@@ -467,12 +496,18 @@ def minhash_lsh_clusters(
             zero_copy_batch=True,
         )
     sigs_m = sigs.materialize()
-    pair_rows = _candidate_pairs(sigs_m)
+    import pandas as _pd
+
+    pair_rows = _candidate_pairs(sigs_m)  # pandas (small) or Dataset (large)
+    pairs_is_ds = not isinstance(pair_rows, _pd.DataFrame)
 
     if labeling == "auto":
-        labeling = "driver" if len(pair_rows) <= DRIVER_PAIR_LIMIT else "distributed"
+        n_pairs = pair_rows.count() if pairs_is_ds else len(pair_rows)
+        labeling = "driver" if n_pairs <= DRIVER_PAIR_LIMIT else "distributed"
 
     if labeling == "driver":
+        if pairs_is_ds:
+            pair_rows = pair_rows.to_pandas()  # explicit driver opt-in only
         cluster_of = _union_find_labels(pair_rows)
         ids = np.fromiter(cluster_of.keys(), dtype=np.int64, count=len(cluster_of))
         lbls = np.fromiter(cluster_of.values(), dtype=np.int64, count=len(cluster_of))
@@ -481,7 +516,10 @@ def minhash_lsh_clusters(
     elif labeling == "distributed":
         import ray.data as _rd
 
-        edges = _rd.from_pandas(pair_rows) if len(pair_rows) else None
+        if pairs_is_ds:
+            edges = pair_rows  # already a Dataset: no pandas round-trip
+        else:
+            edges = _rd.from_pandas(pair_rows) if len(pair_rows) else None
         if edges is None:
             sorted_ids = np.zeros(0, dtype=np.int64)
             labels_arr = np.zeros(0, dtype=np.int64)

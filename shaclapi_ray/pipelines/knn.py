@@ -16,7 +16,26 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    """Arrow list<float> column -> (n, dim) float64 matrix, zero-copy.
+
+    Flattens the list column's contiguous value buffer directly
+    (``flatten()`` honors slicing/offsets) instead of round-tripping
+    through Python lists — the hottest conversion in every matmul stage.
+    Fixed-length vectors assumed (ragged input raises)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError("ragged embedding column (expected fixed-length vectors)")
+    return flat.astype(np.float64, copy=False).reshape(n, flat.size // n)
+
+
+def _ids(col) -> np.ndarray:
+    """Arrow int column -> int64 numpy, without a Python-list detour."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -57,13 +76,13 @@ def knn_bruteforce(
             ).to_arrow_refs()
         ]
     )
-    q_ids = np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64)
+    q_ids = _ids(qtbl["vec_id"])
     q_mat = _normalize(_to_matrix(qtbl["embedding"]))
     q_ref = ray.put((q_ids, q_mat))
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat = ray.get(q_ref)  # plasma-cached, zero-copy per worker
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = _ids(batch["vec_id"])
         mat = _normalize(_to_matrix(batch["embedding"]))
         sims = q_mat @ mat.T  # Q x B
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
@@ -195,10 +214,22 @@ def build_ivf_index(
 
     import ray
 
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    # Content fingerprint, not just a row count: a different corpus with
+    # the same cardinality must NOT silently reuse a stale on-disk index
+    # (the default index_dir is shared). One cheap aggregate pass over
+    # vec_id stands in for dataset identity.
+    agg = emb_ds.aggregate(
+        Count(), Min("vec_id"), Max("vec_id"), Sum("vec_id")
+    )
     stamp = {
         "n_centroids": int(n_centroids),
         "seed": int(seed),
-        "rows": int(emb_ds.count()),
+        "rows": int(agg["count()"]),
+        "vec_id_min": int(agg["min(vec_id)"]),
+        "vec_id_max": int(agg["max(vec_id)"]),
+        "vec_id_sum": int(agg["sum(vec_id)"]),
         "sample_size": int(sample_size),
     }
     manifest = os.path.join(index_dir, "_IVF_MANIFEST.json")
@@ -290,9 +321,13 @@ def knn_ivf(
         )
         return batch.filter(mask)
 
-    qtbl = emb_ds.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
-    q_ids = qtbl["vec_id"].to_numpy(dtype=np.int64)
-    q_mat = _normalize(np.asarray(qtbl["embedding"].tolist(), dtype=np.float64))
+    qtbl = pa.concat_tables(
+        ray.get(
+            emb_ds.map_batches(pick_queries, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    q_ids = _ids(qtbl["vec_id"])
+    q_mat = _normalize(_to_matrix(qtbl["embedding"]))
     q_buckets = {
         int(qid): np.argsort(-(q_mat[i] @ cent.T))[:nprobe].tolist()
         for i, qid in enumerate(q_ids)
@@ -318,8 +353,8 @@ def knn_ivf(
 
     def probe_topk(batch: pa.Table) -> pa.Table:
         p_ids, p_mat, p_buckets = ray.get(probe_ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        buckets = np.asarray(batch["b"].to_pylist(), dtype=np.int64)
+        ids = _ids(batch["vec_id"])
+        buckets = _ids(batch["b"])
         mat = _normalize(_to_matrix(batch["embedding"]))
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi, qid in enumerate(p_ids):

@@ -373,6 +373,23 @@ def tfidf_top_terms(docs_ds, k: int = 5, min_df: int = 1):
 
     n_docs = docs_ds.count()
     vocab = doc_frequency(docs_ds, min_df=min_df).to_pandas()
+    if len(vocab) == 0:
+        # empty vocabulary (min_df filtered every token): an empty
+        # Dataset.to_pandas() loses its schema, so vocab['token'] below
+        # would KeyError — and nothing can match anyway
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pl.DataFrame(
+                schema={
+                    "doc_id": pl.Int64,
+                    "token": pl.String,
+                    "tf": pl.Int64,
+                    "tfidf": pl.Float64,
+                    "rank": pl.Int64,
+                }
+            ).to_arrow()
+        )
     h = (
         pl.Series("t", vocab["token"].to_numpy())
         .hash(seed=TFIDF_HASH_SEED)
@@ -382,13 +399,35 @@ def tfidf_top_terms(docs_ds, k: int = 5, min_df: int = 1):
     idf = np.log(n_docs / vocab["df"].to_numpy(np.float64))
     vocab_ref = ray.put((h[order], idf[order]))
 
+    def _empty() -> pa.Table:
+        # built via polars so the Arrow types (large_string etc.) match
+        # the non-empty blocks exactly
+        return (
+            pl.DataFrame(
+                schema={
+                    "doc_id": pl.Int64,
+                    "token": pl.String,
+                    "tf": pl.Int64,
+                    "tfidf": pl.Float64,
+                    "rank": pl.Int64,
+                }
+            )
+        ).to_arrow()
+
     def fn(batch: pa.Table) -> pa.Table:
         hashes, idfs = ray.get(vocab_ref)
+        if len(hashes) == 0:
+            # empty vocabulary (e.g. min_df filtered every token):
+            # hashes[pos_c]/idfs[pos_c] below would IndexError on any
+            # non-empty batch — nothing can match, so short-circuit
+            return _empty()
         tf = (
             _explode_tokens(batch, ["doc_id"])
             .group_by(["doc_id", "t"])
             .agg(pl.len().cast(pl.Int64).alias("tf"))
         )
+        if tf.height == 0:
+            return _empty()
         th = tf["t"].hash(seed=TFIDF_HASH_SEED).to_numpy()
         pos = np.searchsorted(hashes, th)
         pos_c = np.minimum(pos, max(len(hashes) - 1, 0))

@@ -94,8 +94,18 @@ class ResumableMapJob:
             tmp_dir = part_dir + ".tmp"
             if os.path.exists(tmp_dir):
                 shutil.rmtree(tmp_dir)  # crash leftover: redo from scratch
+            if os.path.exists(part_dir):
+                # Crash landed between os.replace() and the manifest
+                # append: the data committed but the manifest never
+                # recorded it. An unrecorded part_dir is crash debris —
+                # remove it so the re-run's os.replace() can't ENOTEMPTY.
+                shutil.rmtree(part_dir)
             src = ray.data.read_parquet(f, columns=self.columns)
-            out = self.fn(src)
+            # materialize ONCE: write_parquet + count() would otherwise
+            # each re-execute the whole fn pipeline (and a
+            # nondeterministic fn could report a count that doesn't match
+            # the rows actually written)
+            out = self.fn(src).materialize()
             out.write_parquet(tmp_dir)
             rows_out = out.count()
             os.replace(tmp_dir, part_dir)  # atomic commit
