@@ -173,15 +173,38 @@ def _final_topk_driver(candidates, k: int):
     )
 
 
+KNUTH = 2654435761  # Knuth multiplicative hash (shared with sample_corpus)
+
+
 def _train_centroids(
     emb_ds, n_centroids: int, sample_size: int, seed: int
 ) -> np.ndarray:
     """k-means-lite coarse centroids from a driver-side SAMPLE (bounded by
-    sample_size regardless of corpus size)."""
-    sample = emb_ds.random_sample(
-        min(1.0, sample_size / max(1, emb_ds.count())), seed=seed
-    ).to_pandas()
-    smat = _normalize(np.asarray(sample["embedding"].tolist(), dtype=np.float64))
+    sample_size regardless of corpus size).
+
+    Sampling is a deterministic Knuth-hash cut on vec_id — NOT
+    ds.random_sample, whose draw depends on the block layout (and the
+    layout depends on cluster CPU count), which would make the trained
+    centroids (hence every IVF result) non-reproducible across cluster
+    sizes."""
+    import ray as _ray
+
+    rows = max(1, emb_ds.count())
+    # oversample slightly so the hash cut lands >= sample_size, then trim
+    threshold = min(1 << 32, int((1 << 32) * min(1.0, 1.25 * sample_size / rows)))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch["vec_id"]).astype(np.uint64)
+        keep = ((ids + np.uint64(seed)) * np.uint64(KNUTH)) % np.uint64(1 << 32) < threshold
+        return batch.filter(pa.array(keep))
+
+    tbl = pa.concat_tables(
+        _ray.get(
+            emb_ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    order = np.argsort(_ids(tbl["vec_id"]), kind="stable")[:sample_size]
+    smat = _normalize(_to_matrix(tbl["embedding"])[order])
     rng = np.random.default_rng(seed)
     cent = smat[rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)]
     for _ in range(5):  # lloyd iterations
@@ -214,22 +237,48 @@ def build_ivf_index(
 
     import ray
 
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     # Content fingerprint, not just a row count: a different corpus with
-    # the same cardinality must NOT silently reuse a stale on-disk index
-    # (the default index_dir is shared). One cheap aggregate pass over
-    # vec_id stands in for dataset identity.
-    agg = emb_ds.aggregate(
-        Count(), Min("vec_id"), Max("vec_id"), Sum("vec_id")
-    )
+    # the same cardinality (or even the same vec_ids — the sf0.001 and
+    # sf0.01 fixtures share ids with different vectors) must NOT silently
+    # reuse a stale on-disk index. The fingerprint is an order- and
+    # layout-independent wrapping-uint64 sum over each row's raw vector
+    # bits weighted by (vec_id + 1) — exact (no float accumulation), so
+    # it never spuriously invalidates across block layouts.
+    import ray as _ray_fp
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch["vec_id"]).astype(np.uint64)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()), "fp": pa.array(["0"], pa.string())}
+            )
+        arr = batch["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        bits = (
+            flat.view(np.uint32).astype(np.uint64)
+            if flat.dtype == np.float32
+            else flat.view(np.uint64)
+        )
+        row_sums = bits.reshape(n, bits.size // n).sum(axis=1, dtype=np.uint64)
+        total = ((ids + np.uint64(1)) * row_sums).sum(dtype=np.uint64)
+        return pa.table(
+            {"n": pa.array([n], pa.int64()), "fp": pa.array([str(int(total))], pa.string())}
+        )
+
+    rows_total, fp_total = 0, 0
+    for t in _ray_fp.get(
+        emb_ds.map_batches(fp_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        for nn, fp in zip(t["n"].to_pylist(), t["fp"].to_pylist()):
+            rows_total += nn
+            fp_total = (fp_total + int(fp)) % (1 << 64)  # wrapping merge
     stamp = {
+        "train_ver": 3,  # bump when centroid training / fingerprint changes
         "n_centroids": int(n_centroids),
         "seed": int(seed),
-        "rows": int(agg["count()"]),
-        "vec_id_min": int(agg["min(vec_id)"]),
-        "vec_id_max": int(agg["max(vec_id)"]),
-        "vec_id_sum": int(agg["sum(vec_id)"]),
+        "rows": int(rows_total),
+        "content_fp": str(int(fp_total)),
         "sample_size": int(sample_size),
     }
     manifest = os.path.join(index_dir, "_IVF_MANIFEST.json")

@@ -134,6 +134,30 @@ def test_ivf_index_not_reused_for_different_corpus(ray_session, tmp_path):
     assert (neighbors >= 1000).all(), "stale index served old corpus vectors"
 
 
+def test_ivf_index_rebuilt_on_same_ids_different_vectors(ray_session, tmp_path):
+    """The fixture corpora at sf0.001 and sf0.01 share vec_ids 0..499 with
+    DIFFERENT vectors — an id-only stamp silently reused the stale index.
+    The content fingerprint must differ when only the vectors change."""
+    from shaclapi_ray.pipelines.knn import build_ivf_index
+
+    index_dir = str(tmp_path / "ivf2")
+    manifest = os.path.join(index_dir, "_IVF_MANIFEST.json")
+
+    build_ivf_index(
+        _emb_ds(list(range(100)), seed=1), index_dir, n_centroids=4, sample_size=64
+    )
+    with open(manifest) as f:
+        stamp_a = json.load(f)
+
+    build_ivf_index(
+        _emb_ds(list(range(100)), seed=9), index_dir, n_centroids=4, sample_size=64
+    )
+    with open(manifest) as f:
+        stamp_c = json.load(f)
+    assert stamp_a["rows"] == stamp_c["rows"]
+    assert stamp_a["content_fp"] != stamp_c["content_fp"]
+
+
 # -- 3: tfidf empty vocabulary -------------------------------------------------
 
 
