@@ -14,7 +14,8 @@
 - embedding near-dup: cosine >= tau pairs — block-pair tasks for the
                     exact baseline (no full-matrix driver collect),
                     bucketed multi-table hyperplane LSH as the scale path
-                    (vectors carried through the bucket shuffle)
+                    (narrow (tbl, bucket, vec_id) exchange; vectors rejoin
+                    deduplicated candidate pairs via keyed joins)
 
 Scale design: every per-doc signature is computed batch-parallel in
 map_batches with numpy/polars kernels (no per-doc Python loops in hot
@@ -930,12 +931,18 @@ def embedding_neardup_pairs(
     holds the matrix. O(N^2) compute by nature: the documented
     small/medium-N oracle, not the 100-TB path.
 
-    method='lsh': the scale path — multi-table random-hyperplane LSH,
-    vectors carried THROUGH the bucket shuffle, exact verification per
-    bucket group, pair dedup across tables via a final groupby. Recall
-    controlled by (n_planes, n_tables); misses across buckets possible.
+    method='lsh': the scale path — multi-table random-hyperplane LSH.
+    Only NARROW (tbl, bucket, vec_id) rows enter the bucket exchange;
+    candidate pairs are deduplicated across tables FIRST, and vectors
+    rejoin the surviving candidates via two keyed joins, so vector bytes
+    through any all-to-all are proportional to candidate pairs, never
+    n_tables x corpus. Recall controlled by (n_planes, n_tables); misses
+    across buckets possible.
     """
     import ray as _ray
+
+    from shaclapi_ray.pipelines.knn import _ids as _idvec
+    from shaclapi_ray.pipelines.knn import _to_matrix as _emb_matrix
 
     if method == "bruteforce":
         refs = [
@@ -949,14 +956,14 @@ def embedding_neardup_pairs(
         @_ray.remote
         def block_pair(left_ref, right_ref, same: bool):
             lt, rt = left_ref, right_ref
-            lids = np.asarray(lt["vec_id"].to_pylist(), dtype=np.int64)
-            rids = np.asarray(rt["vec_id"].to_pylist(), dtype=np.int64)
+            lids = _idvec(lt["vec_id"])
+            rids = _idvec(rt["vec_id"])
             if not len(lids) or not len(rids):
                 return pa.table(
                     {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
                 )
-            lm = _norm_rows(np.asarray(lt["embedding"].to_pylist(), dtype=np.float64))
-            rm = _norm_rows(np.asarray(rt["embedding"].to_pylist(), dtype=np.float64))
+            lm = _norm_rows(_emb_matrix(lt["embedding"]))
+            rm = _norm_rows(_emb_matrix(rt["embedding"]))
             sims = lm @ rm.T
             ai, bj = np.nonzero(sims >= tau)
             a, b = lids[ai], rids[bj]
@@ -984,48 +991,45 @@ def embedding_neardup_pairs(
         return _rd.from_arrow_refs(tasks)
 
     if method == "lsh":
-        import polars as pl  # noqa: F401  (parity with other stages' imports)
+        import ray.data as _rd
 
+        from shaclapi_ray.stages.joins import drop_empty_blocks
+        from shaclapi_ray.stages.referential import clamp_partitions
+
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
         rng = np.random.default_rng(seed)
-        # plane tensors are built lazily inside the stage from the seed —
-        # nothing big is closure-captured
+        # plane tensors are broadcast once via ray.put — nothing big is
+        # closure-captured
         dim_probe = emb_ds.take(1)
         dim = len(dim_probe[0]["embedding"]) if dim_probe else 0
         planes = rng.standard_normal((n_tables, dim, n_planes)) if dim else None
         planes_ref = _ray.put(planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
 
+        # Stage 1 — NARROW bucket assignment: the exchange carries only
+        # (tbl, bucket, vec_id) int rows. All tables hash in ONE matmul.
         def bucketize(batch: pa.Table) -> pa.Table:
             pl_ = _ray.get(planes_ref)
-            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            if pl_ is None or not len(ids):
+            ids = _idvec(batch["vec_id"])
+            n = len(ids)
+            if pl_ is None or n == 0:
                 return pa.table(
                     {
                         "tbl": pa.array([], pa.int32()),
                         "bucket": pa.array([], pa.int64()),
                         "vec_id": pa.array([], pa.int64()),
-                        "embedding": pa.array([], pa.list_(pa.float32())),
                     }
                 )
-            emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-            embn = _norm_rows(emb)
-            out_t, out_b, out_i, out_e = [], [], [], []
-            weights = 1 << np.arange(n_planes, dtype=np.int64)
-            for t in range(n_tables):
-                signs = (embn @ pl_[t]) > 0
-                buckets = signs @ weights
-                out_t.append(np.full(len(ids), t, dtype=np.int32))
-                out_b.append(buckets)
-                out_i.append(ids)
-                out_e.append(embn.astype(np.float32))
+            embn = _norm_rows(_emb_matrix(batch["embedding"]))
+            signs = (embn @ pl_.transpose(1, 0, 2).reshape(pl_.shape[1], -1)) > 0
+            buckets = signs.reshape(n, n_tables, n_planes) @ weights  # (n, n_tables)
             return pa.table(
                 {
-                    "tbl": pa.array(np.concatenate(out_t), type=pa.int32()),
-                    "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
-                    "vec_id": pa.array(np.concatenate(out_i), type=pa.int64()),
-                    "embedding": pa.array(
-                        [list(v) for v in np.concatenate(out_e)],
-                        type=pa.list_(pa.float32()),
-                    ),
+                    "tbl": pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+                    "bucket": pa.array(buckets.reshape(-1), type=pa.int64()),
+                    "vec_id": pa.array(np.repeat(ids, n_tables), type=pa.int64()),
                 }
             )
 
@@ -1033,51 +1037,119 @@ def embedding_neardup_pairs(
             bucketize, batch_format="pyarrow", zero_copy_batch=True
         )
 
-        def verify_bucket(group):
-            # returns Arrow (not pandas): the output feeds a hash-shuffle
-            # groupby, and pandas-converted blocks carry schema metadata
-            # that defeats Ray's schema dedup (unhashable-dict warnings
-            # per reduce task)
-            ids = np.asarray(group["vec_id"].tolist(), dtype=np.int64)
-            if len(ids) < 2:
-                return pa.table(
-                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-                )
-            m = _norm_rows(np.asarray(group["embedding"].tolist(), dtype=np.float64))
-            sims = m @ m.T
-            ai, bj = np.nonzero(sims >= tau)
-            a, b = ids[ai], ids[bj]
-            keep = a < b
+        def add_grp(t: pa.Table) -> pa.Table:
+            g = (
+                t["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+                & COARSE_GROUP_MASK
+            )
+            return t.append_column("grp", pa.array(g, type=pa.int64()))
+
+        # Stage 2 — all (a < b) pairs within each exact (tbl, bucket)
+        # run, vectorized across a COARSE group (64 hash groups per
+        # table) so 2^n_planes tiny buckets cost kernel passes, not
+        # per-bucket Python calls.
+        def bucket_all_pairs(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = (
+                pl.from_arrow(t.select(["tbl", "bucket", "vec_id"]))
+                .unique()
+                .sort(["tbl", "bucket", "vec_id"])
+            )
+            if df.height < 2:
+                return empty
+            tb = df["tbl"].to_numpy().astype(np.int64, copy=False)
+            bk = df["bucket"].to_numpy().astype(np.int64, copy=False)
+            d = df["vec_id"].to_numpy().astype(np.int64, copy=False)
+            new_run = np.r_[True, (bk[1:] != bk[:-1]) | (tb[1:] != tb[:-1])]
+            run_start = np.flatnonzero(new_run)
+            run_id = np.cumsum(new_run) - 1
+            within = np.arange(d.size) - run_start[run_id]
+            total = int(within.sum())
+            if total == 0:
+                return empty
+            cum = np.cumsum(within)
+            local = np.arange(total) - np.repeat(cum - within, within)
+            a_idx = np.repeat(run_start[run_id], within) + local
             return pa.table(
                 {
-                    "a": pa.array(a[keep], type=pa.int64()),
-                    "b": pa.array(b[keep], type=pa.int64()),
+                    "a": pa.array(d[a_idx], type=pa.int64()),
+                    "b": pa.array(np.repeat(d, within), type=pa.int64()),
                 }
             )
 
-        pairs = bucketed.groupby(["tbl", "bucket"]).map_groups(
-            verify_bucket, batch_format="pandas"
+        pairs = (
+            bucketed.map_batches(add_grp, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["tbl", "grp"])
+            .map_groups(bucket_all_pairs, batch_format="pyarrow")
         )
-        # dedup pairs found in multiple tables/buckets
+        # Stage 3 — dedup across tables BEFORE any vector moves (the old
+        # path also re-verified a pair once per co-bucketed table).
         uniq = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-        out = uniq.map_batches(
+        cand = uniq.map_batches(
             lambda t: pa.table(
-                {
-                    "a": pc.cast(t["a"], pa.int64()),
-                    "b": pc.cast(t["b"], pa.int64()),
-                }
+                {"a": pc.cast(t["a"], pa.int64()), "b": pc.cast(t["b"], pa.int64())}
             ),
             batch_format="pyarrow",
         )
-        from shaclapi_ray.stages.joins import drop_empty_blocks
+        cand = drop_empty_blocks(cand)
+        if cand is None:
+            return _rd.from_arrow(empty)
 
+        # Stage 4 — vectors rejoin the surviving candidates only (two
+        # keyed joins, one vector copy per pair side), then an exact
+        # row-wise cosine verify. Vectors ride the join as flat binary
+        # rows (_pack_matrix) because Arrow's hash join rejects
+        # list-typed payload columns.
+        from shaclapi_ray.pipelines.knn import _pack_matrix, _unpack_matrix
+
+        np_ = clamp_partitions(16)
+
+        def _emb_side(id_name: str, emb_name: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        id_name: pc.cast(t["vec_id"], pa.int64()),
+                        emb_name: _pack_matrix(_emb_matrix(t["embedding"])),
+                    }
+                )
+
+            return fn
+
+        ea = emb_ds.map_batches(_emb_side("a_id", "emb_a"), batch_format="pyarrow")
+        eb = emb_ds.map_batches(_emb_side("b_id", "emb_b"), batch_format="pyarrow")
+        joined = cand.join(
+            drop_empty_blocks(ea),
+            join_type="inner",
+            num_partitions=np_,
+            on=("a",),
+            right_on=("a_id",),
+        )
+        joined = joined.join(
+            drop_empty_blocks(eb),
+            join_type="inner",
+            num_partitions=np_,
+            on=("b",),
+            right_on=("b_id",),
+        )
+
+        def verify(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return empty
+            ma = _norm_rows(_unpack_matrix(batch["emb_a"]))
+            mb = _norm_rows(_unpack_matrix(batch["emb_b"]))
+            keep = np.einsum("ij,ij->i", ma, mb) >= tau
+            return pa.table(
+                {
+                    "a": pa.array(_idvec(batch["a"])[keep], type=pa.int64()),
+                    "b": pa.array(_idvec(batch["b"])[keep], type=pa.int64()),
+                }
+            )
+
+        out = joined.map_batches(verify, batch_format="pyarrow")
         out_nb = drop_empty_blocks(out)
         if out_nb is None:
-            import ray.data as _rd
-
-            return _rd.from_arrow(
-                pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-            )
+            return _rd.from_arrow(empty)
         return out_nb
 
     raise ValueError(f"unknown method {method!r}")

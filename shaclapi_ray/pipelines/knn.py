@@ -38,6 +38,30 @@ def _ids(col) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
+def _pack_matrix(mat: np.ndarray) -> pa.Array:
+    """(n, d) float matrix -> plain ``binary`` array (d*8-byte float64
+    rows), built from ONE contiguous buffer — no per-row Python. Arrow's
+    hash join rejects list-typed payload columns; flat binary passes
+    through, and `_unpack_matrix` restores the matrix vectorized."""
+    m = np.ascontiguousarray(mat, dtype=np.float64)
+    n, d = m.shape
+    w = d * 8
+    offsets = pa.py_buffer(np.arange(0, (n + 1) * w, w, dtype=np.int32).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, pa.py_buffer(m.tobytes())])
+
+
+def _unpack_matrix(col) -> np.ndarray:
+    """binary column of fixed-width float64 rows -> (n, d) matrix."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    flat = np.frombuffer(data.tobytes(), dtype=np.float64)  # copy = alignment-safe
+    return flat.reshape(n, flat.size // n)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 
