@@ -791,16 +791,31 @@ def _shingle_set(text: str, k: int) -> set:
     return {text[i : i + k] for i in range(max(0, len(text) - k + 1))}
 
 
+def _kgram_void_set(text: str, k: int) -> np.ndarray:
+    """Sorted unique char-k-grams of one text as a void array of k uint32
+    codepoints — EXACT set semantics (no hashing, so no collision risk
+    against the SQL oracle), one vectorized window pass per text."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    vt = np.dtype((np.void, 4 * k))
+    if cp.size < k:
+        return np.empty(0, dtype=vt)
+    win = np.lib.stride_tricks.sliding_window_view(cp, k)
+    return np.unique(np.ascontiguousarray(win).view(vt).ravel())
+
+
 def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwargs):
     """(a, b, inter_size, union_size): exact char-k-gram Jaccard for every
     LSH candidate pair with Jaccard >= threshold. Integer set sizes keep
     the output engine-exact (the DuckDB oracle computes the same sets).
 
+    Returns a Dataset (lazily chainable, like every sibling operator).
+
     Scale path: candidate pairs come from LSH clusters (pairs << corpus);
     the texts of CANDIDATE docs only are pulled through two keyed
     Dataset.joins (a-side, b-side) — the full corpus is never collected
-    and no driver-side text dict exists. Per-pair set arithmetic runs
-    inside map_batches (inherently per-pair work on few rows)."""
+    and no driver-side text dict exists. The verify builds ONE exact
+    k-gram set per unique doc in a batch (numpy codepoint windows) and
+    intersects sorted arrays per pair at C speed."""
     import ray as _ray
     import ray.data as _rd
 
@@ -833,7 +848,7 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwarg
     )
     pairs = drop_empty_blocks(pairs)
     if pairs is None:
-        return empty
+        return _rd.from_arrow(empty)
 
     # semi-filter texts to candidate doc ids (broadcast sorted id array —
     # candidates << corpus) before the joins
@@ -848,7 +863,12 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwarg
 
     def pick_texts(batch: pa.Table) -> pa.Table:
         cids = _ray.get(ids_ref)
-        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        ids = (
+            batch["doc_id"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
         pos = np.searchsorted(cids, ids)
         pos = np.minimum(pos, max(cids.size - 1, 0))
         hit = cids[pos] == ids if cids.size else np.zeros(len(ids), dtype=bool)
@@ -864,7 +884,7 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwarg
     )
     texts = drop_empty_blocks(texts)
     if texts is None:
-        return empty
+        return _rd.from_arrow(empty)
     np_ = clamp_partitions(16)
     ta = texts.map_batches(
         lambda t: pa.table({"a_id": t["doc_id"], "text_a": t["text"]}),
@@ -882,32 +902,46 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwarg
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        rows = {"a": [], "b": [], "inter_size": [], "union_size": []}
-        for a, b, text_a, text_b in zip(
-            batch["a"].to_pylist(),
-            batch["b"].to_pylist(),
-            batch["text_a"].to_pylist(),
-            batch["text_b"].to_pylist(),
-        ):
-            sa = _shingle_set(text_a or "", k)
-            sb = _shingle_set(text_b or "", k)
-            if not sa or not sb:
+        # one exact k-gram set per UNIQUE doc in the batch (texts repeat
+        # across pairs), then a C-speed sorted intersection per pair —
+        # no Python set building in the pair loop
+        a_ids = batch["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b_ids = batch["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ta, tb = batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+        sets: dict[int, np.ndarray] = {}
+        for ids, txts in ((a_ids, ta), (b_ids, tb)):
+            for i, t in zip(ids, txts):
+                if int(i) not in sets:
+                    sets[int(i)] = _kgram_void_set(t or "", k)
+        n = len(a_ids)
+        av = np.empty(n, dtype=np.int64)
+        bv = np.empty(n, dtype=np.int64)
+        iv = np.empty(n, dtype=np.int64)
+        uv = np.empty(n, dtype=np.int64)
+        m = 0
+        for i in range(n):
+            sa, sb = sets[int(a_ids[i])], sets[int(b_ids[i])]
+            if not sa.size or not sb.size:
                 continue
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
             if inter >= threshold * union:
-                rows["a"].append(a)
-                rows["b"].append(b)
-                rows["inter_size"].append(inter)
-                rows["union_size"].append(union)
-        return pa.table({kk: pa.array(vv, type=pa.int64()) for kk, vv in rows.items()})
+                av[m], bv[m], iv[m], uv[m] = a_ids[i], b_ids[i], inter, union
+                m += 1
+        return pa.table(
+            {
+                "a": pa.array(av[:m], type=pa.int64()),
+                "b": pa.array(bv[:m], type=pa.int64()),
+                "inter_size": pa.array(iv[:m], type=pa.int64()),
+                "union_size": pa.array(uv[:m], type=pa.int64()),
+            }
+        )
 
     out = joined.map_batches(verify, batch_format="pyarrow")
     out_nb = drop_empty_blocks(out)
     if out_nb is None:
-        return empty
-    tables = [t for t in (_ray.get(r) for r in out_nb.to_arrow_refs()) if t.num_rows]
-    return pa.concat_tables(tables) if tables else empty
+        return _rd.from_arrow(empty)
+    return out_nb
 
 
 # ---------------------------------------------------------------------------
