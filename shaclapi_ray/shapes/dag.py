@@ -93,17 +93,25 @@ class ConstraintDAG:
     ) -> list[str]:
         """Evaluation order: children strictly before parents (a referential
         constraint consumes *complete* child verdicts — the barrier-per-DAG-
-        level of SURVEY.md §7.4); among independent shapes, target shapes
-        first (early verdict streaming), then — when ``size_estimates``
-        (shape_id -> estimated target-set row count from Parquet column
-        stats, io.estimate_rows_matching) is given — LARGER estimated
-        target sets first (the reference's default 'TARGET IN BIG'
-        heuristic, /root/reference/shaclapi/config.py:205-209: seed
-        validation in the big shape so the bulk of verdicts streams
-        earliest), then lexicographic."""
+        level of SURVEY.md §7.4); among independent shapes, the full
+        'TARGET IN BIG' heuristic triple of the reference's default
+        (/root/reference/shaclapi/config.py:205-209, Trav-SHACL order of
+        application = the order of the words): TARGET shapes first (early
+        verdict streaming), then higher IN-degree first (shapes whose
+        verdicts are consumed by more dependents unblock more of the DAG
+        per evaluation), then — when ``size_estimates`` (shape_id ->
+        estimated target-set row count from Parquet column stats,
+        io.estimate_rows_matching) is given — BIGger estimated target
+        sets first (seed validation in the big shape so the bulk of
+        verdicts streams earliest), then lexicographic."""
         deps = self.dependencies()
         target_set = set(targets or [])
         est = size_estimates or {}
+        indeg: dict[str, int] = {}
+        for ds in deps.values():
+            for d in ds:
+                if d in self.shapes:
+                    indeg[d] = indeg.get(d, 0) + 1
         order: list[str] = []
         state: dict[str, int] = {}  # 0=unvisited 1=visiting 2=done
 
@@ -116,7 +124,7 @@ class ConstraintDAG:
             state[sid] = 1
             for d in sorted(
                 (d for d in deps.get(sid, []) if d in self.shapes),
-                key=lambda s: (-est.get(s, 0), s),
+                key=lambda s: (-indeg.get(s, 0), -est.get(s, 0), s),
             ):
                 visit(d)
             state[sid] = 2
@@ -124,7 +132,12 @@ class ConstraintDAG:
 
         roots = sorted(
             self.shapes,
-            key=lambda s: (0 if s in target_set else 1, -est.get(s, 0), s),
+            key=lambda s: (
+                0 if s in target_set else 1,
+                -indeg.get(s, 0),
+                -est.get(s, 0),
+                s,
+            ),
         )
         for sid in roots:
             visit(sid)

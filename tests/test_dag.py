@@ -160,3 +160,32 @@ def test_shape_from_dict_dnf():
     mask = s.constraints[0].evaluate(tbl).to_pylist()
     # en+long ok; en+short fails conj1 and isn't de; de ok; fr fails both
     assert mask == [True, False, True, False]
+
+
+def test_node_order_in_degree_breaks_size_ties():
+    """The IN component of the reference's 'TARGET IN BIG' heuristic
+    (/root/reference/shaclapi/config.py:205-209): on a diamond DAG where
+    size estimates tie, the shape consumed by MORE dependents evaluates
+    first; when in-degrees tie too, bigger estimated target sets win."""
+    # diamond: Top -> {A, B} -> C, plus D -> A  (A has in-degree 2, B 1)
+    top = Shape(
+        "Top",
+        constraints=[
+            RefConstraint(name="ta", min=1, shape="A"),
+            RefConstraint(name="tb", min=1, shape="B"),
+        ],
+    )
+    d = Shape("D", constraints=[RefConstraint(name="da", min=1, shape="A")])
+    a = Shape("A", constraints=[RefConstraint(name="ac", min=1, shape="C")])
+    b = Shape("B", constraints=[RefConstraint(name="bc", min=1, shape="C")])
+    c = Shape("C", constraints=[PredicateConstraint(name="cp", pred={"op": "not_null", "column": "url"})])
+    dag = ConstraintDAG.from_shapes([top, d, a, b, c])
+
+    ties = {"A": 100, "B": 100, "C": 100, "Top": 100, "D": 100}
+    order = dag.node_order(["Top"], size_estimates=ties)
+    assert order.index("A") < order.index("B")  # in-degree 2 beats 1
+
+    # equal in-degrees (drop D): size decides — B bigger -> B first
+    dag2 = ConstraintDAG.from_shapes([top, a, b, c])
+    order2 = dag2.node_order(["Top"], size_estimates={"A": 10, "B": 900, "C": 50})
+    assert order2.index("B") < order2.index("A")
