@@ -119,11 +119,14 @@ def _q_linked_page_verdicts(sf_dir: str):
     from shaclapi_ray.engine import JobConfig, ValidationEngine
     from shaclapi_ray.fixtures import referential_schema
 
+    from shaclapi_ray.engine import _filter_events
+
     res = ValidationEngine(
         referential_schema(), JobConfig(target_shape="LinkedPageShape")
     ).run(_pages(sf_dir))
-    v = res.verdicts().to_pandas()
-    v = v[v.shape_id == "LinkedPageShape"][["url", "valid"]]
+    v = _filter_events(res.verdicts(), shape_id="LinkedPageShape").select_columns(
+        ["url", "valid"]
+    )
     return _sorted(v, ["url", "valid"])
 
 
@@ -132,11 +135,14 @@ def _q_inverse_linked_verdicts(sf_dir: str):
     from shaclapi_ray.engine import JobConfig, ValidationEngine
     from shaclapi_ray.fixtures import inverse_schema
 
+    from shaclapi_ray.engine import _filter_events
+
     res = ValidationEngine(
         inverse_schema(), JobConfig(target_shape="PopularPageShape")
     ).run(_pages(sf_dir))
-    v = res.verdicts().to_pandas()
-    v = v[v.shape_id == "PopularPageShape"][["url", "valid"]]
+    v = _filter_events(res.verdicts(), shape_id="PopularPageShape").select_columns(
+        ["url", "valid"]
+    )
     return _sorted(v, ["url", "valid"])
 
 
