@@ -177,17 +177,40 @@ class CheckpointedValidation:
         cols = sorted(cols)
         meta_lock = threading.Lock()
 
-        def sketch_partial(batch: pa.Table) -> pa.Table:
+        def fused_eval(batch: pa.Table) -> pa.Table:
+            """Events AND sketch partials from ONE pass over each batch:
+            the partials ride the event stream as two carrier rows
+            (kind='sketchpart', payload base64 in `reason`) so no second
+            execution over the materialized blocks is needed. Carrier
+            rows are filtered out before the events parquet is written."""
+            import base64
+
+            from shaclapi_ray.stages.predicates import EVENTS_SCHEMA
+
+            ev = evaluator(batch)
             h = HyperLogLog(p=14)
             h.add_array(batch["url"])
             t = TDigest()
             t.add_array(pc.utf8_length(batch["text"]).to_pylist())
-            return pa.table(
+            carrier = pa.table(
                 {
-                    "hll": pa.array([h.to_bytes()], type=pa.binary()),
-                    "tdigest": pa.array([t.to_bytes()], type=pa.binary()),
-                }
+                    "url": pa.array([None, None], pa.string()),
+                    "shape_id": pa.array([None, None], pa.string()),
+                    "kind": pa.array(["sketchpart", "sketchpart"], pa.string()),
+                    "valid": pa.array([None, None], pa.bool_()),
+                    "reason": pa.array(
+                        [
+                            base64.b64encode(h.to_bytes()).decode(),
+                            base64.b64encode(t.to_bytes()).decode(),
+                        ],
+                        pa.string(),
+                    ),
+                    "constraint": pa.array(["hll", "tdigest"], pa.string()),
+                    "offending_value": pa.array([None, None], pa.string()),
+                },
+                schema=EVENTS_SCHEMA,
             )
+            return pa.concat_tables([ev, carrier])
 
         def process(item: tuple[int, str]) -> None:
             i, f = item
@@ -205,13 +228,16 @@ class CheckpointedValidation:
                 shutil.rmtree(part_dir)
             os.makedirs(tmp_dir)
 
-            # ONE storage read per partition; everything below derives
-            # from these materialized blocks
+            # ONE storage read per partition; events and sketch partials
+            # come out of the SAME evaluator pass over those blocks
+            import base64
+
             src = ray.data.read_parquet(f, columns=cols).materialize()
             rows_in = src.count()
-            events = src.map_batches(
-                evaluator, batch_format="pyarrow", zero_copy_batch=True
+            combined = src.map_batches(
+                fused_eval, batch_format="pyarrow", zero_copy_batch=True
             ).materialize()
+            events = _filter_events_not_kind(combined, "sketchpart").materialize()
             events.write_parquet(os.path.join(tmp_dir, "events"))
             rows_out = events.count()
 
@@ -225,14 +251,17 @@ class CheckpointedValidation:
             # text length — written BEFORE the manifest marks completion
             hll = HyperLogLog(p=14)
             td = TDigest()
-            for batch in src.map_batches(
-                sketch_partial, batch_format="pyarrow"
-            ).iter_batches(batch_format="pyarrow"):
-                for raw_h, raw_t in zip(
-                    batch["hll"].to_pylist(), batch["tdigest"].to_pylist()
+            for batch in _filter_events(combined, kind="sketchpart").iter_batches(
+                batch_format="pyarrow"
+            ):
+                for c, payload in zip(
+                    batch["constraint"].to_pylist(), batch["reason"].to_pylist()
                 ):
-                    hll.merge(HyperLogLog.loads(raw_h))
-                    td.merge(TDigest.loads(raw_t))
+                    blob = base64.b64decode(payload)
+                    if c == "hll":
+                        hll.merge(HyperLogLog.loads(blob))
+                    else:
+                        td.merge(TDigest.loads(blob))
             with open(os.path.join(self.out_dir, "sketches", pid + ".bin"), "wb") as fh:
                 pickle.dump({"hll": hll.to_bytes(), "tdigest": td.to_bytes()}, fh)
 
