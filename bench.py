@@ -59,17 +59,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     pages_dir = ensure_pages(sf_dir)
     n_docs = n_rows_for_sf_dir(sf_dir)
 
+    import pyarrow.parquet as _pq
+
+    def _nrows(path):
+        return _pq.ParquetFile(path).metadata.num_rows
+
+    n_doc_rows = _nrows(f"{sf_dir}/documents.parquet")
+    n_event_rows = _nrows(f"{sf_dir}/events.parquet")
+    n_emb_rows = _nrows(f"{sf_dir}/embeddings.parquet")
+
     # warm the worker pool and the OS page cache so we measure compute +
     # shuffle, not cold worker start / first disk read
     ray.data.range(1_000_000).map_batches(lambda b: b, batch_format="pyarrow").count()
     ray.data.read_parquet(pages_dir).count()
 
     queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}  # input rows / sec per query
 
-    def timed(name, fn):
+    def timed(name, fn, rows=None):
         t0 = time.perf_counter()
         out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        sec = time.perf_counter() - t0
+        queries[name] = round(sec, 3)
+        if rows:
+            throughput[name] = round(rows / sec, 1)
         return out
 
     # headline: full referential validation end-to-end (read -> fused
@@ -89,12 +102,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         headline()
         best = min(best, time.perf_counter() - t0)
     queries["referential_validation"] = round(best, 3)
+    throughput["referential_validation"] = round(n_docs / best, 1)
 
     def col_only():
         res = ValidationEngine(column_schema(), JobConfig()).run(pages_dir)
         return res.verdicts().count()
 
-    timed("column_validation", col_only)
+    timed("column_validation", col_only, rows=n_docs)
 
     timed(
         "unique_validation",
@@ -102,6 +116,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         .run(pages_dir)
         .verdicts()
         .count(),
+        rows=n_docs,
     )
 
     timed(
@@ -111,16 +126,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 pages_dir, columns=["url", "html"]
             )
         ).count(),
+        rows=n_docs,
     )
 
     from shaclapi_ray.io import read_table_split
 
     docs = read_table_split(f"{sf_dir}/documents.parquet")
-    timed("quality_signals", lambda: quality_signals(docs).count())
-    timed("lang_id", lambda: lang_id(docs).count())
+    timed("quality_signals", lambda: quality_signals(docs).count(), rows=n_doc_rows)
+    timed("lang_id", lambda: lang_id(docs).count(), rows=n_doc_rows)
 
     emb = read_table_split(f"{sf_dir}/embeddings.parquet")
-    timed("knn_bruteforce", lambda: knn_bruteforce(emb, list(range(8)), k=10).count())
+    timed("knn_bruteforce", lambda: knn_bruteforce(emb, list(range(8)), k=10).count(), rows=n_emb_rows)
 
     # IVF: index build (bucket-partitioned parquet) and the pruned probe
     # timed separately; recall vs the exact baseline reported alongside
@@ -130,13 +146,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     ivf_dir = "/tmp/shaclapi_ray_ivf/bench"
     _shutil.rmtree(ivf_dir, ignore_errors=True)
-    timed("knn_ivf_build", lambda: build_ivf_index(emb, ivf_dir))
+    timed("knn_ivf_build", lambda: build_ivf_index(emb, ivf_dir), rows=n_emb_rows)
     ivf_res = {}
     timed(
         "knn_ivf_probe",
         lambda: ivf_res.setdefault(
             "df", knn_ivf(emb, list(range(8)), k=10, index_dir=ivf_dir)
         ),
+        rows=n_emb_rows,
     )
     bf = knn_bruteforce(emb, list(range(8)), k=10)
     bset = set(zip(bf["query_id"], bf["neighbor_id"]))
@@ -145,8 +162,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from shaclapi_ray.pipelines.dedup import exact_dedup, minhash_lsh_clusters
 
-    timed("exact_dedup", lambda: exact_dedup(docs).count())
-    timed("minhash_clusters", lambda: minhash_lsh_clusters(docs).count())
+    timed("exact_dedup", lambda: exact_dedup(docs).count(), rows=n_doc_rows)
+    timed("minhash_clusters", lambda: minhash_lsh_clusters(docs).count(), rows=n_doc_rows)
 
     from shaclapi_ray.fixtures import inverse_schema
 
@@ -158,20 +175,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         .run(pages_dir)
         .verdicts()
         .count(),
+        rows=n_docs,
     )
 
     from shaclapi_ray.pipelines.dedup import simhash_neardup_pairs
     from shaclapi_ray.pipelines.textstats import rolling_fingerprint
 
-    timed("simhash_neardup", lambda: simhash_neardup_pairs(docs).count())
-    timed("rolling_fingerprint", lambda: rolling_fingerprint(docs).count())
+    timed("simhash_neardup", lambda: simhash_neardup_pairs(docs).count(), rows=n_doc_rows)
+    timed("rolling_fingerprint", lambda: rolling_fingerprint(docs).count(), rows=n_doc_rows)
 
     from shaclapi_ray.pipelines.events import attribute_events, sessionize
 
     events = read_table_split(f"{sf_dir}/events.parquet")
-    timed("tumbling_window", lambda: tumbling_window(events).count())
-    timed("sessionize", lambda: sessionize(events).count())
-    timed("attribute_events", lambda: attribute_events(events).count())
+    timed("tumbling_window", lambda: tumbling_window(events).count(), rows=n_event_rows)
+    timed("sessionize", lambda: sessionize(events).count(), rows=n_event_rows)
+    timed("attribute_events", lambda: attribute_events(events).count(), rows=n_event_rows)
 
     from shaclapi_ray.io import read_parquet
     from shaclapi_ray.pipelines.decontam import decontaminate
@@ -181,21 +199,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed(
         "extract_text",
         lambda: extract_text(read_parquet(pages_dir, columns=["url", "html"])).count(),
+        rows=n_docs,
     )
     timed(
         "url_canonicalize",
         lambda: url_canonicalize(read_parquet(pages_dir, columns=["url"])).count(),
+        rows=n_docs,
     )
-    timed("decontaminate", lambda: decontaminate(docs).count())
-    timed("doc_frequency", lambda: doc_frequency(docs, min_df=2).count())
+    timed("decontaminate", lambda: decontaminate(docs).count(), rows=n_doc_rows)
+    timed("doc_frequency", lambda: doc_frequency(docs, min_df=2).count(), rows=n_doc_rows)
 
     from shaclapi_ray.pipelines.spans import dup_span_coverage, pack_sequences
     from shaclapi_ray.pipelines.textstats import inverted_index, unigram_logprob
 
-    timed("dup_span_coverage", lambda: dup_span_coverage(docs).count())
-    timed("pack_sequences", lambda: pack_sequences(docs).count())
-    timed("inverted_index", lambda: inverted_index(docs).count())
-    timed("unigram_logprob", lambda: unigram_logprob(docs).count())
+    timed("dup_span_coverage", lambda: dup_span_coverage(docs).count(), rows=n_doc_rows)
+    timed("pack_sequences", lambda: pack_sequences(docs).count(), rows=n_doc_rows)
+    timed("inverted_index", lambda: inverted_index(docs).count(), rows=n_doc_rows)
+    timed("unigram_logprob", lambda: unigram_logprob(docs).count(), rows=n_doc_rows)
 
     headline_sec = queries["referential_validation"]
     result = {
@@ -203,6 +223,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "value": headline_sec,
         "unit": "sec",
         "queries": queries,
+        "throughput_rows_per_sec": throughput,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_docs": n_docs,
