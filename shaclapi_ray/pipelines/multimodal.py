@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio decode libraries are not available in this environment, so the
-decode step is STUBBED (clearly marked): `decode_stub='fake'` produces a
-deterministic feature vector from the bytes; `decode_stub='error'` raises
-NotImplementedError exactly where a real decoder (PIL/torchaudio/ffmpeg)
-would plug in. Everything Ray-side — schema, actor-pool stage shape,
-batch sizing for large binary payloads, output layout — is real and
-tested.
+DEFAULT decode step is a stub (clearly marked): `decode_stub='fake'`
+produces a deterministic feature vector from the bytes; `decode_stub=
+'error'` raises NotImplementedError exactly where a real decoder
+(PIL/torchaudio/ffmpeg) would plug in. `decode_stub='real'` is the
+ACTIVATION PATH: with pillow installed (`pip install pillow`), the
+featurize and resize stages decode/resize/re-encode real images — the
+import is try-gated, so the same code runs unchanged in both worlds.
+Everything Ray-side — schema, actor-pool stage shape, batch sizing for
+large binary payloads, output layout — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -60,6 +63,27 @@ class MediaFeaturizer:
     def _decode(self, raw: bytes) -> np.ndarray:
         if self.mode == "error":
             raise NotImplementedError("decoder stub: no media libs installed")
+        if self.mode == "real":  # pragma: no cover - pillow absent here
+            import io
+
+            from PIL import Image  # gated: __init__ verified _HAVE_PIL
+
+            img = Image.open(io.BytesIO(raw)).convert("L")
+            w, h = img.size
+            px = np.asarray(img.resize((16, 16)), dtype=np.float64)
+            return np.array(
+                [
+                    w,
+                    h,
+                    px.mean(),
+                    px.std(),
+                    px[:8].mean(),
+                    px[8:].mean(),
+                    px.min(),
+                    px.max(),
+                ],
+                dtype=np.float64,
+            )
         # deterministic fake feature: length, crc windows, byte stats
         if not raw:
             return np.zeros(FEATURE_DIM)
@@ -113,6 +137,15 @@ class MediaResizer:
     def _resize(self, raw: bytes) -> bytes:
         if self.mode == "error":
             raise NotImplementedError("resize stub: no media libs installed")
+        if self.mode == "real":  # pragma: no cover - pillow absent here
+            import io
+
+            from PIL import Image  # gated: __init__ verified _HAVE_PIL
+
+            img = Image.open(io.BytesIO(raw)).resize((self.w, self.h))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
         n = self.w * self.h
         if not raw:
             return bytes(n)
