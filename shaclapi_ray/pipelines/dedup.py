@@ -202,7 +202,6 @@ def dedup_corpus(docs_ds, strategy: str = "exact", text_col: str = "text"):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-SHINGLE_SEP = 0xFF  # never appears in UTF-8 encoded text
 SHINGLE_BASE = np.uint64(1000003)
 
 
@@ -210,8 +209,10 @@ class MinHasher:
     """Actor-pool stage: byte-k-shingle minhash signatures, banded.
 
     Emits (band_id, band_hash, doc_id) rows — the LSH explode step.
-    Fully vectorized: the batch's texts are concatenated into ONE byte
-    buffer (0xFF separators), k-byte sliding windows are hashed with a
+    Fully vectorized AND zero-copy: the Arrow string column's value
+    buffer is used directly as the concatenated byte stream (its offsets
+    buffer gives the doc boundaries; boundary-crossing windows are masked
+    arithmetically), k-byte sliding windows are hashed with a
     single polynomial-matmul pass, universal-hash permutations are
     applied per-perm with np.minimum.reduceat over doc boundaries, and
     band mixing is one reshape-multiply-sum. No per-doc or per-shingle
@@ -245,19 +246,43 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = self.k
-        doc_ids_in = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        texts = batch["text"].to_pylist()
-        bufs = [(t.encode() if t else b"") for t in texts]
-        if not bufs:
+        doc_ids_in = (
+            batch["doc_id"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        n = len(doc_ids_in)
+        if n == 0:
             return self._empty()
-        data = np.frombuffer(bytes([SHINGLE_SEP]).join(bufs), dtype=np.uint8)
+        # ZERO-COPY: the Arrow string column's value buffer IS the
+        # concatenated utf-8 bytes and its offsets buffer IS the per-doc
+        # boundaries — no per-doc encode()/join() Python loop. Windows
+        # that would cross a doc boundary are masked out arithmetically
+        # (start s crosses interior boundary b iff b-k < s < b), which
+        # yields exactly the same valid-window set (hence identical
+        # signatures) as the old 0xFF-separator construction.
+        txt = pc.fill_null(batch["text"].combine_chunks(), "")
+        odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+        vbuf = txt.buffers()[2]
+        if vbuf is None:
+            return self._empty()
+        off = np.frombuffer(txt.buffers()[1], dtype=odt)[
+            txt.offset : txt.offset + n + 1
+        ].astype(np.int64, copy=False)
+        data = np.frombuffer(vbuf, dtype=np.uint8)[off[0] : off[-1]]
+        starts = off[:-1] - off[0]  # doc start offsets inside `data`
         if data.size < k:
             return self._empty()
-        # doc start offset of each text inside the concatenated buffer
-        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
-        starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
         win = np.lib.stride_tricks.sliding_window_view(data, k)
-        valid = (win != SHINGLE_SEP).all(axis=1)
+        nwin = data.size - k + 1
+        delta = np.zeros(nwin + 1, dtype=np.int64)
+        interior = starts[1:]  # doc boundaries after the first doc
+        lo = np.maximum(interior - (k - 1), 0)
+        hi = np.minimum(interior, nwin)
+        np.add.at(delta, lo, 1)
+        np.add.at(delta, hi, -1)
+        valid = np.cumsum(delta[:-1]) == 0
         if not valid.any():
             return self._empty()
         base = (win[valid].astype(np.uint64) * self.powers[None, :]).sum(axis=1)
@@ -552,7 +577,12 @@ def minhash_lsh_clusters(
 
     def assign(batch: pa.Table) -> pa.Table:
         s_ids, s_lbls = _ray.get(lookup_ref)  # plasma-cached, zero-copy
-        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        ids = (
+            batch["doc_id"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
         out = ids.copy()
         if s_ids.size:
             pos = np.searchsorted(s_ids, ids)
