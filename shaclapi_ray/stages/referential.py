@@ -520,9 +520,22 @@ def fused_ref_shape_eval(
             else np.zeros(0, dtype=np.uint64)
         )
 
-        valid_np = np.asarray(valid.to_pylist() if hasattr(valid, "to_pylist") else valid, dtype=bool)
-        reason_list = reason.to_pylist()
-        tmask_np = np.asarray(tmask.to_pylist(), dtype=bool)
+        if isinstance(valid, (pa.Array, pa.ChunkedArray)):
+            valid_np = (
+                pc.fill_null(valid, False)
+                .to_numpy(zero_copy_only=False)
+                .astype(bool, copy=False)
+            )
+        else:
+            valid_np = np.asarray(valid, dtype=bool)
+        reason_arr = (
+            reason.combine_chunks() if isinstance(reason, pa.ChunkedArray) else reason
+        )
+        tmask_np = (
+            pc.fill_null(tmask, False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool, copy=False)
+        )
 
         for c in refs:
             ref = child_hash_refs.get(c.name)
@@ -559,16 +572,18 @@ def fused_ref_shape_eval(
                             "valid": pa.array([False] * len(vio_idx)),
                             "reason": pa.array([inv] * len(vio_idx)),
                             "constraint": pa.array([c.name] * len(vio_idx)),
-                            "offending_value": pa.array(
-                                [str(int(v)) for v in counts[vio_idx]]
+                            "offending_value": pc.cast(
+                                pa.array(counts[vio_idx].astype(np.int64)), pa.string()
                             ),
                         },
                         schema=_ES,
                     )
                 )
-                for i in vio_idx:
-                    if reason_list[i] is None:
-                        reason_list[i] = inv
+                reason_arr = pc.if_else(
+                    pc.and_(pa.array(fail), pc.is_null(reason_arr)),
+                    pa.scalar(inv, pa.string()),
+                    reason_arr,
+                )
                 valid_np &= ok | ~tmask_np
 
         tgt_idx = np.nonzero(tmask_np)[0]
@@ -578,12 +593,9 @@ def fused_ref_shape_eval(
                     "url": pc.take(urls, pa.array(tgt_idx)),
                     "shape_id": pa.array([shape.shape_id] * len(tgt_idx)),
                     "kind": pa.array(["verdict"] * len(tgt_idx)),
-                    "valid": pa.array([bool(v) for v in valid_np[tgt_idx]]),
-                    "reason": pa.array(
-                        [
-                            reason_list[i] if reason_list[i] is not None else shape.shape_id
-                            for i in tgt_idx
-                        ]
+                    "valid": pa.array(valid_np[tgt_idx]),
+                    "reason": pc.fill_null(
+                        pc.take(reason_arr, pa.array(tgt_idx)), shape.shape_id
                     ),
                     "constraint": pa.nulls(len(tgt_idx), pa.string()),
                     "offending_value": pa.nulls(len(tgt_idx), pa.string()),
