@@ -520,12 +520,13 @@ class TextEmbedder:
             flat = np.bincount(rows * self.dim + buckets, minlength=n * self.dim)
             mat = flat.reshape(n, self.dim).astype(np.float64)
         mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        # list<float32> column from one flat buffer — no per-row Python
+        flat32 = pa.array(np.ascontiguousarray(mat, dtype=np.float32).ravel())
+        offs = pa.array(np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int32))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "embedding": pa.array(
-                    mat.astype(np.float32).tolist(), type=pa.list_(pa.float32())
-                ),
+                "embedding": pa.ListArray.from_arrays(offs, flat32),
             }
         )
 
