@@ -588,7 +588,6 @@ def chunk_text(docs_ds, chunk_chars: int = CHUNK_CHARS, overlap: int = CHUNK_OVE
 
 
 ROLL_B = 1000003  # odd => invertible mod 2^64
-ROLL_SEP = 0xFF  # never appears in UTF-8 text
 
 
 def rolling_fingerprint(docs_ds, window: int = 32, concurrency=None):
@@ -598,11 +597,12 @@ def rolling_fingerprint(docs_ds, window: int = 32, concurrency=None):
     for near-dup candidate buckets. Deterministic; no SQL analog (golden
     unit test instead). Docs shorter than the window get fp_min = 0.
 
-    Vectorized across the whole batch: texts are concatenated into one
-    buffer (0xFF separators), every window hash comes from ONE O(n)
-    prefix-sum pass (h_i = B^(i+w-1) * (S[i+w] - S[i]) with S the
-    cumulative sum of data[j]*B^(-j) mod 2^64 — B is odd, hence
-    invertible), windows crossing doc boundaries are masked, and the
+    Vectorized across the whole batch AND zero-copy: the Arrow string
+    value buffer is the concatenated byte stream (offsets = doc
+    boundaries), every window hash comes from ONE O(n) prefix-sum pass
+    (h_i = B^(i+w-1) * (S[i+w] - S[i]) with S the cumulative sum of
+    data[j]*B^(-j) mod 2^64 — B is odd, hence invertible), windows
+    crossing doc boundaries are masked arithmetically, and the
     per-doc minimum is a reduceat. No per-doc loops, no n*w matrix, no
     length truncation."""
     import numpy as np
@@ -615,12 +615,22 @@ def rolling_fingerprint(docs_ds, window: int = 32, concurrency=None):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             w = self.window
-            texts = batch["text"].to_pylist()
-            n_docs = len(texts)
+            n_docs = batch.num_rows
             out = np.zeros(n_docs, dtype=np.uint64)
-            bufs = [(t.encode() if t else b"") for t in texts]
-            if bufs:
-                data = np.frombuffer(bytes([ROLL_SEP]).join(bufs), dtype=np.uint8)
+            # ZERO-COPY: the Arrow string value buffer is already the
+            # concatenated utf-8 stream; its offsets are the doc
+            # boundaries. Window hashes are position-relative, so this
+            # yields byte-identical fingerprints to the old per-doc
+            # encode + 0xFF-join construction.
+            txt = pc.fill_null(batch["text"].combine_chunks(), "")
+            vbuf = txt.buffers()[2]
+            if n_docs and vbuf is not None:
+                odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+                off = np.frombuffer(txt.buffers()[1], dtype=odt)[
+                    txt.offset : txt.offset + n_docs + 1
+                ].astype(np.int64, copy=False)
+                data = np.frombuffer(vbuf, dtype=np.uint8)[off[0] : off[-1]]
+                doc_starts = off[:-1] - off[0]
                 n = data.size
                 if n >= w:
                     d64 = data.astype(np.uint64)
@@ -631,19 +641,17 @@ def rolling_fingerprint(docs_ds, window: int = 32, concurrency=None):
                         ([np.uint64(1)], np.cumprod(np.full(n - 1, self.inv, np.uint64)))
                     )
                     S = np.concatenate(([np.uint64(0)], np.cumsum(d64 * pow_inv)))
-                    starts_w = np.arange(n - w + 1)
+                    nwin = n - w + 1
+                    starts_w = np.arange(nwin)
                     h = (S[starts_w + w] - S[starts_w]) * pow_b[starts_w + w - 1]
-                    # windows containing a separator are invalid (O(n) via
-                    # prefix counts, no n*w bool matrix)
-                    ok = np.concatenate(
-                        ([0], np.cumsum((data != ROLL_SEP).astype(np.int64)))
-                    )
-                    valid = (ok[starts_w + w] - ok[starts_w]) == w
+                    # windows crossing a doc boundary b (b-w < s < b) are
+                    # invalid — O(n) range marking, no n*w bool matrix
+                    delta = np.zeros(nwin + 1, dtype=np.int64)
+                    interior = doc_starts[1:]
+                    np.add.at(delta, np.maximum(interior - (w - 1), 0), 1)
+                    np.add.at(delta, np.minimum(interior, nwin), -1)
+                    valid = np.cumsum(delta[:-1]) == 0
                     if valid.any():
-                        lens = np.fromiter(
-                            (len(b) for b in bufs), dtype=np.int64, count=n_docs
-                        )
-                        doc_starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
                         hv = h[valid]
                         win_start = starts_w[valid]
                         rows = np.searchsorted(doc_starts, win_start, side="right") - 1
