@@ -128,6 +128,31 @@ class CheckpointedValidation:
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
 
+    def invalidate(self, pids: list[str]) -> None:
+        """Drop partitions from the checkpoint so the next run_phase1
+        reprocesses them: removes their committed outputs, sketches and
+        manifest entries. The incremental-revalidation primitive — on a
+        100 TB corpus a rerun after a partial source refresh touches only
+        the refreshed shards."""
+        m = self.manifest()
+        completed = set(m["completed"])
+        sources = m.get("sources", {})
+        for pid in pids:
+            completed.discard(pid)
+            sources.pop(pid, None)
+            shutil.rmtree(os.path.join(self.out_dir, "partitions", pid), ignore_errors=True)
+            sk = os.path.join(self.out_dir, "sketches", pid + ".bin")
+            if os.path.exists(sk):
+                os.remove(sk)
+        m["completed"] = sorted(completed)
+        m["sources"] = sources
+        self._write_manifest(m)
+
+    @staticmethod
+    def _source_stamp(path: str) -> dict:
+        st = os.stat(path)
+        return {"path": path, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
     # -- phase 1: per-partition column validation + links + sketches ---------
     def run_phase1(
         self, pages_dir: str, stop_after: int | None = None, max_parallel: int = 2
@@ -157,6 +182,21 @@ class CheckpointedValidation:
         files = pages_parquet_paths(pages_dir)
         m = self.manifest()
         done = set(m["completed"])
+        # source-change detection: a completed partition whose input file
+        # changed (size/mtime) since it was processed is STALE — drop it
+        # so it reprocesses. Manifests from before source stamping (no
+        # record for the pid) are trusted as-is.
+        sources = m.get("sources", {})
+        stale = []
+        for i, f in enumerate(files):
+            pid = f"p{i:05d}"
+            rec = sources.get(pid)
+            if pid in done and rec is not None and rec != self._source_stamp(f):
+                stale.append(pid)
+        if stale:
+            self.invalidate(stale)
+            m = self.manifest()
+            done = set(m["completed"])
         todo = [(i, f) for i, f in enumerate(files) if f"p{i:05d}" not in done]
         if stop_after is not None:
             todo = todo[:stop_after]
@@ -216,6 +256,9 @@ class CheckpointedValidation:
             i, f = item
             pid = f"p{i:05d}"
             t0 = time.monotonic()
+            # stat BEFORE reading: a writer racing with this partition's
+            # processing flips the stamp, so the next run re-validates it
+            src_stamp = self._source_stamp(f)
             part_dir = os.path.join(self.out_dir, "partitions", pid)
             tmp_dir = part_dir + ".tmp"
             if os.path.exists(tmp_dir):
@@ -270,6 +313,7 @@ class CheckpointedValidation:
             with meta_lock:
                 mm = self.manifest()
                 mm["completed"] = sorted(set(mm["completed"]) | {pid})
+                mm.setdefault("sources", {})[pid] = src_stamp
                 mm["epoch"] = mm.get("epoch", 0) + 1
                 self._write_manifest(mm)
                 self._lineage_append(

@@ -204,6 +204,16 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
 
 
 class ValidationEngine:
+    """Shape-schema validation over a pages table.
+
+    Data contract: ``url`` is the focus-node key (the IRI analog of the
+    reference's SHACL instances) and is expected to be UNIQUE per corpus
+    — the synthetic fixtures guarantee it, and `exact_dedup`/
+    `dedup_corpus` are the operators that enforce it upstream on real
+    data. With duplicate urls, per-row evaluation (fused backend) and
+    per-url aggregation (staged backend) legitimately diverge: SHACL
+    semantics are per focus node, so deduplicate first."""
+
     def __init__(self, shapes: list[Shape] | str, config: JobConfig | None = None):
         if isinstance(shapes, str):
             shapes = load_schema_dir(shapes)

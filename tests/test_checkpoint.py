@@ -106,3 +106,72 @@ def test_resume_skips_completed_partitions(ray_session, multi_part_pages, tmp_pa
     epoch_before = ck.manifest()["epoch"]
     ck.run_phase1(multi_part_pages)  # completes remaining 1
     assert ck.manifest()["epoch"] == epoch_before + 1  # only one new commit
+
+
+def test_source_change_invalidates_only_touched_partition(
+    ray_session, multi_part_pages, tmp_path
+):
+    """Incremental revalidation: after a full run, rewriting ONE input
+    partition file makes only that partition reprocess (stale stamp
+    detected); untouched partitions keep their committed outputs, and the
+    re-run's verdicts reflect the new data."""
+    import os
+    import shutil
+
+    import shaclapi_ray.pagegen as pg
+
+    # private copy of the input — the fixture is module-scoped/shared
+    pages = str(tmp_path / "pages")
+    shutil.copytree(multi_part_pages, pages)
+
+    cfg = JobConfig(target_shape="LinkedPageShape")
+    out = str(tmp_path / "run")
+    cv = CheckpointedValidation(referential_schema(), cfg, out_dir=out)
+    res1 = cv.run(pages)
+    v1 = res1.verdicts().to_pandas()
+    m1 = cv.manifest()
+    assert set(m1["sources"]) == set(m1["completed"]) == {"p00000", "p00001", "p00002"}
+
+    # record committed-output mtimes, then rewrite partition file 1 with
+    # MODIFIED content (blank half the pages' html — same urls, so the
+    # corpus keeps its unique-url entity contract, but links/verdicts
+    # change)
+    import pyarrow as pa
+
+    part_mtime = {
+        pid: os.stat(os.path.join(out, "partitions", pid)).st_mtime_ns
+        for pid in m1["completed"]
+    }
+    files = sorted(
+        f for f in os.listdir(pages) if f.endswith(".parquet")
+    )
+    target = os.path.join(pages, files[1])
+    tbl = pq.read_table(target)
+    html = tbl["html"].to_pylist()
+    html = [b"" if i % 2 == 0 else h for i, h in enumerate(html)]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("html"), "html", pa.array(html, pa.binary())
+    )
+    pq.write_table(tbl, target)
+
+    res2 = cv.run(pages)
+    m2 = cv.manifest()
+    # only p00001 was reprocessed
+    assert os.stat(os.path.join(out, "partitions", "p00000")).st_mtime_ns == part_mtime["p00000"]
+    assert os.stat(os.path.join(out, "partitions", "p00002")).st_mtime_ns == part_mtime["p00002"]
+    assert m2["sources"]["p00001"] != m1["sources"]["p00001"]
+
+    # verdicts now reflect the rewritten partition, matching a fresh
+    # non-checkpointed engine run over the same input
+    v2 = res2.verdicts().to_pandas()
+    assert not v1.equals(v2)
+    ref = (
+        ValidationEngine(referential_schema(), cfg)
+        .run(pages)
+        .verdicts()
+        .to_pandas()
+    )
+    key = ["url", "shape_id", "valid", "reason"]
+    a = v2[key].sort_values(key).reset_index(drop=True)
+    b = ref[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
