@@ -778,13 +778,18 @@ def _q_quality_repetition(sf_dir: str):
 
 
 def _q_exact_dedup_corpus(sf_dir: str):
-    """exact_dedup stats + dedup_corpus materialization joined on doc_id
-    (both keep exactly the min-doc_id survivor per distinct text)."""
-    from shaclapi_ray.pipelines.dedup import dedup_corpus, exact_dedup
+    """exact_dedup stats + dedup_corpus materialization + corpus-wide
+    paragraph dedup, joined on doc_id (inner: survivor docs only — all
+    three operators' full code paths run)."""
+    from shaclapi_ray.pipelines.dedup import dedup_corpus, dedup_paragraphs, exact_dedup
 
     stats = exact_dedup(_docs(sf_dir)).to_pandas()
     kept = dedup_corpus(_docs(sf_dir)).to_pandas()
-    return _sorted(stats.merge(kept, on="doc_id", how="inner"), ["doc_id"])
+    paras = dedup_paragraphs(_docs(sf_dir)).to_pandas()
+    out = stats.merge(kept, on="doc_id", how="inner").merge(
+        paras, on="doc_id", how="inner"
+    )
+    return _sorted(out, ["doc_id"])
 
 
 def _q_windows(sf_dir: str):
@@ -1085,6 +1090,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         target_page_shape,
         url_shape,
     )
+    from shaclapi_ray.pipelines import dedup as dp
     from shaclapi_ray.pipelines import spans as sp
 
     pages_dir = _pages(sf_dir)
@@ -1182,7 +1188,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "pack_sequences": sp.pack_sequences_sql(PACK_SHARDS, PACK_BUDGET),
         "dup_span_coverage": sp.dup_span_coverage_sql(),
         "exact_dedup": _join_sql(
-            [o.exact_dedup_sql(), o.dedup_corpus_sql()], on="doc_id", order="doc_id"
+            [o.exact_dedup_sql(), o.dedup_corpus_sql(), dp.dedup_paragraphs_sql()],
+            on="doc_id",
+            order="doc_id",
         ),
         "simhash": o.simhash_sql(),
         "simhash_neardup": o.simhash_neardup_sql(),

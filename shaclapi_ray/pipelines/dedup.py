@@ -77,6 +77,137 @@ def exact_dedup(docs_ds, text_col: str = "text"):
     )
 
 
+PARA_IDX_BITS = 20  # max 2^20 paragraphs per doc in the packed (doc, idx) key
+
+
+def dedup_paragraphs(docs_ds, sep: str = "\n\n", text_col: str = "text"):
+    """(doc_id, clean_text, n_kept, n_dropped): corpus-wide exact
+    PARAGRAPH dedup — a paragraph occurrence survives iff it is the first
+    occurrence of its exact text corpus-wide, ordered by (doc_id,
+    paragraph index). The CCNet-style boilerplate-removal operator
+    (repeated headers/footers/navigation vanish from every copy but the
+    first). One output row per input document (clean_text may be '').
+
+    Scale shape: pass 1 explodes only (h1, h2, key) — 128-bit paragraph
+    hash + key = doc_id * 2^20 + idx — so paragraph TEXT never enters the
+    exchange; the winner per distinct paragraph is one native
+    groupby().aggregate(Min); winners broadcast as a sorted 128-bit hash
+    array with aligned winner keys (same ceiling as the drop-set
+    broadcast: ~50M distinct paragraphs, the documented bucket-join
+    fallback shape of dedup_corpus applies above); pass 2 re-splits each
+    batch locally (docs never straddle batches) and reassembles kept
+    paragraphs per doc with one polars group_by."""
+    import polars as pl
+    import ray as _ray
+
+    def _explode(batch: pa.Table) -> "pl.DataFrame":
+        col = batch[text_col]
+        s = pl.from_arrow(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        ids = pl.from_arrow(
+            batch["doc_id"].combine_chunks()
+            if isinstance(batch["doc_id"], pa.ChunkedArray)
+            else batch["doc_id"]
+        )
+        df = pl.DataFrame({"doc_id": ids, "t": s.fill_null("")})
+        df = df.with_columns(pl.col("t").str.split(sep).alias("p")).drop("t")
+        df = df.with_columns(
+            pl.int_ranges(0, pl.col("p").list.len()).alias("idx")
+        ).explode(["p", "idx"])
+        return df.with_columns(
+            pl.col("p").hash(seed=17).alias("h1"),
+            pl.col("p").hash(seed=23).alias("h2"),
+            (
+                pl.col("doc_id").cast(pl.Int64) * (1 << PARA_IDX_BITS)
+                + pl.col("idx").cast(pl.Int64)
+            ).alias("key"),
+        )
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        df = _explode(batch)
+        return pa.table(
+            {
+                "h1": pa.array(df["h1"].to_numpy().view(np.int64)),
+                "h2": pa.array(df["h2"].to_numpy().view(np.int64)),
+                "key": pa.array(df["key"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    winners = (
+        docs_ds.select_columns(["doc_id", text_col])
+        .map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["h1", "h2"])
+        .aggregate(Min("key", alias_name="win"))
+    )
+    # broadcast: sorted 128-bit hash (void16) + aligned winner keys
+    tables = [t for t in (_ray.get(r) for r in winners.to_arrow_refs()) if t.num_rows]
+    if tables:
+        wt = pa.concat_tables(tables)
+        hv = np.empty((wt.num_rows, 2), dtype=np.int64)
+        hv[:, 0] = wt["h1"].combine_chunks().to_numpy()
+        hv[:, 1] = wt["h2"].combine_chunks().to_numpy()
+        voids = np.ascontiguousarray(hv).view(np.dtype((np.void, 16))).ravel()
+        order = np.argsort(voids, kind="stable")
+        lookup = (voids[order], wt["win"].combine_chunks().to_numpy()[order])
+    else:
+        lookup = (np.empty(0, dtype=np.dtype((np.void, 16))), np.empty(0, np.int64))
+    lookup_ref = _ray.put(lookup)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        sorted_h, win_keys = _ray.get(lookup_ref)
+        df = _explode(batch)
+        hv = np.empty((df.height, 2), dtype=np.int64)
+        hv[:, 0] = df["h1"].to_numpy().view(np.int64)
+        hv[:, 1] = df["h2"].to_numpy().view(np.int64)
+        voids = np.ascontiguousarray(hv).view(np.dtype((np.void, 16))).ravel()
+        keys = df["key"].to_numpy()
+        if sorted_h.size:
+            pos = np.searchsorted(sorted_h, voids)
+            pos = np.minimum(pos, sorted_h.size - 1)
+            keep = win_keys[pos] == keys  # first occurrence corpus-wide
+        else:
+            keep = np.ones(df.height, dtype=bool)
+        out = (
+            df.with_columns(pl.Series("keep", keep))
+            .sort(["doc_id", "idx"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                pl.col("p").filter(pl.col("keep")).str.join(sep).alias("clean_text"),
+                pl.col("keep").sum().cast(pl.Int64).alias("n_kept"),
+                (pl.col("keep").not_().sum()).cast(pl.Int64).alias("n_dropped"),
+            )
+            .with_columns(pl.col("clean_text").fill_null(""))
+        )
+        return out.to_arrow()
+
+    return docs_ds.select_columns(["doc_id", text_col]).map_batches(
+        rebuild, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def dedup_paragraphs_sql(sep: str = "\n\n") -> str:
+    """DuckDB oracle for dedup_paragraphs (same first-occurrence rule)."""
+    sep_sql = "||".join(f"chr({ord(c)})" for c in sep)
+    return f"""
+WITH parts AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), {sep_sql}) AS ps
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(ps) AS para,
+         unnest(generate_series(0, len(ps) - 1)) AS idx
+  FROM parts
+), k AS (
+  SELECT doc_id, idx, para,
+         ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id,
+       COALESCE(string_agg(para, {sep_sql} ORDER BY idx) FILTER (WHERE rn = 1), '') AS clean_text,
+       COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+       COUNT(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 DROPSET_BROADCAST_LIMIT = 50_000_000  # sorted int64 ids, 8 B each => <=400 MB
 
 

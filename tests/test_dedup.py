@@ -304,3 +304,35 @@ def test_simhash_bucket_bits_widens(ray_session):
             .to_pandas()[["a", "b"]].itertuples(index=False))
     )
     assert p24 <= p16
+
+
+def test_dedup_paragraphs_first_occurrence_wins(ray_session):
+    """Corpus-wide paragraph dedup: a repeated paragraph survives only at
+    its first (doc_id, idx) occurrence; docs reassemble in order; a doc
+    whose every paragraph is seen before comes back empty."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.dedup import dedup_paragraphs
+
+    boiler = "COPYRIGHT FOOTER"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": f"intro zero\n\n{boiler}"},
+            {"doc_id": 1, "text": f"{boiler}\n\nbody one\n\n{boiler}"},
+            {"doc_id": 2, "text": boiler},
+            {"doc_id": 3, "text": "body one\n\nfresh tail"},
+        ]
+    )
+    out = (
+        dedup_paragraphs(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [0, 1, 2, 3]
+    assert out.clean_text[0] == f"intro zero\n\n{boiler}"  # first occurrence kept
+    assert out.clean_text[1] == "body one"  # both boiler copies dropped
+    assert out.clean_text[2] == ""  # fully-duplicate doc -> empty
+    assert out.clean_text[3] == "fresh tail"  # 'body one' seen in doc 1
+    assert out.n_kept.tolist() == [2, 1, 0, 1]
+    assert out.n_dropped.tolist() == [0, 2, 1, 1]
