@@ -75,11 +75,40 @@ class ResumableMapJob:
             if f.endswith(".parquet")
         )
 
+    @staticmethod
+    def _source_stamp(path: str) -> dict:
+        st = os.stat(path)
+        return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+    def invalidate(self, pids: list[str]) -> None:
+        """Drop committed partitions so the next run() reprocesses them —
+        the incremental-reprocessing primitive (same contract as
+        CheckpointedValidation.invalidate)."""
+        m = self.manifest()
+        for pid in pids:
+            m["completed"].pop(pid, None)
+            shutil.rmtree(
+                os.path.join(self.out_dir, "partitions", pid), ignore_errors=True
+            )
+        self._write_manifest(m)
+
     def run(self, input_dir: str, stop_after: int | None = None) -> bool:
         """Process not-yet-committed partitions; returns True when every
         input file has a committed output. ``stop_after`` bounds how many
-        partitions this call processes (the kill-mid-run hook)."""
+        partitions this call processes (the kill-mid-run hook). Committed
+        partitions whose input file changed since processing (size/mtime
+        stamp) are invalidated and reprocessed; manifests from before
+        stamping are trusted as-is."""
         files = self._input_files(input_dir)
+        completed = self.manifest()["completed"]
+        stale = []
+        for i, f in enumerate(files):
+            pid = f"p{i:05d}"
+            rec = completed.get(pid)
+            if rec is not None and "source" in rec and rec["source"] != self._source_stamp(f):
+                stale.append(pid)
+        if stale:
+            self.invalidate(stale)
         done = set(self.manifest()["completed"])
         todo = [(i, f) for i, f in enumerate(files) if f"p{i:05d}" not in done]
         if stop_after is not None:
@@ -90,6 +119,9 @@ class ResumableMapJob:
             i, f = item
             pid = f"p{i:05d}"
             t0 = time.monotonic()
+            # stat BEFORE reading: a writer racing with processing flips
+            # the stamp, so the next run re-validates this partition
+            src_stamp = self._source_stamp(f)
             part_dir = os.path.join(self.out_dir, "partitions", pid)
             tmp_dir = part_dir + ".tmp"
             if os.path.exists(tmp_dir):
@@ -115,6 +147,7 @@ class ResumableMapJob:
                     "input": f,
                     "rows_out": rows_out,
                     "wall_ms": int((time.monotonic() - t0) * 1000),
+                    "source": src_stamp,
                 }
                 self._write_manifest(m)
 

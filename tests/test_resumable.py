@@ -60,3 +60,50 @@ def test_kill_and_resume_byte_identical(ray_session, pages_dir, tmp_path_factory
     for p, t in mtimes.items():
         assert os.path.getmtime(os.path.join(part_dir, p)) == t
     assert len(job2.manifest()["completed"]) > n_before
+
+
+def test_source_change_reprocesses_only_touched_partition(ray_session, tmp_path):
+    """Rewriting one committed input file makes only that partition
+    reprocess on the next run; outputs reflect the new content."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from shaclapi_ray.resumable import ResumableMapJob
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"doc_id": [i * 10 + j for j in range(5)]}),
+            str(inp / f"part-{i}.parquet"),
+        )
+
+    def double(ds):
+        return ds.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "x2": pa.compute.multiply(t["doc_id"], 2)}),
+            batch_format="pyarrow",
+        )
+
+    job = ResumableMapJob(double, str(tmp_path / "out"))
+    assert job.run(str(inp))
+    m1 = job.manifest()
+    assert all("source" in rec for rec in m1["completed"].values())
+    mtimes = {
+        pid: os.stat(os.path.join(str(tmp_path / "out"), "partitions", pid)).st_mtime_ns
+        for pid in m1["completed"]
+    }
+
+    pq.write_table(
+        pa.table({"doc_id": [999, 998]}), str(inp / "part-1.parquet")
+    )
+    assert job.run(str(inp))
+    out_dir = os.path.join(str(tmp_path / "out"), "partitions")
+    assert os.stat(os.path.join(out_dir, "p00000")).st_mtime_ns == mtimes["p00000"]
+    assert os.stat(os.path.join(out_dir, "p00002")).st_mtime_ns == mtimes["p00002"]
+    df = job.result().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(df[df.doc_id > 100].doc_id) == {998, 999}
+    assert (df.x2 == df.doc_id * 2).all()
+    assert len(df) == 12  # 5 + 2 + 5
