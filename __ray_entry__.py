@@ -277,10 +277,22 @@ def _q_token_count(sf_dir: str):
 SAMPLE_FRACTION = 0.35
 
 
-def _q_sample_corpus(sf_dir: str):
-    from shaclapi_ray.pipelines.textstats import sample_corpus
+STRAT_FRACTIONS = {"en": 0.15, "zh": 0.9, "de": 0.5}  # default 0.25 for the rest
 
-    return _sorted(sample_corpus(_docs(sf_dir), SAMPLE_FRACTION), ["doc_id"])
+
+def _q_sample_corpus(sf_dir: str):
+    """Uniform + stratified deterministic samplers as a kind-tagged
+    union (the stratified sampler rebalances languages; both run their
+    full code paths)."""
+    import pandas as pd
+
+    from shaclapi_ray.pipelines.textstats import sample_corpus, sample_stratified
+
+    u = sample_corpus(_docs(sf_dir), SAMPLE_FRACTION).to_pandas()
+    u.insert(0, "kind", "uniform")
+    s = sample_stratified(_docs(sf_dir), STRAT_FRACTIONS, default=0.25).to_pandas()
+    s.insert(0, "kind", "stratified")
+    return _sorted(pd.concat([u, s], ignore_index=True), ["kind", "doc_id"])
 
 
 def _q_pii_scan(sf_dir: str):
@@ -1171,7 +1183,17 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "clean_pii": _join_sql(
             [o.normalize_text_sql(), o.pii_scan_sql()], on="doc_id", order="doc_id"
         ),
-        "sample_corpus": o.sample_corpus_sql(SAMPLE_FRACTION),
+        "sample_corpus": _tagged_union_sql(
+            [
+                ("uniform", o.sample_corpus_sql(SAMPLE_FRACTION)),
+                (
+                    "stratified",
+                    o.sample_stratified_sql(STRAT_FRACTIONS, default=0.25),
+                ),
+            ],
+            tag_col="kind",
+            order="kind, doc_id",
+        ),
         "quality_repetition": _join_sql(
             [o.quality_signals_sql(), o.repetition_signals_sql()],
             on="doc_id",

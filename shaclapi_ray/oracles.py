@@ -285,6 +285,28 @@ ORDER BY doc_id
 """
 
 
+def sample_stratified_sql(
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    default: float = 0.0,
+    seed: int = 0,
+) -> str:
+    """Oracle for sample_stratified: same Knuth arithmetic, per-group
+    threshold via CASE."""
+    from shaclapi_ray.pipelines.textstats import SAMPLE_KNUTH
+
+    cases = " ".join(
+        f"WHEN COALESCE({group_col}, '') = '{g}' THEN {int(f * (1 << 32))}"
+        for g, f in sorted(fractions.items())
+    )
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE ((doc_id + {seed}) * {SAMPLE_KNUTH}) % 4294967296
+      < (CASE {cases} ELSE {int(default * (1 << 32))} END)
+ORDER BY doc_id
+"""
+
+
 def pii_scan_sql() -> str:
     from shaclapi_ray.pipelines.textstats import EMAIL_RE, IPV4_RE, PHONE_RE
 

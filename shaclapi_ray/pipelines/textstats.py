@@ -86,6 +86,52 @@ def sample_corpus(docs_ds, fraction: float, seed: int = 0):
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_stratified(
+    docs_ds,
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    default: float = 0.0,
+    seed: int = 0,
+):
+    """Deterministic PER-GROUP subsample: keep a row iff
+    ((doc_id + seed) * KNUTH) mod 2^32 < fractions[group] * 2^32 —
+    the language-rebalancing sampler of a multilingual corpus pipeline
+    (e.g. keep 10% of English, 100% of low-resource languages). Same
+    reproducibility contract as sample_corpus (pure per-row arithmetic,
+    identical across runs/cluster sizes/block layouts; the kept set for
+    a group at fraction f is a SUBSET of the set at any f' > f, so
+    ratios can be tuned without churning the sample). Groups absent
+    from ``fractions`` use ``default``. Vectorized via dictionary
+    encoding — one hash pass + one threshold lookup per batch."""
+    import numpy as np
+
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError("default fraction must be in [0, 1]")
+    thresholds = {g: int(f * (1 << 32)) for g, f in fractions.items()}
+    default_t = int(default * (1 << 32))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids + seed) * SAMPLE_KNUTH) % (1 << 32)
+        g = pc.fill_null(batch[group_col].combine_chunks(), "").dictionary_encode()
+        uniq = g.dictionary.to_pylist()
+        t_by_code = np.array(
+            [thresholds.get(u, default_t) for u in uniq], dtype=np.int64
+        )
+        codes = g.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = (
+            t_by_code[codes]
+            if len(uniq)
+            else np.full(len(ids), default_t, dtype=np.int64)
+        )
+        return batch.filter(pa.array(h < thr))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PHONE_RE = r"\+[0-9]{1,3}[ \-][0-9]{2,4}[ \-][0-9]{3,4}[ \-]?[0-9]{0,4}"

@@ -190,3 +190,29 @@ def test_quality_quantile_filter_golden(ray_session):
     # q=1: threshold is the max -> nothing strictly above it survives
     empty = quality_quantile_filter(ds, q=1.0).to_pandas()
     assert len(empty) == 0
+
+
+def test_sample_stratified_subset_and_ratios(ray_session):
+    """Per-group fractions hold (within hash tolerance), absent groups get
+    the default, and raising a fraction only ADDS docs (subset property
+    for stable tuning)."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.textstats import sample_stratified
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": i, "lang": ("en" if i % 2 == 0 else "fr"), "text": "t"}
+            for i in range(4000)
+        ]
+    )
+    a = sample_stratified(docs, {"en": 0.1}, default=0.8).to_pandas()
+    en_a = set(a[a.lang == "en"].doc_id)
+    fr_a = set(a[a.lang == "fr"].doc_id)
+    assert 0.05 < len(en_a) / 2000 < 0.16
+    assert 0.72 < len(fr_a) / 2000 < 0.88
+
+    b = sample_stratified(docs, {"en": 0.5}, default=0.8).to_pandas()
+    en_b = set(b[b.lang == "en"].doc_id)
+    assert en_a <= en_b  # monotone: tuning a ratio up never churns the sample
+    assert set(b[b.lang == "fr"].doc_id) == fr_a
