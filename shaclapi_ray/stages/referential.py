@@ -509,17 +509,6 @@ def fused_ref_shape_eval(
             return _ES.empty_table()
         valid, reason, out = eval_column_part(cs, batch, urls, tmask)
 
-        # vectorized per-row link targets -> 64-bit hashes (no python strings)
-        from shaclapi_ray.stages.hashset import HASH_SEED
-        from shaclapi_ray.stages.links import extract_targets_vectorized
-
-        row_arr, targets = extract_targets_vectorized(batch["html"])
-        target_hashes = (
-            targets.fill_null("\0null\0").hash(seed=HASH_SEED).to_numpy()
-            if len(targets)
-            else np.zeros(0, dtype=np.uint64)
-        )
-
         if isinstance(valid, (pa.Array, pa.ChunkedArray)):
             valid_np = (
                 pc.fill_null(valid, False)
@@ -535,6 +524,30 @@ def fused_ref_shape_eval(
             pc.fill_null(tmask, False)
             .to_numpy(zero_copy_only=False)
             .astype(bool, copy=False)
+        )
+
+        # EARLY SHORT-CIRCUIT (the reference's inter-shape pruning recast
+        # per batch): links matter only for TARGET rows — the html regex
+        # scan, the dominant cost of this pass, runs over the target
+        # slice only. With a selective target this is the single biggest
+        # saving in the fused path; behavior is identical because
+        # non-target rows never contribute events.
+        from shaclapi_ray.stages.hashset import HASH_SEED
+        from shaclapi_ray.stages.links import extract_targets_vectorized
+
+        tgt_rows = np.flatnonzero(tmask_np)
+        if tgt_rows.size == n:
+            html_src = batch["html"]
+            row_map = None
+        else:
+            html_src = pc.take(batch["html"], pa.array(tgt_rows))
+            row_map = tgt_rows
+        sub_rows, targets = extract_targets_vectorized(html_src)
+        row_arr = row_map[sub_rows] if row_map is not None else sub_rows
+        target_hashes = (
+            targets.fill_null("\0null\0").hash(seed=HASH_SEED).to_numpy()
+            if len(targets)
+            else np.zeros(0, dtype=np.uint64)
         )
 
         for c in refs:
