@@ -2,16 +2,14 @@
 
 Large-scale training-data pipeline stages: token counting, quality
 signals, language-ID heuristic, document fingerprinting. All vectorized
-(pyarrow.compute regex kernels) except fingerprinting, which runs hashlib
-in an actor pool.
+(pyarrow.compute regex kernels; fingerprinting uses DuckDB's C++ md5 over
+the Arrow batch — see stages/md5kernel.py).
 
 Every count-producing operator returns INTEGER columns so results are
 bit-exact across engines (the DuckDB oracles share the same regexes).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -260,13 +258,9 @@ class Fingerprinter:
     engine-agnostic — DuckDB md5() matches)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [
-            hashlib.md5(t.encode()).hexdigest() if t is not None else None
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table(
-            {"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.string())}
-        )
+        from shaclapi_ray.stages.md5kernel import md5_hex
+
+        return pa.table({"doc_id": batch["doc_id"], "fp": md5_hex(batch["text"])})
 
 
 def fingerprint(docs_ds, concurrency=None):

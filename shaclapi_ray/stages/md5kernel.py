@@ -1,0 +1,83 @@
+"""Vectorized md5 kernels via an in-process DuckDB connection.
+
+md5 is the one hash family the engine keeps for SQL-oracle parity
+(DuckDB ``md5`` / ``md5_number_lower``) — but Python ``hashlib`` costs
+~2 µs/value in a loop, which made it the dominant term of the simhash
+stage. DuckDB's own C++ md5 over an Arrow column is bit-identical and
+~9x faster single-threaded, so each worker process keeps ONE cached
+connection (threads=1 — the surrounding Ray task already owns exactly
+one CPU; letting DuckDB fan out would oversubscribe the node) and runs
+the hash as a projection over the batch, zero-copy in via the Arrow
+replacement scan. Falls back to hashlib if duckdb is unavailable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_CON = None
+
+
+def _duck():
+    global _CON
+    if _CON is None:
+        import duckdb
+
+        _CON = duckdb.connect()
+        _CON.execute("SET threads=1")
+    return _CON
+
+
+def md5_low64(strings: pa.Array) -> np.ndarray:
+    """uint64 md5 hash per string: upper 8 digest bytes little-endian —
+    exactly DuckDB ``md5_number_lower``. Null-free input expected."""
+    arr = (
+        strings.combine_chunks()
+        if isinstance(strings, pa.ChunkedArray)
+        else strings
+    )
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    try:
+        con = _duck()
+    except ImportError:  # pragma: no cover - duckdb is baked into the env
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+                for t in arr.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(arr),
+        )
+    _scan = pa.table({"t": arr})  # noqa: F841 - replacement scan target
+    out = con.execute("SELECT md5_number_lower(t) AS h FROM _scan").fetch_arrow_table()
+    return out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
+def md5_hex(strings: pa.Array) -> pa.Array:
+    """Hex md5 digest per string (nulls pass through as nulls) —
+    exactly DuckDB ``md5`` / hashlib ``hexdigest``."""
+    arr = (
+        strings.combine_chunks()
+        if isinstance(strings, pa.ChunkedArray)
+        else strings
+    )
+    if len(arr) == 0:
+        return pa.array([], type=pa.string())
+    try:
+        con = _duck()
+    except ImportError:  # pragma: no cover
+        return pa.array(
+            [
+                hashlib.md5(t.encode()).hexdigest() if t is not None else None
+                for t in arr.to_pylist()
+            ],
+            type=pa.string(),
+        )
+    _scan = pa.table({"t": arr})  # noqa: F841
+    out = con.execute("SELECT md5(t) AS fp FROM _scan").fetch_arrow_table()
+    col = out["fp"].combine_chunks()
+    return col.cast(pa.string()) if col.type != pa.string() else col
