@@ -307,6 +307,44 @@ ORDER BY doc_id
 """
 
 
+def mix_corpora_parts(
+    epochs: dict[str, float],
+    source_wheres: dict[str, str],
+    seed: int = 0,
+) -> list[tuple[str, str]]:
+    """Oracle parts for pipelines.mixing.mix_corpora over the documents
+    table: one ("{source}:{epoch}", SELECT ...) pair per epoch copy —
+    full copies unfiltered, the fractional copy with the identical
+    Knuth arithmetic and (sorted-source-index, epoch) salt as the Ray
+    operator. source_wheres maps each source name to its WHERE clause
+    over documents ('' = whole table)."""
+    from shaclapi_ray.pipelines.mixing import _frac_threshold, mix_salt
+    from shaclapi_ray.pipelines.textstats import SAMPLE_KNUTH
+
+    cols = "doc_id, text, lang, source, n_chars"
+    parts: list[tuple[str, str]] = []
+    for si, name in enumerate(sorted(source_wheres)):
+        e = float(epochs.get(name, 0.0))
+        full = int(e)
+        frac = e - full
+        where = source_wheres[name]
+        base = f"SELECT {cols} FROM documents"
+        if where:
+            base += f" WHERE {where}"
+        for k in range(full):
+            parts.append((f"{name}:{k}", base))
+        if frac > 1e-12:
+            salt = mix_salt(seed, si, full)
+            cond = (
+                f"((doc_id + {salt}) * {SAMPLE_KNUTH}) % 4294967296"
+                f" < {_frac_threshold(frac)}"
+            )
+            joiner = " AND " if where else " WHERE "
+            parts.append((f"{name}:{full}", base + joiner + cond))
+    assert parts, "empty mix"
+    return parts
+
+
 def pii_scan_sql() -> str:
     from shaclapi_ray.pipelines.textstats import EMAIL_RE, IPV4_RE, PHONE_RE
 

@@ -1347,3 +1347,195 @@ def embedding_neardup_pairs(
 def dedup_counts(survivors_ds):
     """Summary: total surviving docs + duplicate-group count."""
     return survivors_ds.groupby("n_dups").aggregate(Count(alias_name="groups"))
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+#
+# A recurring crawl pipeline dedups each NEW snapshot against everything
+# already accepted into the corpus, without re-reading the old corpus's
+# text: persist_dedup_state writes the accepted corpus's content-hash set
+# once (bucket-partitioned parquet, 16 bytes/doc), dedup_incremental
+# streams a new snapshot against it. State grows with the corpus but is
+# hashes only — 100 TB of text at ~4 KB/doc is ~25G hashes = 400 GB of
+# state vs the corpus's 100 TB.
+
+STATE_BROADCAST_LIMIT = 50_000_000  # hashes; ~800 MB as one sorted array
+STATE_MANIFEST = "_DEDUP_STATE_MANIFEST.json"
+_MIX64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _content_hash_arrays(batch: pa.Table, text_col: str):
+    """(h1, h2) int64 arrays — the same two polars 64-bit content hashes
+    (128-bit combined) exact_dedup/dedup_corpus key on."""
+    import polars as pl
+
+    col = batch[text_col]
+    s = pl.from_arrow(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ).fill_null("")
+    return (
+        s.hash(seed=17).to_numpy().view(np.int64),
+        s.hash(seed=23).to_numpy().view(np.int64),
+    )
+
+
+def persist_dedup_state(docs_ds, state_dir: str, text_col: str = "text") -> dict:
+    """Write the corpus's content-hash set under state_dir as parquet
+    partitioned by an 8-bit bucket of h1 (256 directories — the pruned-
+    read / resume unit), plus a row-count manifest. Hashes are uniqued
+    per batch; cross-batch duplicates may remain (membership semantics
+    are unaffected; dedup_incremental's join path re-distincts exactly).
+    Returns the manifest dict."""
+    import json
+    import os
+
+    import polars as pl
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        h1, h2 = _content_hash_arrays(batch, text_col)
+        df = pl.DataFrame({"h1": h1, "h2": h2}).unique()
+        u1 = df["h1"].to_numpy()
+        bucket = (u1.view(np.uint64) >> np.uint64(56)).astype(np.int32)
+        return pa.table(
+            {
+                "h1": pa.array(u1),
+                "h2": pa.array(df["h2"].to_numpy()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    hashes = docs_ds.map_batches(
+        to_hashes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    os.makedirs(state_dir, exist_ok=True)
+    hashes.write_parquet(state_dir, partition_cols=["bucket"])
+    # row count from the written footers (no second pipeline execution)
+    import pyarrow.dataset as pads
+
+    frag_rows = sum(
+        f.count_rows() for f in pads.dataset(state_dir, format="parquet").get_fragments()
+    )
+    manifest = {"rows": int(frag_rows), "version": 1, "text_col": text_col}
+    with open(os.path.join(state_dir, STATE_MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def _state_hash_ds(state_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(state_dir, columns=["h1", "h2"])
+
+
+def dedup_incremental(
+    new_ds,
+    state_dir: str,
+    text_col: str = "text",
+    strategy: str = "auto",
+):
+    """Rows of ``new_ds`` whose ``text_col`` content was NOT in the
+    corpus persisted by persist_dedup_state (within-snapshot duplicates
+    are kept — compose with dedup_corpus for those). Original columns
+    pass through unchanged.
+
+    strategy='broadcast': collect the state's hashes once (mixed to one
+    sorted uint64 — collision odds n^2/2^65 per stages/hashset.py's
+    contract), ray.put, np.searchsorted per batch; the snapshot streams
+    with NO shuffle. Ceiling STATE_BROADCAST_LIMIT hashes.
+    strategy='join': exact 128-bit anti-join — state keys distinct'd,
+    snapshot left-outer-joined on (h1, h2), misses kept; both sides
+    shuffle once. 'auto' picks by the manifest row count."""
+    import json
+    import os
+
+    import ray
+
+    manifest_path = os.path.join(state_dir, STATE_MANIFEST)
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"no dedup state at {state_dir} (run persist_dedup_state first)"
+        )
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if manifest["rows"] <= STATE_BROADCAST_LIMIT else "join"
+        )
+
+    if strategy == "broadcast":
+        chunks = [
+            (
+                t["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
+                ^ (t["h2"].to_numpy(zero_copy_only=False).view(np.uint64) * _MIX64)
+            )
+            for t in _state_hash_ds(state_dir).iter_batches(batch_format="pyarrow")
+            if t.num_rows
+        ]
+        seen = (
+            np.unique(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.uint64)
+        )
+        seen_ref = ray.put(seen)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            s = ray.get(seen_ref)
+            if not s.size or not batch.num_rows:
+                return batch
+            h1, h2 = _content_hash_arrays(batch, text_col)
+            c = h1.view(np.uint64) ^ (h2.view(np.uint64) * _MIX64)
+            pos = np.minimum(np.searchsorted(s, c), s.size - 1)
+            return batch.filter(pa.array(s[pos] != c))
+
+        return new_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    if strategy != "join":
+        raise ValueError(f"unknown dedup_incremental strategy {strategy!r}")
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    # distinct state keys (the persisted state is only per-batch unique)
+    state_keys = (
+        _state_hash_ds(state_dir)
+        .groupby(["h1", "h2"])
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "j1": t["h1"],
+                    "j2": t["h2"],
+                    "__seen": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h1, h2 = _content_hash_arrays(batch, text_col)
+        return batch.append_column("h1", pa.array(h1)).append_column(
+            "h2", pa.array(h2)
+        )
+
+    cols = list(new_ds.schema().names)
+    hashed = new_ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    lhs = drop_empty_blocks(hashed)
+    rhs = drop_empty_blocks(state_keys)
+    if lhs is None:
+        return new_ds
+    if rhs is None:
+        return new_ds
+    joined = lhs.join(
+        rhs,
+        join_type="left_outer",
+        num_partitions=clamp_partitions(None),
+        on=("h1", "h2"),
+        right_on=("j1", "j2"),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__seen"])).select(cols),
+        batch_format="pyarrow",
+    )
