@@ -278,21 +278,33 @@ SAMPLE_FRACTION = 0.35
 
 
 STRAT_FRACTIONS = {"en": 0.15, "zh": 0.9, "de": 0.5}  # default 0.25 for the rest
+MIX_EPOCHS = {"all": 0.35, "en": 1.6}  # weighted corpus mix: sources all/en
+MIX_SEED = 5
 
 
 def _q_sample_corpus(sf_dir: str):
-    """Uniform + stratified deterministic samplers as a kind-tagged
-    union (the stratified sampler rebalances languages; both run their
-    full code paths)."""
+    """Uniform + stratified samplers + weighted corpus MIX as a
+    kind-tagged union (the stratified sampler rebalances languages; the
+    mix runs Pile-style source weighting — a full 'en' pass plus
+    fractional passes; all three full code paths run)."""
     import pandas as pd
 
+    from shaclapi_ray.pipelines.mixing import MIX_COL, mix_corpora
     from shaclapi_ray.pipelines.textstats import sample_corpus, sample_stratified
 
     u = sample_corpus(_docs(sf_dir), SAMPLE_FRACTION).to_pandas()
     u.insert(0, "kind", "uniform")
     s = sample_stratified(_docs(sf_dir), STRAT_FRACTIONS, default=0.25).to_pandas()
     s.insert(0, "kind", "stratified")
-    return _sorted(pd.concat([u, s], ignore_index=True), ["kind", "doc_id"])
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir)
+    en = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    m = mix_corpora({"all": docs, "en": en}, MIX_EPOCHS, seed=MIX_SEED).to_pandas()
+    m.insert(0, "kind", "mix:" + m.pop(MIX_COL))
+    return _sorted(pd.concat([u, s, m], ignore_index=True), ["kind", "doc_id"])
 
 
 def _q_pii_scan(sf_dir: str):
@@ -791,15 +803,53 @@ def _q_quality_repetition(sf_dir: str):
 
 def _q_exact_dedup_corpus(sf_dir: str):
     """exact_dedup stats + dedup_corpus materialization + corpus-wide
-    paragraph dedup, joined on doc_id (inner: survivor docs only — all
-    three operators' full code paths run)."""
-    from shaclapi_ray.pipelines.dedup import dedup_corpus, dedup_paragraphs, exact_dedup
+    paragraph dedup, joined on doc_id (inner: survivor docs only), plus
+    an inc_state column from the INCREMENTAL cross-snapshot dedup (even
+    doc_ids persisted as the accepted-corpus hash state, odd doc_ids
+    deduped against it: 'state' / 'kept' / 'dup') — four operators' full
+    code paths in one slot."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from shaclapi_ray.pipelines.dedup import (
+        dedup_corpus,
+        dedup_incremental,
+        dedup_paragraphs,
+        exact_dedup,
+        persist_dedup_state,
+    )
 
     stats = exact_dedup(_docs(sf_dir)).to_pandas()
     kept = dedup_corpus(_docs(sf_dir)).to_pandas()
     paras = dedup_paragraphs(_docs(sf_dir)).to_pandas()
     out = stats.merge(kept, on="doc_id", how="inner").merge(
         paras, on="doc_id", how="inner"
+    )
+
+    def half(rem):
+        return _docs(sf_dir).map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), rem)
+            ),
+            batch_format="pyarrow",
+        )
+
+    state_dir = tempfile.mkdtemp(prefix="shaclapi_ray_incstate_")
+    try:
+        persist_dedup_state(half(0), state_dir)
+        inc_kept = set(
+            dedup_incremental(half(1), state_dir)
+            .select_columns(["doc_id"])
+            .to_pandas()["doc_id"]
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    ids = out["doc_id"].to_numpy()
+    out["inc_state"] = np.where(
+        ids % 2 == 0, "state", np.where(np.isin(ids, list(inc_kept)), "kept", "dup")
     )
     return _sorted(out, ["doc_id"])
 
@@ -1190,6 +1240,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     "stratified",
                     o.sample_stratified_sql(STRAT_FRACTIONS, default=0.25),
                 ),
+            ]
+            + [
+                (f"mix:{key}", sql)
+                for key, sql in o.mix_corpora_parts(
+                    MIX_EPOCHS, {"all": "", "en": "lang = 'en'"}, seed=MIX_SEED
+                )
             ],
             tag_col="kind",
             order="kind, doc_id",
@@ -1210,7 +1266,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "pack_sequences": sp.pack_sequences_sql(PACK_SHARDS, PACK_BUDGET),
         "dup_span_coverage": sp.dup_span_coverage_sql(),
         "exact_dedup": _join_sql(
-            [o.exact_dedup_sql(), o.dedup_corpus_sql(), dp.dedup_paragraphs_sql()],
+            [
+                o.exact_dedup_sql(),
+                o.dedup_corpus_sql(),
+                dp.dedup_paragraphs_sql(),
+                o.dedup_incremental_sql(),
+            ],
             on="doc_id",
             order="doc_id",
         ),

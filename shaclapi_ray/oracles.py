@@ -368,6 +368,22 @@ ORDER BY doc_id
 """
 
 
+def dedup_incremental_sql() -> str:
+    """Oracle for the incremental-dedup slot component: even doc_ids are
+    the persisted corpus state, odd doc_ids the new snapshot filtered
+    against it by exact text content (pipelines.dedup.dedup_incremental
+    with persist_dedup_state over the even half)."""
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'state'
+            WHEN coalesce(text, '') IN (
+                SELECT coalesce(text, '') FROM documents WHERE doc_id % 2 = 0)
+            THEN 'dup'
+            ELSE 'kept' END AS inc_state
+FROM documents
+"""
+
+
 def chunk_text_sql(chunk_chars: int, overlap: int) -> str:
     stride = chunk_chars - overlap
     return f"""
