@@ -1409,6 +1409,13 @@ def persist_dedup_state(docs_ds, state_dir: str, text_col: str = "text") -> dict
     hashes = docs_ds.map_batches(
         to_hashes, batch_format="pyarrow", zero_copy_batch=True
     )
+    # A non-empty state_dir is either a previous corpus's state or crash
+    # debris from an interrupted persist (manifest written LAST, so its
+    # absence marks debris) — never mix old files into the new state.
+    if os.path.isdir(state_dir) and os.listdir(state_dir):
+        import shutil
+
+        shutil.rmtree(state_dir)
     os.makedirs(state_dir, exist_ok=True)
     hashes.write_parquet(state_dir, partition_cols=["bucket"])
     # row count from the written footers (no second pipeline execution)

@@ -191,6 +191,31 @@ def test_incremental_state_layout_and_errors(ray_session, tmp_path):
         dedup_incremental(new, state, strategy="bogus")
 
 
+def test_persist_replaces_previous_state(ray_session, tmp_path):
+    """Re-persisting into the same dir must NOT mix the old corpus's
+    hashes in (the stale-index failure mode of round-2 advice)."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.dedup import dedup_incremental, persist_dedup_state
+
+    old, new = _snapshots()
+    state = str(tmp_path / "state")
+    persist_dedup_state(old, state)
+    unrelated = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([9], pa.int64()),
+                "text": pa.array(["zulu"]),
+            }
+        )
+    )
+    m = persist_dedup_state(unrelated, state)
+    assert m["rows"] == 1
+    kept = dedup_incremental(new, state).to_pandas()
+    # alpha/charlie are NOT in the new state — everything survives
+    assert sorted(kept.doc_id) == [100, 101, 102, 103, 104]
+
+
 def test_incremental_larger_roundtrip(ray_session, tmp_path):
     """200-doc snapshot vs 150-doc state with 50 planted overlaps, both
     paths: survivors = exactly the non-overlapping texts."""
