@@ -217,6 +217,35 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("inverted_index", lambda: inverted_index(docs).count(), rows=n_doc_rows)
     timed("unigram_logprob", lambda: unigram_logprob(docs).count(), rows=n_doc_rows)
 
+    from shaclapi_ray.pipelines.dedup import dedup_incremental, persist_dedup_state
+    from shaclapi_ray.pipelines.mixing import mix_corpora
+
+    timed(
+        "mix_corpora",
+        lambda: mix_corpora({"web": docs}, {"web": 1.5}, seed=3).count(),
+        rows=n_doc_rows,
+    )
+
+    def _inc_dedup():
+        import pyarrow.compute as _pc
+        import shutil as _sh
+        import tempfile as _tf
+
+        def half(rem):
+            return docs.map_batches(
+                lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 1), rem)),
+                batch_format="pyarrow",
+            )
+
+        d = _tf.mkdtemp(prefix="bench_incstate_")
+        try:
+            persist_dedup_state(half(0), d)
+            return dedup_incremental(half(1), d).count()
+        finally:
+            _sh.rmtree(d, ignore_errors=True)
+
+    timed("dedup_incremental", _inc_dedup, rows=n_doc_rows)
+
     headline_sec = queries["referential_validation"]
     result = {
         "metric": "validated_docs_per_sec",
