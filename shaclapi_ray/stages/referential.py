@@ -91,14 +91,18 @@ def _probe_cap() -> int:
     return max(2, min(8, cpus))
 
 
-def _broadcast_semi_filter(urls_ref):
-    """Task body: keep links whose target_url is in the broadcast url set.
-    ray.get on a plasma ObjectRef is zero-copy and cached per worker."""
+def _broadcast_semi_filter(hashes_ref):
+    """Task body: keep links whose target_url is in the broadcast child
+    set — probed as a SORTED uint64 hash array via np.searchsorted
+    (stages/hashset.py): zero per-batch setup, unlike pc.is_in which
+    rebuilds a string hash table on every call. ray.get on a plasma
+    ObjectRef is zero-copy and cached per worker."""
+    from shaclapi_ray.stages.hashset import contains
 
     def fn(batch: pa.Table) -> pa.Table:
-        value_set = ray.get(urls_ref)
-        mask = pc.is_in(batch["target_url"], value_set=value_set)
-        return batch.filter(pc.fill_null(mask, False)).select(["url"])
+        sorted_h = ray.get(hashes_ref)
+        mask = contains(sorted_h, batch["target_url"])
+        return batch.filter(pa.array(mask)).select(["url"])
 
     return fn
 
@@ -143,14 +147,20 @@ def qualified_counts(
 
     if strategy == "broadcast":
         # to_arrow_refs executes the (lazy) child pipeline exactly once
+        from shaclapi_ray.stages.hashset import hash_strings
+
         refs = child_urls_ds.to_arrow_refs()
-        tables = [ray.get(r) for r in refs]
-        if tables:
-            child_tbl = pa.concat_tables(tables)
-            urls_arr = pc.unique(child_tbl["url"].combine_chunks())
-        else:
-            urls_arr = pa.array([], type=pa.string())
-        urls_ref = ray.put(urls_arr)
+        chunks = [
+            hash_strings(t["url"].combine_chunks())
+            for r in refs
+            if (t := ray.get(r)).num_rows
+        ]
+        sorted_h = (
+            np.unique(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.uint64)
+        )
+        urls_ref = ray.put(sorted_h)
         qualified = links_ds.map_batches(
             _broadcast_semi_filter(urls_ref),
             batch_format="pyarrow",
