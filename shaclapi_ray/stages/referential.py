@@ -11,8 +11,9 @@ barrier per DAG level, SURVEY.md §7.4):
 
 1. child-valid urls  = verdicts[shape_id == child & valid].select(url)
 2. qualified links   = links ⋉ child_valid on target_url
-                       strategy 'broadcast': ray.put the child url set once,
-                         filter inside map_batches with pc.is_in (no shuffle);
+                       strategy 'broadcast': ray.put the child url set once
+                         as a sorted uint64 hash array, filter inside
+                         map_batches via np.searchsorted (no shuffle);
                        strategy 'bucket': hash-partitioned Dataset.join with
                          optional SALTING for skewed target hosts — links get
                          salt = hash(url) % k, the (small) child side is
@@ -36,11 +37,15 @@ from shaclapi_ray.shapes.ir import RefConstraint
 from shaclapi_ray.stages.predicates import EVENTS_SCHEMA
 from shaclapi_ray.state.sketches import BloomFilter
 
-BROADCAST_LIMIT = 2_000_000  # pc.is_in broadcast limit (per-task hash build)
-# the fused path broadcasts a SORTED uint64 hash array (8B/key, zero
-# per-task setup — stages/hashset.py), so its ceiling is memory-bound only:
-# 50M keys = 400MB object, well within a worker heap
+# combine_ref_verdicts' broadcast side is joined with pa.Table.join,
+# which rebuilds its hash table per BATCH — keep that ceiling low
+BROADCAST_LIMIT = 2_000_000
+# sorted uint64 hash-array broadcasts (8B/key, zero per-task setup —
+# stages/hashset.py) are memory-bound only: 50M keys = 400MB object,
+# well within a worker heap. Used by the fused evaluator AND the staged
+# semi-join filter (qualified_counts), which probe via np.searchsorted.
 FUSED_BROADCAST_LIMIT = 50_000_000
+SEMI_BROADCAST_LIMIT = FUSED_BROADCAST_LIMIT
 
 
 def clamp_partitions(n: int | None) -> int:
@@ -137,13 +142,13 @@ def qualified_counts(
     num_partitions = clamp_partitions(num_partitions)
     if strategy == "auto":
         if size_hint is not None:
-            strategy = "broadcast" if size_hint <= BROADCAST_LIMIT else "bucket"
+            strategy = "broadcast" if size_hint <= SEMI_BROADCAST_LIMIT else "bucket"
         else:
             # materialize once: the count decides the strategy and the same
             # blocks feed whichever path wins (no recompute)
             child_urls_ds = child_urls_ds.materialize()
             n_child = child_urls_ds.count()
-            strategy = "broadcast" if n_child <= BROADCAST_LIMIT else "bucket"
+            strategy = "broadcast" if n_child <= SEMI_BROADCAST_LIMIT else "bucket"
 
     if strategy == "broadcast":
         # to_arrow_refs executes the (lazy) child pipeline exactly once
@@ -161,11 +166,13 @@ def qualified_counts(
             else np.empty(0, dtype=np.uint64)
         )
         urls_ref = ray.put(sorted_h)
+        # no concurrency cap: searchsorted probes have zero per-task
+        # setup (the _probe_cap rationale applies only to pa.Table.join
+        # broadcast stages, which rebuild hash state per task)
         qualified = links_ds.map_batches(
             _broadcast_semi_filter(urls_ref),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=_probe_cap(),
         )
     elif strategy == "bucket":
         import ray.data as _rd
