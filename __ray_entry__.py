@@ -280,6 +280,8 @@ SAMPLE_FRACTION = 0.35
 STRAT_FRACTIONS = {"en": 0.15, "zh": 0.9, "de": 0.5}  # default 0.25 for the rest
 MIX_EPOCHS = {"all": 0.35, "en": 1.6}  # weighted corpus mix: sources all/en
 MIX_SEED = 5
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SEED = 2
 
 
 def _q_sample_corpus(sf_dir: str):
@@ -304,7 +306,11 @@ def _q_sample_corpus(sf_dir: str):
     )
     m = mix_corpora({"all": docs, "en": en}, MIX_EPOCHS, seed=MIX_SEED).to_pandas()
     m.insert(0, "kind", "mix:" + m.pop(MIX_COL))
-    return _sorted(pd.concat([u, s, m], ignore_index=True), ["kind", "doc_id"])
+    from shaclapi_ray.pipelines.mixing import split_corpus
+
+    sp = split_corpus(_docs(sf_dir), SPLIT_FRACTIONS, seed=SPLIT_SEED).to_pandas()
+    sp.insert(0, "kind", "split:" + sp.pop("split"))
+    return _sorted(pd.concat([u, s, m, sp], ignore_index=True), ["kind", "doc_id"])
 
 
 def _q_pii_scan(sf_dir: str):
@@ -1245,6 +1251,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 (f"mix:{key}", sql)
                 for key, sql in o.mix_corpora_parts(
                     MIX_EPOCHS, {"all": "", "en": "lang = 'en'"}, seed=MIX_SEED
+                )
+            ]
+            + [
+                (f"split:{name}", sql)
+                for name, sql in o.split_corpus_parts(
+                    SPLIT_FRACTIONS, seed=SPLIT_SEED
                 )
             ],
             tag_col="kind",

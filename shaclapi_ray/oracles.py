@@ -345,6 +345,51 @@ def mix_corpora_parts(
     return parts
 
 
+def split_corpus_sql(fractions: dict[str, float], seed: int = 0) -> str:
+    """Oracle for pipelines.mixing.split_corpus: the same Knuth-hash band
+    assignment as a CASE over cumulative thresholds."""
+    import numpy as np
+
+    from shaclapi_ray.pipelines.textstats import SAMPLE_KNUTH
+
+    names = list(fractions)
+    edges = np.cumsum([int(fractions[n] * (1 << 32)) for n in names])
+    edges[-1] = 1 << 32
+    h = f"((doc_id + {seed}) * {SAMPLE_KNUTH}) % 4294967296"
+    cases = " ".join(
+        f"WHEN {h} < {int(edges[i])} THEN '{names[i]}'" for i in range(len(names) - 1)
+    )
+    return f"""
+SELECT doc_id, text, lang, source, n_chars,
+       CASE {cases} ELSE '{names[-1]}' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def split_corpus_parts(
+    fractions: dict[str, float], seed: int = 0
+) -> list[tuple[str, str]]:
+    """split_corpus as per-band (name, SELECT) pairs for tagged-union
+    slot composition."""
+    import numpy as np
+
+    from shaclapi_ray.pipelines.textstats import SAMPLE_KNUTH
+
+    names = list(fractions)
+    edges = np.cumsum([int(fractions[n] * (1 << 32)) for n in names])
+    edges[-1] = 1 << 32
+    h = f"((doc_id + {seed}) * {SAMPLE_KNUTH}) % 4294967296"
+    cols = "doc_id, text, lang, source, n_chars"
+    parts = []
+    lo = 0
+    for i, name in enumerate(names):
+        hi = int(edges[i])
+        cond = f"{h} >= {lo} AND {h} < {hi}" if lo else f"{h} < {hi}"
+        parts.append((name, f"SELECT {cols} FROM documents WHERE {cond}"))
+        lo = hi
+    return parts
+
+
 def pii_scan_sql() -> str:
     from shaclapi_ray.pipelines.textstats import EMAIL_RE, IPV4_RE, PHONE_RE
 

@@ -134,3 +134,57 @@ def mix_corpora(sources: dict, epochs: dict[str, float], seed: int = 0):
     if len(parts) == 1:
         return parts[0]
     return parts[0].union(*parts[1:])
+
+
+def split_corpus(docs_ds, fractions: dict[str, float], seed: int = 0):
+    """Deterministic train/val/test split: adds a `split` column assigning
+    each row to one band of the Knuth hash range — bands laid out in the
+    dict's iteration order, fractions summing to 1 (±1e-9).
+
+    Same reproducibility contract as sample_corpus: pure per-row
+    arithmetic, identical across runs / cluster sizes / block layouts,
+    and identical arithmetic in SQL (oracles.split_corpus_sql). A row's
+    assignment depends only on (doc_id, seed) — growing the corpus never
+    reassigns existing rows (the leakage-safety property a train/test
+    split needs). Streams: one map_batches pass, no shuffle."""
+    import numpy as np
+
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    names = list(fractions)
+    # cumulative band edges; the last band is clamped to 2^32 so float
+    # rounding can never leave a row unassigned
+    edges = np.cumsum([int(fractions[n] * (1 << 32)) for n in names])
+    edges[-1] = 1 << 32
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        h = ((ids + seed) * SAMPLE_KNUTH) % (1 << 32)
+        band = _np.searchsorted(edges, h, side="right")
+        labels = _np.array(names, dtype=object)[band]
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shuffle_corpus(docs_ds, seed: int = 0):
+    """Deterministic global shuffle for training output: adds a
+    `shuffle_key` column (Knuth hash of doc_id) and range-sorts by it —
+    the reproducible analog of Dataset.random_shuffle (which is
+    RNG-state-dependent and changes across runs). One all-to-all
+    range-partition exchange, same cost shape as any sort; downstream
+    shard writers consume the stream in shuffled order."""
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids + seed) * SAMPLE_KNUTH) % (1 << 32)
+        return batch.append_column("shuffle_key", pa.array(h, pa.int64()))
+
+    keyed = docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.sort("shuffle_key")

@@ -121,6 +121,57 @@ def test_mix_empty_raises(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# split / shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_split_partitions_every_row_once(ray_session):
+    from shaclapi_ray.pipelines.mixing import split_corpus
+
+    n = 200
+    sp = split_corpus(
+        _docs(n), {"train": 0.9, "val": 0.05, "test": 0.05}, seed=2
+    ).to_pandas()
+    assert len(sp) == n and sp.doc_id.nunique() == n
+    shares = sp.split.value_counts(normalize=True)
+    assert shares["train"] > 0.8  # hash-uniform, loose bound at n=200
+    assert set(sp.split.unique()) <= {"train", "val", "test"}
+
+
+def test_split_stable_under_corpus_growth(ray_session):
+    """Adding rows never reassigns existing rows (leakage safety)."""
+    from shaclapi_ray.pipelines.mixing import split_corpus
+
+    fr = {"train": 0.8, "val": 0.2}
+    small = split_corpus(_docs(50), fr, seed=9).to_pandas()
+    big = split_corpus(_docs(150), fr, seed=9).to_pandas()
+    merged = small.merge(big, on="doc_id", suffixes=("_s", "_b"))
+    assert (merged.split_s == merged.split_b).all()
+
+
+def test_split_validation():
+    from shaclapi_ray.pipelines.mixing import split_corpus
+
+    with pytest.raises(ValueError):
+        split_corpus(None, {"a": 0.5, "b": 0.4})  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        split_corpus(None, {"a": 1.5, "b": -0.5})
+
+
+def test_shuffle_deterministic_and_complete(ray_session):
+    from shaclapi_ray.pipelines.mixing import shuffle_corpus
+
+    a = shuffle_corpus(_docs(100), seed=4).to_pandas()
+    b = shuffle_corpus(_docs(100).repartition(9), seed=4).to_pandas()
+    # identical shuffled ORDER regardless of input block layout
+    assert list(a.doc_id) == list(b.doc_id)
+    assert sorted(a.doc_id) == list(range(100))
+    # actually shuffled (not identity order) and key is sorted
+    assert list(a.doc_id) != list(range(100))
+    assert list(a.shuffle_key) == sorted(a.shuffle_key)
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup
 # ---------------------------------------------------------------------------
 
