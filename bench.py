@@ -218,13 +218,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("unigram_logprob", lambda: unigram_logprob(docs).count(), rows=n_doc_rows)
 
     from shaclapi_ray.pipelines.dedup import dedup_incremental, persist_dedup_state
-    from shaclapi_ray.pipelines.mixing import mix_corpora
+    from shaclapi_ray.pipelines.mixing import mix_corpora, shuffle_corpus, split_corpus
 
     timed(
         "mix_corpora",
         lambda: mix_corpora({"web": docs}, {"web": 1.5}, seed=3).count(),
         rows=n_doc_rows,
     )
+    timed(
+        "split_corpus",
+        lambda: split_corpus(
+            docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).count(),
+        rows=n_doc_rows,
+    )
+    timed("shuffle_corpus", lambda: shuffle_corpus(docs).count(), rows=n_doc_rows)
 
     def _inc_dedup():
         import pyarrow.compute as _pc

@@ -187,6 +187,93 @@ def dup_span_coverage(
     return docs_ds.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def remove_dup_spans(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
+    """(doc_id, clean_text, n_tokens, n_removed): the Lee et al. 2021
+    exact-substring-dedup REMOVAL — every token covered by at least one
+    cross-document duplicated n-gram window is dropped; the surviving
+    token subsequence is re-joined with single spaces.
+
+    Removal semantics exactly match dup_span_coverage's window union:
+    n_removed == n_dup_tokens for every document (asserted in tests), so
+    coverage can be used to pre-estimate the cost of a removal pass.
+
+    Scale shape: same as dup_span_coverage — the duplicated-gram hash set
+    is broadcast once (sorted uint64, 50M ceiling with the loud
+    partition-join fallback message), the corpus streams through one
+    map_batches pass, coverage intervals resolve to a vectorized
+    +1/-1 delta prefix-sum over the batch's exploded token frame (no
+    per-doc or per-span Python loops)."""
+    import ray
+
+    dup_ref = ray.put(dup_gram_hashes(docs_ds, n, min_docs))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        sorted_h = ray.get(dup_ref)
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        toks = (
+            df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .with_columns(pl.int_range(pl.len()).over("doc_id").alias("s"))
+        )
+        total = len(toks)
+        # per-doc token counts and global offsets (toks is doc-grouped in
+        # input order; doc_ids are unique per batch row)
+        sizes = toks.group_by("doc_id", maintain_order=True).agg(
+            pl.len().alias("n_tokens")
+        )
+        covered = np.zeros(total, dtype=np.int64)
+        g = _gram_starts(batch, n)
+        if sorted_h.size and len(g):
+            h = hash_strings(g["gram"].to_arrow())
+            pos = np.minimum(np.searchsorted(sorted_h, h), sorted_h.size - 1)
+            hits = g.filter(pl.Series("hit", sorted_h[pos] == h))
+            if len(hits):
+                offs = sizes.with_columns(
+                    (pl.col("n_tokens").cum_sum() - pl.col("n_tokens")).alias("off")
+                )
+                hits = hits.join(offs, on="doc_id", how="left")
+                base = hits["off"].to_numpy()
+                hs = hits["s"].to_numpy()
+                tlen = hits["n_tokens"].to_numpy()
+                start = base + hs
+                stop = base + np.minimum(hs + n, tlen)
+                delta = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(delta, start, 1)
+                np.add.at(delta, stop, -1)
+                covered = np.cumsum(delta[:-1])
+        kept = (
+            toks.with_columns(pl.Series("cov", covered > 0))
+            .filter(~pl.col("cov"))
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("t").str.join(" ").alias("clean_text"))
+        )
+        out = (
+            df.select("doc_id")
+            .join(sizes, on="doc_id", how="left")
+            .join(kept, on="doc_id", how="left")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0).cast(pl.Int64),
+                pl.col("clean_text").fill_null(""),
+            )
+            .with_columns(
+                (
+                    pl.col("n_tokens")
+                    - pl.col("clean_text")
+                    .str.extract_all(TOKEN_RE)
+                    .list.len()
+                    .cast(pl.Int64)
+                ).alias("n_removed")
+            )
+        )
+        return out.select("doc_id", "clean_text", "n_tokens", "n_removed").to_arrow()
+
+    return docs_ds.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pack_sequences(docs_ds, n_shards: int = 8, budget: int = 512, seed: int = 0):
     """(doc_id, shard, n_tokens, start_seq, start_off, end_seq):
     concat-and-chop placement of each document into fixed ``budget``-token

@@ -252,3 +252,85 @@ def test_write_training_shards_layout_matches_pack_assignment(
         # text survives the round trip byte-identically
         for r in t.to_pylist():
             assert r["text"] == texts[r["doc_id"]]
+
+
+def test_remove_dup_spans_golden(ray_session):
+    """Two docs share one 5-gram ('a b c d e'); its 5-token window is
+    removed from both, the rest survives in order."""
+    from shaclapi_ray.pipelines.spans import remove_dup_spans
+
+    texts = [
+        "a b c d e x y z",
+        "p q a b c d e r",
+        "totally unrelated words here now",
+    ]
+    df = (
+        remove_dup_spans(_docs_ds(texts), n=5, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(df.clean_text) == [
+        "x y z",
+        "p q r",
+        "totally unrelated words here now",
+    ]
+    assert list(df.n_removed) == [5, 5, 0]
+    assert list(df.n_tokens) == [8, 8, 5]
+
+
+def test_remove_dup_spans_matches_coverage_counts(ray_session):
+    """n_removed must equal dup_span_coverage's n_dup_tokens for EVERY
+    document — the two operators share one window-union semantics."""
+    from shaclapi_ray.pipelines.spans import dup_span_coverage, remove_dup_spans
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "said the quick brown fox jumps over anything at all",
+        "over the lazy dog again and again we go",
+        "",
+        "one two three",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup
+    ]
+    ds = _docs_ds(texts)
+    cov = dup_span_coverage(ds, n=5, min_docs=2).to_pandas().set_index("doc_id")
+    rem = remove_dup_spans(ds, n=5, min_docs=2).to_pandas().set_index("doc_id")
+    assert len(cov) == len(rem) == len(texts)
+    for d in cov.index:
+        assert rem.loc[d, "n_removed"] == cov.loc[d, "n_dup_tokens"], d
+        assert rem.loc[d, "n_tokens"] == cov.loc[d, "n_tokens"], d
+
+
+def test_remove_dup_spans_overlapping_windows(ray_session):
+    """Overlapping duplicated windows remove the UNION, not the sum."""
+    from shaclapi_ray.pipelines.spans import remove_dup_spans
+
+    # 'a b c d e f' shared: two overlapping 5-grams -> union = 6 tokens
+    texts = ["z a b c d e f y", "w a b c d e f v"]
+    df = (
+        remove_dup_spans(_docs_ds(texts), n=5, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(df.clean_text) == ["z y", "w v"]
+    assert list(df.n_removed) == [6, 6]
+
+
+def test_remove_dup_spans_block_layout_invariant(ray_session):
+    from shaclapi_ray.pipelines.spans import remove_dup_spans
+
+    texts = [f"shared prefix tokens one two three unique tail {i}" for i in range(12)]
+    a = (
+        remove_dup_spans(_docs_ds(texts), n=5, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        remove_dup_spans(_docs_ds(texts).repartition(5), n=5, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
