@@ -209,10 +209,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("decontaminate", lambda: decontaminate(docs).count(), rows=n_doc_rows)
     timed("doc_frequency", lambda: doc_frequency(docs, min_df=2).count(), rows=n_doc_rows)
 
-    from shaclapi_ray.pipelines.spans import dup_span_coverage, pack_sequences
+    from shaclapi_ray.pipelines.spans import (
+        dup_span_coverage,
+        pack_sequences,
+        remove_dup_spans,
+    )
     from shaclapi_ray.pipelines.textstats import inverted_index, unigram_logprob
 
     timed("dup_span_coverage", lambda: dup_span_coverage(docs).count(), rows=n_doc_rows)
+    timed("remove_dup_spans", lambda: remove_dup_spans(docs).count(), rows=n_doc_rows)
     timed("pack_sequences", lambda: pack_sequences(docs).count(), rows=n_doc_rows)
     timed("inverted_index", lambda: inverted_index(docs).count(), rows=n_doc_rows)
     timed("unigram_logprob", lambda: unigram_logprob(docs).count(), rows=n_doc_rows)
