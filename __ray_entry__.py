@@ -282,6 +282,10 @@ MIX_EPOCHS = {"all": 0.35, "en": 1.6}  # weighted corpus mix: sources all/en
 MIX_SEED = 5
 SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 SPLIT_SEED = 2
+# domain blocklist for the filter_hosts slot component: host3.example.org
+# exists in the generated pages table; spam.example.net does not
+# (exercises the no-match branch)
+BLOCKED_HOSTS = ["host3.example.org", "spam.example.net"]
 
 
 def _q_sample_corpus(sf_dir: str):
@@ -719,17 +723,25 @@ def _q_basic_shape_verdicts(sf_dir: str):
 
 
 def _q_extract_canonicalize(sf_dir: str):
-    """extract_text + url_canonicalize as a kind-tagged union (a join on
-    url would mis-multiply: the fixture plants duplicate urls)."""
+    """extract_text + url_canonicalize + filter_hosts (domain blocklist)
+    as a kind-tagged union (a join on url would mis-multiply: the
+    fixture plants duplicate urls)."""
     import pandas as pd
     import ray.data
 
-    from shaclapi_ray.pipelines.extract import extract_text, url_canonicalize
+    from shaclapi_ray.pipelines.extract import (
+        extract_text,
+        filter_hosts,
+        url_canonicalize,
+    )
 
     pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
     et = extract_text(pages).to_pandas()
     uc = url_canonicalize(
         ray.data.read_parquet(_pages(sf_dir), columns=["url"])
+    ).to_pandas()
+    fh = filter_hosts(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url"]), BLOCKED_HOSTS
     ).to_pandas()
     part1 = pd.DataFrame(
         {
@@ -747,7 +759,17 @@ def _q_extract_canonicalize(sf_dir: str):
             "extra": uc["host"],
         }
     )
-    return _sorted(pd.concat([part1, part2], ignore_index=True), ["url", "kind", "value"])
+    part3 = pd.DataFrame(
+        {
+            "url": fh["url"],
+            "kind": "blocked",
+            "value": fh["blocked"].map({True: "true", False: "false"}),
+            "extra": fh["host"],
+        }
+    )
+    return _sorted(
+        pd.concat([part1, part2, part3], ignore_index=True), ["url", "kind", "value"]
+    )
 
 
 def _q_graph_metrics(sf_dir: str):
@@ -1182,6 +1204,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 "canon",
                 f"SELECT url, canon_url AS value, host AS extra "
                 f"FROM ({o.url_canonicalize_sql(pages_dir)})",
+            ),
+            (
+                "blocked",
+                f"SELECT url, CASE WHEN blocked THEN 'true' ELSE 'false' END "
+                f"AS value, host AS extra "
+                f"FROM ({o.filter_hosts_sql(pages_dir, BLOCKED_HOSTS)})",
             ),
         ],
         tag_col="kind",

@@ -940,3 +940,15 @@ thr AS (
 SELECT s.doc_id, s.lang, s.score FROM s JOIN thr USING (lang)
 WHERE s.score > thr.thr ORDER BY s.doc_id
 """
+
+
+def filter_hosts_sql(pages_dir: str, blocked_hosts) -> str:
+    """Oracle for pipelines.extract.filter_hosts: the same subdomain-
+    inclusive alternation regex over url_canonicalize's host."""
+    import re
+
+    alt = "|".join(re.escape(h.lower()) for h in sorted(blocked_hosts))
+    return f"""
+SELECT url, host, regexp_matches(host, '(^|\\.)({alt})$') AS blocked
+FROM ({url_canonicalize_sql(pages_dir)}) ORDER BY url
+"""

@@ -104,3 +104,37 @@ def extract_text(pages_ds):
         )
 
     return pages_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_hosts(pages_ds, blocked_hosts):
+    """(url, host, blocked): flag pages whose canonical host is a blocked
+    domain or any subdomain of one — the domain-blocklist gate of a web
+    crawl pipeline (spam/adult/SEO-farm lists), run between
+    canonicalization and text extraction so blocked pages never pay the
+    html scan.
+
+    The blocklist is an in-closure compiled alternation regex
+    `(^|\\.)(d1|d2|...)$` — blocklists are small (1e4-1e6 domains) and
+    ship inside the serialized stage, not per batch; at 1e6+ domains
+    switch to a broadcast sorted-hash set over the registrable domain.
+    Matching is on url_canonicalize's host (lowercased, default port
+    stripped); non-absolute urls have host '' and are never blocked."""
+    import re
+
+    if not blocked_hosts:
+        raise ValueError("blocked_hosts must be non-empty")
+    alt = "|".join(re.escape(h.lower()) for h in sorted(blocked_hosts))
+    pattern = rf"(^|\.)({alt})$"
+
+    canon = url_canonicalize(pages_ds)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["url", "host"]))
+        out = df.with_columns(
+            pl.col("host").str.contains(pattern).alias("blocked")
+        )
+        return out.to_arrow()
+
+    return canon.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

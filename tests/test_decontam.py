@@ -124,3 +124,39 @@ def test_chunk_text_boundaries(ray_session):
     # non-ASCII: character offsets, 10 chars -> 3 chunks
     d5 = out[out.doc_id == 5]
     assert d5.chunk.tolist() == ["éàçüöé", "öéàçüö", "üö"]
+
+
+def test_filter_hosts_subdomain_semantics(ray_session):
+    """Blocklist matches exact hosts AND subdomains, never suffixes of a
+    label ('notspam.net' must not match blocked 'spam.net')."""
+    import ray
+    import pyarrow as pa
+
+    from shaclapi_ray.pipelines.extract import filter_hosts
+
+    urls = [
+        "https://spam.net/a",
+        "https://sub.spam.net/b",
+        "https://notspam.net/c",
+        "https://SPAM.NET/d",  # host lowercased by canonicalization
+        "https://clean.org/e",
+        "relative/path",  # host '' — never blocked
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = filter_hosts(ds, ["spam.net"]).to_pandas()
+    got = dict(zip(out.url, out.blocked))
+    assert got["https://spam.net/a"] is True or got["https://spam.net/a"] == True  # noqa: E712
+    assert bool(got["https://sub.spam.net/b"])
+    assert not got["https://notspam.net/c"]
+    assert bool(got["https://SPAM.NET/d"])
+    assert not got["https://clean.org/e"]
+    assert not got["relative/path"]
+
+
+def test_filter_hosts_empty_blocklist_raises(ray_session):
+    import pytest as _pytest
+
+    from shaclapi_ray.pipelines.extract import filter_hosts
+
+    with _pytest.raises(ValueError):
+        filter_hosts(None, [])
