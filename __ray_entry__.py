@@ -426,9 +426,15 @@ PACK_BUDGET = 512
 
 
 def _q_dup_span_coverage(sf_dir: str):
-    from shaclapi_ray.pipelines.spans import dup_span_coverage
+    """dup_span_coverage + remove_dup_spans joined on doc_id (one shared
+    window-union semantics — the removal's clean_text and n_removed are
+    checked against the same SQL gram discovery)."""
+    from shaclapi_ray.pipelines.spans import dup_span_coverage, remove_dup_spans
 
-    return _sorted(dup_span_coverage(_docs(sf_dir)), ["doc_id"])
+    cov = dup_span_coverage(_docs(sf_dir)).to_pandas()
+    rem = remove_dup_spans(_docs(sf_dir)).to_pandas()
+    out = cov.merge(rem.drop(columns=["n_tokens"]), on="doc_id", how="inner")
+    return _sorted(out, ["doc_id"])
 
 
 def _q_pack_sequences(sf_dir: str):
@@ -1304,7 +1310,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "rebalance_corpus": o.rebalance_corpus_sql(),
         "chunk_text": o.chunk_text_sql(200, 50),
         "pack_sequences": sp.pack_sequences_sql(PACK_SHARDS, PACK_BUDGET),
-        "dup_span_coverage": sp.dup_span_coverage_sql(),
+        "dup_span_coverage": _join_sql(
+            [sp.dup_span_coverage_sql(), sp.remove_dup_spans_sql()],
+            on="doc_id",
+            order="doc_id",
+        ),
         "exact_dedup": _join_sql(
             [
                 o.exact_dedup_sql(),

@@ -346,6 +346,39 @@ FROM nt LEFT JOIN cov2 USING (doc_id) ORDER BY doc_id
 """
 
 
+def remove_dup_spans_sql(n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS) -> str:
+    """(doc_id, clean_text, n_removed): the removal pass as SQL — a token
+    is removed iff some duplicated-gram window [h.s, h.s+n) covers its
+    position (exact gram strings, like dup_span_coverage_sql)."""
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS t, unnest(range(len(l))) AS s FROM lists),
+grams AS (
+  SELECT doc_id, s,
+         string_agg(t, ' ') OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS w
+  FROM toks),
+fg AS (SELECT doc_id, s, gram FROM grams WHERE w = {n}),
+dup AS (SELECT gram FROM fg GROUP BY gram HAVING count(DISTINCT doc_id) >= {min_docs}),
+hits AS (SELECT f.doc_id, f.s FROM fg f JOIN dup USING (gram)),
+kept AS (
+  SELECT tk.doc_id, tk.s, tk.t FROM toks tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hits h
+    WHERE h.doc_id = tk.doc_id AND tk.s >= h.s AND tk.s < h.s + {n})),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY s) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id),
+nt AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM lists)
+SELECT nt.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       (nt.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM nt LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+
 def pack_sequences_sql(
     n_shards: int = 8, budget: int = 512, seed: int = 0
 ) -> str:
