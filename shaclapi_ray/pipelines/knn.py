@@ -546,3 +546,55 @@ def embed_corpus(
         batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+def quantize_embeddings(emb_ds, vec_col: str = "embedding"):
+    """(vec_id, qvec list<int8>, scale float32): symmetric per-vector
+    int8 quantization (q = round(v * 127 / max|v|)) — 4x smaller than
+    float32 through the object store, shuffles, and the on-disk IVF
+    index; the compression lever that turns 100 TB of embeddings into
+    25 TB. Zero-copy Arrow in and out (flat value buffers, no per-row
+    Python); all-zero vectors get scale 0 and an all-zero qvec."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[vec_col])
+        n, dim = mat.shape if mat.size else (batch.num_rows, 0)
+        amax = np.abs(mat).max(axis=1) if mat.size else np.zeros(n)
+        scale = (amax / 127.0).astype(np.float32)
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.rint(mat / safe[:, None]).astype(np.int8)
+        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "qvec": pa.ListArray.from_arrays(offs, pa.array(q.ravel())),
+                "scale": pa.array(scale),
+            }
+        )
+
+    return emb_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dequantize_embeddings(q_ds):
+    """Inverse of quantize_embeddings: (vec_id, embedding list<float32>)
+    with embedding = qvec * scale (lossy — int8 grid)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch["qvec"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        n = len(arr)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        dim = flat.size // n if n else 0
+        scale = batch["scale"].to_numpy(zero_copy_only=False).astype(np.float32)
+        mat = flat.reshape(n, dim) * scale[:, None]
+        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": pa.ListArray.from_arrays(
+                    offs, pa.array(np.ascontiguousarray(mat).ravel())
+                ),
+            }
+        )
+
+    return q_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -85,3 +85,74 @@ def test_grouped_merge_matches_driver_merge(ray_session, emb_ds):
     )
     drv = drv.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert grp.equals(drv)
+
+
+def test_quantize_roundtrip_preserves_cosine(ray_session):
+    """int8 round-trip keeps per-vector cosine vs the original > 0.999
+    and brute-force top-10 recall on dequantized vectors >= 0.9."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.knn import (
+        _normalize,
+        _to_matrix,
+        dequantize_embeddings,
+        knn_bruteforce,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 32
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    mat[7] = 0.0  # all-zero vector edge case
+    offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.ListArray.from_arrays(offs, pa.array(mat.ravel())),
+            }
+        )
+    )
+    q = quantize_embeddings(ds)
+    back = dequantize_embeddings(q).to_pandas().sort_values("vec_id")
+    got = np.array([np.asarray(v, dtype=np.float32) for v in back.embedding])
+    a = _normalize(mat.astype(np.float64))
+    b = _normalize(got.astype(np.float64))
+    cos = (a * b).sum(axis=1)
+    nonzero = np.abs(mat).sum(axis=1) > 0
+    assert (cos[nonzero] > 0.999).all()
+    assert np.allclose(got[7], 0.0)
+
+    deq_ds = dequantize_embeddings(quantize_embeddings(ds))
+    exact = knn_bruteforce(ds, [0, 1, 2, 3], k=10)
+    approx = knn_bruteforce(deq_ds, [0, 1, 2, 3], k=10)
+    eset = set(zip(exact["query_id"], exact["neighbor_id"]))
+    aset = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(eset & aset) / len(eset) >= 0.9
+
+
+def test_quantize_schema_and_scale(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.knn import quantize_embeddings
+
+    mat = np.array([[1.0, -2.0, 0.5], [0.0, 0.0, 0.0]], dtype=np.float32)
+    offs = pa.array([0, 3, 6], pa.int32())
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([10, 11], pa.int64()),
+                "embedding": pa.ListArray.from_arrays(offs, pa.array(mat.ravel())),
+            }
+        )
+    )
+    out = quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+    assert list(out.columns) == ["vec_id", "qvec", "scale"]
+    q0 = np.asarray(list(out.qvec)[0])
+    assert q0.dtype == np.int8 and q0.tolist() == [64, -127, 32]
+    assert abs(list(out.scale)[0] - 2.0 / 127.0) < 1e-7
+    assert list(out.scale)[1] == 0.0
