@@ -247,11 +247,18 @@ def build_ivf_index(
     n_centroids: int = 16,
     sample_size: int = 2048,
     seed: int = 3,
+    quantize: bool = False,
 ) -> np.ndarray:
     """One-time index build: train centroids, assign every vector to its
     nearest centroid, and persist the corpus as BUCKET-PARTITIONED parquet
     (``bucket=<id>/`` hive dirs) so probes read ONLY the probed buckets'
     files — IVF's I/O pruning, not an in-memory filter over a full scan.
+
+    ``quantize=True`` stores symmetric int8 vectors instead of float32
+    (4x smaller index and probe I/O). Per-vector scale factors CANCEL
+    under the probe's normalization, so the int8 list is written under
+    the same ``embedding`` column and the probe path needs no change —
+    only ranking near-ties can flip (int8 grid noise).
 
     Idempotent per (n_centroids, seed, row count): a manifest records the
     build params; matching manifests reuse the on-disk index. Returns the
@@ -304,6 +311,7 @@ def build_ivf_index(
         "rows": int(rows_total),
         "content_fp": str(int(fp_total)),
         "sample_size": int(sample_size),
+        "quantize": bool(quantize),
     }
     manifest = os.path.join(index_dir, "_IVF_MANIFEST.json")
     cent_path = os.path.join(index_dir, "_centroids.npy")
@@ -323,6 +331,18 @@ def build_ivf_index(
         c = ray.get(cent_ref)
         mat = _normalize(_to_matrix(batch["embedding"]))
         bucket = np.argmax(mat @ c.T, axis=1)
+        if quantize:
+            n, dim = mat.shape
+            amax = np.abs(mat).max(axis=1)
+            safe = np.where(amax > 0, amax / 127.0, 1.0)
+            q = np.rint(mat / safe[:, None]).astype(np.int8)
+            offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+            batch = pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "embedding": pa.ListArray.from_arrays(offs, pa.array(q.ravel())),
+                }
+            )
         # 'bucket' moves into the partition path on write; 'b' stays a
         # data column so probe tasks can group candidates per bucket
         out = batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
@@ -364,6 +384,7 @@ def knn_ivf(
     concurrency=(1, 4),
     index_dir: str | None = None,
     merge: str = "auto",
+    quantize: bool = False,
 ):
     """IVF approximate top-k with REAL probe pruning: the corpus lives in
     bucket-partitioned parquet (build_ivf_index); a search reads only the
@@ -382,9 +403,16 @@ def knn_ivf(
     import ray.data
 
     if index_dir is None:
-        index_dir = f"/tmp/shaclapi_ray_ivf/c{n_centroids}_s{seed}"
+        index_dir = f"/tmp/shaclapi_ray_ivf/c{n_centroids}_s{seed}" + (
+            "_q8" if quantize else ""
+        )
     cent = build_ivf_index(
-        emb_ds, index_dir, n_centroids=n_centroids, sample_size=sample_size, seed=seed
+        emb_ds,
+        index_dir,
+        n_centroids=n_centroids,
+        sample_size=sample_size,
+        seed=seed,
+        quantize=quantize,
     )
 
     def pick_queries(batch: pa.Table) -> pa.Table:

@@ -156,3 +156,51 @@ def test_quantize_schema_and_scale(ray_session):
     assert q0.dtype == np.int8 and q0.tolist() == [64, -127, 32]
     assert abs(list(out.scale)[0] - 2.0 / 127.0) < 1e-7
     assert list(out.scale)[1] == 0.0
+
+
+def test_quantized_ivf_index_smaller_and_near_equal_recall(ray_session, tmp_path):
+    """The int8 index is ~4x smaller on disk and returns (near-)identical
+    neighbors to the float32 index on the same corpus."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.knn import knn_ivf
+
+    rng = np.random.default_rng(5)
+    n, dim = 600, 32
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.ListArray.from_arrays(offs, pa.array(mat.ravel())),
+            }
+        )
+    )
+
+    def dir_bytes(d):
+        tot = 0
+        for root, _dirs, files in os.walk(d):
+            tot += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return tot
+
+    d32 = str(tmp_path / "f32")
+    d8 = str(tmp_path / "q8")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    full = knn_ivf(ds, qids, k=10, n_centroids=8, nprobe=8, index_dir=d32)
+    quant = knn_ivf(
+        ds, qids, k=10, n_centroids=8, nprobe=8, index_dir=d8, quantize=True
+    )
+    assert dir_bytes(d8) < dir_bytes(d32) * 0.45  # ~4x compression
+    fset = set(zip(full["query_id"], full["neighbor_id"]))
+    qset = set(zip(quant["query_id"], quant["neighbor_id"]))
+    # nprobe == n_centroids -> both exact up to int8 grid tie-flips
+    assert len(fset & qset) / len(fset) >= 0.95
