@@ -1430,6 +1430,61 @@ def persist_dedup_state(docs_ds, state_dir: str, text_col: str = "text") -> dict
     return manifest
 
 
+def extend_dedup_state(docs_ds, state_dir: str, text_col: str | None = None) -> dict:
+    """Append a newly-ACCEPTED snapshot's content hashes to an existing
+    state (the step after dedup_incremental admits its survivors): new
+    parquet files land in the same bucket partitions (uniquely named —
+    nothing is rewritten), and the manifest row count grows. The
+    recurring-crawl loop is persist → filter new snapshot → admit
+    survivors → extend.
+
+    Cross-snapshot duplicate hashes may now appear across files; both
+    dedup_incremental paths tolerate that (np.unique / groupby distinct).
+    Returns the updated manifest."""
+    import json
+    import os
+
+    import polars as pl
+
+    manifest_path = os.path.join(state_dir, STATE_MANIFEST)
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"no dedup state at {state_dir} (run persist_dedup_state first)"
+        )
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    col = text_col or manifest.get("text_col", "text")
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        h1, h2 = _content_hash_arrays(batch, col)
+        df = pl.DataFrame({"h1": h1, "h2": h2}).unique()
+        u1 = df["h1"].to_numpy()
+        bucket = (u1.view(np.uint64) >> np.uint64(56)).astype(np.int32)
+        return pa.table(
+            {
+                "h1": pa.array(u1),
+                "h2": pa.array(df["h2"].to_numpy()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    docs_ds.map_batches(
+        to_hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(state_dir, partition_cols=["bucket"])
+    import pyarrow.dataset as pads
+
+    frag_rows = sum(
+        f.count_rows()
+        for f in pads.dataset(
+            state_dir, format="parquet", ignore_prefixes=[".", "_"]
+        ).get_fragments()
+    )
+    manifest["rows"] = int(frag_rows)
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
 def _state_hash_ds(state_dir: str):
     import ray.data
 

@@ -298,3 +298,47 @@ def test_incremental_larger_roundtrip(ray_session, tmp_path):
     for strat in ("broadcast", "join"):
         kept = dedup_incremental(new, state, strategy=strat).to_pandas()
         assert sorted(kept.doc_id) == list(range(1050, 1200)), strat
+
+
+def test_extend_state_recurring_crawl_loop(ray_session, tmp_path):
+    """persist -> filter snapshot 2 -> admit survivors -> extend ->
+    filter snapshot 3: snapshot 3 is deduped against BOTH prior
+    corpora, on both filter paths."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.dedup import (
+        dedup_incremental,
+        extend_dedup_state,
+        persist_dedup_state,
+    )
+
+    def mk(ids, texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        )
+
+    state = str(tmp_path / "state")
+    persist_dedup_state(mk([0, 1], ["alpha", "bravo"]), state)
+    snap2 = mk([10, 11, 12], ["alpha", "golf", "hotel"])
+    kept2 = dedup_incremental(snap2, state).to_pandas()
+    assert sorted(kept2.doc_id) == [11, 12]
+    m = extend_dedup_state(mk([11, 12], ["golf", "hotel"]), state)
+    assert m["rows"] == 4
+    snap3 = mk([20, 21, 22, 23], ["bravo", "golf", "india", "hotel"])
+    for strat in ("broadcast", "join"):
+        kept3 = dedup_incremental(snap3, state, strategy=strat).to_pandas()
+        assert sorted(kept3.doc_id) == [22], strat
+
+
+def test_extend_requires_existing_state(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from shaclapi_ray.pipelines.dedup import extend_dedup_state
+
+    with _pytest.raises(FileNotFoundError):
+        extend_dedup_state(None, str(tmp_path / "nope"))
