@@ -603,12 +603,21 @@ FROM documents ORDER BY doc_id
 
 def repetition_signals_sql() -> str:
     return r"""
-SELECT doc_id,
-       length(string_split(text, chr(10))) AS n_lines,
-       length(list_distinct(string_split(text, chr(10)))) AS n_unique_lines,
-       length(regexp_extract_all(text, '\S+')) AS n_words,
-       length(list_distinct(regexp_extract_all(text, '\S+'))) AS n_unique_words
-FROM documents ORDER BY doc_id
+WITH base AS (
+  SELECT doc_id,
+         length(string_split(text, chr(10))) AS n_lines,
+         length(list_distinct(string_split(text, chr(10)))) AS n_unique_lines,
+         length(regexp_extract_all(text, '\S+')) AS n_words,
+         length(list_distinct(regexp_extract_all(text, '\S+'))) AS n_unique_words
+  FROM documents),
+wc AS (
+  SELECT doc_id, max(c)::BIGINT AS max_word_count FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+    GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT base.*, coalesce(wc.max_word_count, 0)::BIGINT AS max_word_count
+FROM base LEFT JOIN wc USING (doc_id) ORDER BY doc_id
 """
 
 

@@ -300,6 +300,22 @@ def repetition_signals(docs_ds):
             words.list.len().cast(pl.Int64).alias("n_words"),
             words.list.n_unique().cast(pl.Int64).alias("n_unique_words"),
         )
+        # top-word dominance (Gopher: "fraction of most common word"):
+        # occurrence count of the doc's most frequent token, 0 when
+        # tokenless — the ratio is computed downstream
+        counts = (
+            df.with_columns(words.alias("w"))
+            .select("doc_id", "w")
+            .explode("w")
+            .filter(pl.col("w").is_not_null())
+            .group_by("doc_id", "w")
+            .len()
+            .group_by("doc_id")
+            .agg(pl.col("len").max().cast(pl.Int64).alias("max_word_count"))
+        )
+        out = out.join(counts, on="doc_id", how="left").with_columns(
+            pl.col("max_word_count").fill_null(0)
+        )
         return out.to_arrow()
 
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

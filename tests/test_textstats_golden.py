@@ -216,3 +216,24 @@ def test_sample_stratified_subset_and_ratios(ray_session):
     en_b = set(b[b.lang == "en"].doc_id)
     assert en_a <= en_b  # monotone: tuning a ratio up never churns the sample
     assert set(b[b.lang == "fr"].doc_id) == fr_a
+
+
+def test_max_word_count_golden(ray_session):
+    """Top-word dominance (Gopher 'fraction of most common word'): the
+    max token occurrence count per doc, 0 for tokenless docs."""
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.textstats import repetition_signals
+
+    texts = ["batch batch batch stream", "a b c", "", "x x y y y"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    df = repetition_signals(ds).to_pandas().sort_values("doc_id")
+    assert list(df.max_word_count) == [3, 1, 0, 3]
