@@ -155,6 +155,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ),
         rows=n_emb_rows,
     )
+    ivf_q8_dir = "/tmp/shaclapi_ray_ivf/bench_q8"
+    _shutil.rmtree(ivf_q8_dir, ignore_errors=True)
+    build_ivf_index(emb, ivf_q8_dir, quantize=True)  # untimed: same as build + int8
+    timed(
+        "knn_ivf_q8_probe",
+        lambda: knn_ivf(
+            emb, list(range(8)), k=10, index_dir=ivf_q8_dir, quantize=True
+        ),
+        rows=n_emb_rows,
+    )
     bf = knn_bruteforce(emb, list(range(8)), k=10)
     bset = set(zip(bf["query_id"], bf["neighbor_id"]))
     iset = set(zip(ivf_res["df"]["query_id"], ivf_res["df"]["neighbor_id"]))
