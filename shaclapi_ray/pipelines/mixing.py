@@ -187,4 +187,7 @@ def shuffle_corpus(docs_ds, seed: int = 0):
         return batch.append_column("shuffle_key", pa.array(h, pa.int64()))
 
     keyed = docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed.sort("shuffle_key")
+    # doc_id tie-break: the 32-bit hash collides at ~n^2/2^33 (a handful
+    # per million rows) and tie order inside a range-partition sort is
+    # layout-dependent — the secondary key keeps the order reproducible
+    return keyed.sort(["shuffle_key", "doc_id"])
