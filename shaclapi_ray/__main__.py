@@ -25,6 +25,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--validation", action="store_true", help="per-shape valid/invalid counts"
     )
+    p.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="run one registered training-data operator (api.run_pipeline)",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -58,7 +63,9 @@ def main(argv: list[str] | None = None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
-        if args.validation:
+        if args.pipeline:
+            out = api.run_pipeline(config)
+        elif args.validation:
             out = api.validation_and_statistics(config)
         else:
             out = api.run_job(config)

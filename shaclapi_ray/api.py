@@ -188,3 +188,112 @@ def _write_stats_csv(path: str, stats: dict[str, float]) -> None:
         if not exists:
             w.writeheader()
         w.writerow(stats)
+
+
+# ---------------------------------------------------------------------------
+# config-driven pipeline runner (the training-data-operator analog of the
+# reference's JSON-config job surface)
+# ---------------------------------------------------------------------------
+
+# name -> "module:function"; every entry takes a Dataset first and returns
+# a Dataset (single-input operators only — multi-input ops like
+# mix_corpora are library-level)
+PIPELINE_REGISTRY: dict[str, str] = {
+    # dedup family
+    "exact_dedup": "shaclapi_ray.pipelines.dedup:exact_dedup",
+    "dedup_corpus": "shaclapi_ray.pipelines.dedup:dedup_corpus",
+    "dedup_paragraphs": "shaclapi_ray.pipelines.dedup:dedup_paragraphs",
+    "minhash_clusters": "shaclapi_ray.pipelines.dedup:minhash_lsh_clusters",
+    "simhash_signatures": "shaclapi_ray.pipelines.dedup:simhash_signatures",
+    # text stats / quality
+    "token_count": "shaclapi_ray.pipelines.textstats:token_count",
+    "lang_id": "shaclapi_ray.pipelines.textstats:lang_id",
+    "quality_signals": "shaclapi_ray.pipelines.textstats:quality_signals",
+    "repetition_signals": "shaclapi_ray.pipelines.textstats:repetition_signals",
+    "normalize_text": "shaclapi_ray.pipelines.textstats:normalize_text",
+    "pii_scan": "shaclapi_ray.pipelines.textstats:pii_scan",
+    "fingerprint": "shaclapi_ray.pipelines.textstats:fingerprint",
+    "rolling_fingerprint": "shaclapi_ray.pipelines.textstats:rolling_fingerprint",
+    "chunk_text": "shaclapi_ray.pipelines.textstats:chunk_text",
+    "doc_frequency": "shaclapi_ray.pipelines.textstats:doc_frequency",
+    "tfidf_top_terms": "shaclapi_ray.pipelines.textstats:tfidf_top_terms",
+    "unigram_logprob": "shaclapi_ray.pipelines.textstats:unigram_logprob",
+    "rebalance_corpus": "shaclapi_ray.pipelines.textstats:rebalance_corpus",
+    "sample_corpus": "shaclapi_ray.pipelines.textstats:sample_corpus",
+    "sample_stratified": "shaclapi_ray.pipelines.textstats:sample_stratified",
+    "quality_quantile_filter": "shaclapi_ray.pipelines.textstats:quality_quantile_filter",
+    # corpus assembly
+    "split_corpus": "shaclapi_ray.pipelines.mixing:split_corpus",
+    "shuffle_corpus": "shaclapi_ray.pipelines.mixing:shuffle_corpus",
+    # decontamination / spans / packing
+    "decontaminate": "shaclapi_ray.pipelines.decontam:decontaminate",
+    "dup_span_coverage": "shaclapi_ray.pipelines.spans:dup_span_coverage",
+    "remove_dup_spans": "shaclapi_ray.pipelines.spans:remove_dup_spans",
+    "pack_sequences": "shaclapi_ray.pipelines.spans:pack_sequences",
+    # pages-table operators
+    "extract_text": "shaclapi_ray.pipelines.extract:extract_text",
+    "url_canonicalize": "shaclapi_ray.pipelines.extract:url_canonicalize",
+    "filter_hosts": "shaclapi_ray.pipelines.extract:filter_hosts",
+    # events-table operators
+    "tumbling_window": "shaclapi_ray.pipelines.events:tumbling_window",
+    "hopping_window": "shaclapi_ray.pipelines.events:hopping_window",
+    "sessionize": "shaclapi_ray.pipelines.events:sessionize",
+    "assign_sessions": "shaclapi_ray.pipelines.events:assign_sessions",
+    "attribute_events": "shaclapi_ray.pipelines.events:attribute_events",
+    "parse_props": "shaclapi_ray.pipelines.events:parse_props",
+    "drop_late_events": "shaclapi_ray.pipelines.events:drop_late_events",
+    # embeddings
+    "embed_corpus": "shaclapi_ray.pipelines.knn:embed_corpus",
+    "quantize_embeddings": "shaclapi_ray.pipelines.knn:quantize_embeddings",
+    "dequantize_embeddings": "shaclapi_ray.pipelines.knn:dequantize_embeddings",
+    # graph (pages table in, per-url metrics out)
+    "pagerank": "shaclapi_ray.pipelines.graph:pagerank",
+    "connected_components": "shaclapi_ray.pipelines.graph:connected_components",
+}
+
+
+def run_pipeline(config: dict[str, Any]) -> dict[str, Any]:
+    """Run one registered operator from a JSON config:
+
+        {"pipeline": "exact_dedup",
+         "input": "/data/documents.parquet",     # parquet/jsonl/csv (io seam)
+         "args": {"text_col": "text"},           # optional kwargs
+         "output": "/out/dedup",                 # optional parquet sink dir
+         "columns": ["doc_id", "text"]}          # optional read pruning
+
+    Streams end-to-end: with "output" the result is written as
+    partitioned parquet and only counts return to the driver; without
+    it, the row count and schema are returned (the Dataset is never
+    collected). Raises KeyError for unknown pipeline names (the
+    reference's unknown-backend semantics)."""
+    import importlib
+
+    name = config.get("pipeline")
+    if name not in PIPELINE_REGISTRY:
+        raise KeyError(
+            f"unknown pipeline {name!r}; registered: {sorted(PIPELINE_REGISTRY)}"
+        )
+    if "input" not in config:
+        raise ValueError("config requires 'input' (table path)")
+    mod_name, func_name = PIPELINE_REGISTRY[name].split(":")
+    fn = getattr(importlib.import_module(mod_name), func_name)
+
+    from shaclapi_ray.io import read_table_any
+
+    ds = read_table_any(config["input"], columns=config.get("columns"))
+    out = fn(ds, **config.get("args", {}))
+    t0 = time.time()
+    if config.get("output"):
+        out.write_parquet(config["output"])
+        import pyarrow.dataset as pads
+
+        n = sum(
+            f.count_rows()
+            for f in pads.dataset(config["output"], format="parquet").get_fragments()
+        )
+        result = {"rows": int(n), "output": config["output"]}
+    else:
+        result = {"rows": int(out.count()), "schema": [str(c) for c in out.schema().names]}
+    result["pipeline"] = name
+    result["wall_s"] = time.time() - t0
+    return result

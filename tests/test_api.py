@@ -121,3 +121,62 @@ def test_schema_dir_full_loads(ray_session, small_pages_dir):
     assert len(out["result"]["validTargets"]) + len(
         out["result"]["invalidTargets"]
     ) == 120  # 600 rows, lang=='en' targets
+
+
+def test_run_pipeline_count_and_sink(ray_session, tmp_path):
+    """run_pipeline streams a registered operator over a parquet table:
+    count-only mode and parquet-sink mode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from shaclapi_ray import api
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array([f"doc body {i % 5}" for i in range(20)]),
+            }
+        ),
+        src,
+    )
+    out = api.run_pipeline({"pipeline": "exact_dedup", "input": src})
+    assert out["pipeline"] == "exact_dedup" and out["rows"] == 5
+    assert sorted(out["schema"]) == ["doc_id", "n_dups"]
+
+    sink = str(tmp_path / "out")
+    out2 = api.run_pipeline(
+        {
+            "pipeline": "split_corpus",
+            "input": src,
+            "args": {"fractions": {"train": 0.8, "val": 0.2}},
+            "output": sink,
+        }
+    )
+    assert out2["rows"] == 20 and out2["output"] == sink
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(sink, format="parquet").count_rows() == 20
+
+
+def test_run_pipeline_errors(ray_session):
+    import pytest as _pytest
+
+    from shaclapi_ray import api
+
+    with _pytest.raises(KeyError):
+        api.run_pipeline({"pipeline": "nope", "input": "/x"})
+    with _pytest.raises(ValueError):
+        api.run_pipeline({"pipeline": "exact_dedup"})
+
+
+def test_run_pipeline_registry_resolves():
+    """Every registry entry imports and is callable (catches renames)."""
+    import importlib
+
+    from shaclapi_ray import api
+
+    for name, path in api.PIPELINE_REGISTRY.items():
+        mod, func = path.split(":")
+        assert callable(getattr(importlib.import_module(mod), func)), name
