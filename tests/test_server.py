@@ -112,3 +112,25 @@ def test_bad_request_and_404(server):
     assert status == 400 and "error" in out
     status, out = _post(f"{server}/nope", {})
     assert status == 404
+
+
+def test_pipeline_route(server, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path_factory.mktemp("pipe") / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(12), pa.int64()),
+                "text": pa.array([f"t {i % 4}" for i in range(12)]),
+            }
+        ),
+        src,
+    )
+    status, out = _post(
+        f"{server}/pipeline", {"pipeline": "exact_dedup", "input": src}
+    )
+    assert status == 200 and out["rows"] == 4
+    status, out = _post(f"{server}/pipeline", {"pipeline": "nope", "input": src})
+    assert status == 400 and "error" in out
