@@ -47,9 +47,10 @@ def tumbling_window(events_ds, window_s: int = 300):
         )
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.groupby(["user_id", "window_start"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"),
-        Sum("n_events", alias_name="n_events"),
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    out = combine_partials_multi(
+        partials, ["user_id", "window_start"], ["sum_value", "n_events"]
     )
     return out.map_batches(
         lambda t: pa.table(
@@ -57,7 +58,7 @@ def tumbling_window(events_ds, window_s: int = 300):
                 "user_id": t["user_id"],
                 "window_start": t["window_start"],
                 "n_events": pc.cast(t["n_events"], pa.int64()),
-                "sum_value": pc.round(t["sum_value"], 6),
+                "sum_value": pc.round(pc.cast(t["sum_value"], pa.float64()), 6),
             }
         ),
         batch_format="pyarrow",
@@ -111,9 +112,10 @@ def hopping_window(events_ds, window_s: int = 300, hop_s: int = 100):
     partials = events_ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = partials.groupby(["user_id", "window_start"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"),
-        Sum("n_events", alias_name="n_events"),
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    out = combine_partials_multi(
+        partials, ["user_id", "window_start"], ["sum_value", "n_events"]
     )
     return out.map_batches(
         lambda t: pa.table(
@@ -121,7 +123,7 @@ def hopping_window(events_ds, window_s: int = 300, hop_s: int = 100):
                 "user_id": t["user_id"],
                 "window_start": t["window_start"],
                 "n_events": pc.cast(t["n_events"], pa.int64()),
-                "sum_value": pc.round(t["sum_value"], 6),
+                "sum_value": pc.round(pc.cast(t["sum_value"], pa.float64()), 6),
             }
         ),
         batch_format="pyarrow",

@@ -78,3 +78,49 @@ def combine_partials(
 def grouped_count(ds, key: str, out_name: str = "qcount", mode: str = "auto"):
     """(key, out_name): occurrences of each key value."""
     return combine_partials(partial_counts(ds, key), key, "cnt", out_name, mode)
+
+
+def combine_partials_multi(
+    partials_ds, keys: list[str], sums: list[str], mode: str = "auto"
+):
+    """Multi-key generalization of combine_partials: one row per key
+    TUPLE, each ``sums`` column summed; output keeps the input column
+    names/types (ints stay ints, floats stay floats). Same two paths:
+    a driver-side pyarrow C++ group_by over pre-aggregated partials
+    below DRIVER_MERGE_LIMIT rows, Ray's hash-shuffle groupby above."""
+    if mode == "auto":
+        partials_ds = partials_ds.materialize()
+        mode = "driver" if partials_ds.count() <= DRIVER_MERGE_LIMIT else "shuffle"
+
+    if mode == "driver":
+        tables = [t for r in partials_ds.to_arrow_refs() if (t := ray.get(r)).num_rows]
+        if not tables:
+            schema = partials_ds.schema()
+            empty = pa.table(
+                {
+                    n: pa.array([], type=t)
+                    for n, t in zip(schema.names, schema.types)
+                    if n in keys or n in sums
+                }
+            )
+            return ray.data.from_arrow(empty)
+        cat = pa.concat_tables(tables)
+        g = cat.group_by(keys).aggregate([(c, "sum") for c in sums])
+        out = pa.table(
+            {
+                **{k: g[k] for k in keys},
+                **{
+                    c: pc.cast(g[f"{c}_sum"], cat.schema.field(c).type)
+                    for c in sums
+                },
+            }
+        )
+        return ray.data.from_arrow(out)
+
+    if mode == "shuffle":
+        agg = partials_ds.groupby(keys).aggregate(
+            *[Sum(c, alias_name=c) for c in sums]
+        )
+        return agg
+
+    raise ValueError(f"unknown mode {mode!r}")
