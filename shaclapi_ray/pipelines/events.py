@@ -309,13 +309,32 @@ def attribute_events(
 
 
 def event_type_stats(events_ds):
-    """(event_type, n, sum_value, min_value, max_value): keyed aggregate
-    with Ray-native partial+final combine."""
-    out = events_ds.groupby("event_type").aggregate(
-        Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    """(event_type, n, sum_value, min_value, max_value): keyed aggregate —
+    per-batch pyarrow partials, then the auto driver-merge/shuffle
+    combine (event_type has a handful of distinct keys, so partials are
+    tiny and the aggregator-actor shuffle is pure overhead below the
+    driver limit)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["event_type", "value"]).group_by("event_type").aggregate(
+            [("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["value_count"], pa.int64()),
+                "sum_value": g["value_sum"],
+                "min_value": g["value_min"],
+                "max_value": g["value_max"],
+            }
+        )
+
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    out = combine_partials_multi(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"},
     )
     return out.map_batches(
         lambda t: pa.table(

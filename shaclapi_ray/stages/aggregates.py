@@ -81,13 +81,19 @@ def grouped_count(ds, key: str, out_name: str = "qcount", mode: str = "auto"):
 
 
 def combine_partials_multi(
-    partials_ds, keys: list[str], sums: list[str], mode: str = "auto"
+    partials_ds,
+    keys: list[str],
+    sums: list[str] | dict[str, str],
+    mode: str = "auto",
 ):
     """Multi-key generalization of combine_partials: one row per key
-    TUPLE, each ``sums`` column summed; output keeps the input column
+    TUPLE; ``sums`` is a list of columns to sum, or a {column: op} dict
+    with op in {'sum', 'min', 'max'} (the merge op for partials that
+    were pre-aggregated per batch). Output keeps the input column
     names/types (ints stay ints, floats stay floats). Same two paths:
     a driver-side pyarrow C++ group_by over pre-aggregated partials
     below DRIVER_MERGE_LIMIT rows, Ray's hash-shuffle groupby above."""
+    aggs = {c: "sum" for c in sums} if not isinstance(sums, dict) else sums
     if mode == "auto":
         partials_ds = partials_ds.materialize()
         mode = "driver" if partials_ds.count() <= DRIVER_MERGE_LIMIT else "shuffle"
@@ -100,26 +106,29 @@ def combine_partials_multi(
                 {
                     n: pa.array([], type=t)
                     for n, t in zip(schema.names, schema.types)
-                    if n in keys or n in sums
+                    if n in keys or n in aggs
                 }
             )
             return ray.data.from_arrow(empty)
         cat = pa.concat_tables(tables)
-        g = cat.group_by(keys).aggregate([(c, "sum") for c in sums])
+        g = cat.group_by(keys).aggregate([(c, op) for c, op in aggs.items()])
         out = pa.table(
             {
                 **{k: g[k] for k in keys},
                 **{
-                    c: pc.cast(g[f"{c}_sum"], cat.schema.field(c).type)
-                    for c in sums
+                    c: pc.cast(g[f"{c}_{op}"], cat.schema.field(c).type)
+                    for c, op in aggs.items()
                 },
             }
         )
         return ray.data.from_arrow(out)
 
     if mode == "shuffle":
+        from ray.data.aggregate import Max, Min
+
+        ray_agg = {"sum": Sum, "min": Min, "max": Max}
         agg = partials_ds.groupby(keys).aggregate(
-            *[Sum(c, alias_name=c) for c in sums]
+            *[ray_agg[op](c, alias_name=c) for c, op in aggs.items()]
         )
         return agg
 
