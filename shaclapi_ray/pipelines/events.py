@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def tumbling_window(events_ds, window_s: int = 300):
