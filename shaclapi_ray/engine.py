@@ -131,8 +131,28 @@ class ValidationResult:
         """Per-shape valid/invalid counts (≙ the /validation route's
         {shape: {valid, invalid}} summary,
         /root/reference/shaclapi/api.py:372-387)."""
-        ds = self.verdicts().groupby(["shape_id", "valid"]).aggregate(
-            Count(alias_name="n")
+        from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = (
+                batch.select(["shape_id", "valid"])
+                .group_by(["shape_id", "valid"])
+                .aggregate([("valid", "count")])
+            )
+            return pa.table(
+                {
+                    "shape_id": g["shape_id"],
+                    "valid": g["valid"],
+                    "n": pc.cast(g["valid_count"], pa.int64()),
+                }
+            )
+
+        ds = combine_partials_multi(
+            self.verdicts().map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["shape_id", "valid"],
+            ["n"],
         )
         return _collect(ds).sort_by([("shape_id", "ascending"), ("valid", "ascending")])
 
