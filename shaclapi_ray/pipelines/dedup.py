@@ -62,9 +62,29 @@ def exact_dedup(docs_ds, text_col: str = "text"):
             }
         )
 
-    hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    agg = hashed.groupby(["h1", "h2"]).aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    def add_hash_partial(batch: pa.Table) -> pa.Table:
+        # pre-aggregate per batch: one (h1, h2, min doc_id, count) row per
+        # distinct in-batch text, so the combine sees per-batch partials
+        t = add_hash(batch)
+        g = t.group_by(["h1", "h2"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "h1": g["h1"],
+                "h2": g["h2"],
+                "doc_id": pc.cast(g["doc_id_min"], pa.int64()),
+                "n_dups": pc.cast(g["doc_id_count"], pa.int64()),
+            }
+        )
+
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    partials = docs_ds.map_batches(
+        add_hash_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = combine_partials_multi(
+        partials, ["h1", "h2"], {"doc_id": "min", "n_dups": "sum"}
     )
     return agg.map_batches(
         lambda t: pa.table(
