@@ -269,8 +269,28 @@ def dedup_corpus(docs_ds, strategy: str = "exact", text_col: str = "text"):
         hashed = docs_ds.map_batches(
             add_hash, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
-        agg = hashed.groupby(["h1", "h2"]).aggregate(
-            Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
+
+        def group_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["h1", "h2"]).aggregate(
+                [("doc_id", "min"), ("doc_id", "count")]
+            )
+            return pa.table(
+                {
+                    "h1": g["h1"],
+                    "h2": g["h2"],
+                    "keep_id": pc.cast(g["doc_id_min"], pa.int64()),
+                    "n_dups": pc.cast(g["doc_id_count"], pa.int64()),
+                }
+            )
+
+        from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+        agg = combine_partials_multi(
+            hashed.map_batches(
+                group_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["h1", "h2"],
+            {"keep_id": "min", "n_dups": "sum"},
         )
         dup_groups = agg.filter(
             expr="n_dups > 1"
