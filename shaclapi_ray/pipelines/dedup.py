@@ -143,20 +143,29 @@ def dedup_paragraphs(docs_ds, sep: str = "\n\n", text_col: str = "text"):
         )
 
     def pass1(batch: pa.Table) -> pa.Table:
-        df = _explode(batch)
+        # pre-aggregate per batch: one (h1, h2, min key) row per distinct
+        # in-batch paragraph, so the combine sees per-batch partials
+        df = (
+            _explode(batch)
+            .group_by(["h1", "h2"])
+            .agg(pl.col("key").min().alias("win"))
+        )
         return pa.table(
             {
                 "h1": pa.array(df["h1"].to_numpy().view(np.int64)),
                 "h2": pa.array(df["h2"].to_numpy().view(np.int64)),
-                "key": pa.array(df["key"].to_numpy(), type=pa.int64()),
+                "win": pa.array(df["win"].to_numpy(), type=pa.int64()),
             }
         )
 
-    winners = (
-        docs_ds.select_columns(["doc_id", text_col])
-        .map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["h1", "h2"])
-        .aggregate(Min("key", alias_name="win"))
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    winners = combine_partials_multi(
+        docs_ds.select_columns(["doc_id", text_col]).map_batches(
+            pass1, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["h1", "h2"],
+        {"win": "min"},
     )
     # broadcast: sorted 128-bit hash (void16) + aligned winner keys
     tables = [t for t in (_ray.get(r) for r in winners.to_arrow_refs()) if t.num_rows]
