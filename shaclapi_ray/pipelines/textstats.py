@@ -390,10 +390,12 @@ def doc_frequency(docs_ds, min_df: int = 1):
         counts = toks.group_by("t").agg(pl.len().cast(pl.Int64).alias("df"))
         return counts.rename({"t": "token"}).to_arrow()
 
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
     partials = docs_ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+    out = combine_partials_multi(partials, ["token"], ["df"])
 
     def finish(t: pa.Table) -> pa.Table:
         t = pa.table(
