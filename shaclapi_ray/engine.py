@@ -587,7 +587,8 @@ class ValidationEngine:
         grouped count is already keyed correctly. For any other column the
         per-value counts must be joined back onto (url, value) — broadcast
         hash-map lookup (stages/hashset.py, zero per-task setup) below
-        BROADCAST_LIMIT rows, hash-partitioned Dataset.join above (exact at
+        SEMI_BROADCAST_LIMIT keys (sorted-hash map, zero per-task
+        build), hash-partitioned Dataset.join above (exact at
         any scale)."""
         from shaclapi_ray.stages.aggregates import grouped_count
 
@@ -602,8 +603,7 @@ class ValidationEngine:
             return grouped_count(keyed, "url", out_name="qcount", mode=agg_mode)
 
         from shaclapi_ray.stages.referential import (
-            BROADCAST_LIMIT,
-            _probe_cap,
+            SEMI_BROADCAST_LIMIT,
             clamp_partitions,
         )
 
@@ -619,10 +619,10 @@ class ValidationEngine:
         counts = grouped_count(keyed, "val", out_name="qcount", mode=agg_mode)
         size_hint = getattr(self, "_rows_hint", None)
         if size_hint is not None:
-            use_broadcast = size_hint <= BROADCAST_LIMIT
+            use_broadcast = size_hint <= SEMI_BROADCAST_LIMIT
         else:
             counts = counts.materialize()
-            use_broadcast = counts.count() <= BROADCAST_LIMIT
+            use_broadcast = counts.count() <= SEMI_BROADCAST_LIMIT
         if use_broadcast:
             import numpy as np
 
@@ -647,7 +647,6 @@ class ValidationEngine:
                 assign,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                concurrency=_probe_cap(),
             )
         from shaclapi_ray.stages.joins import drop_empty_blocks
 

@@ -37,8 +37,9 @@ from shaclapi_ray.shapes.ir import RefConstraint
 from shaclapi_ray.stages.predicates import EVENTS_SCHEMA
 from shaclapi_ray.state.sketches import BloomFilter
 
-# combine_ref_verdicts' broadcast side is joined with pa.Table.join,
-# which rebuilds its hash table per BATCH — keep that ceiling low
+# legacy ceiling for any remaining per-batch pa.Table.join broadcast
+# (none in the referential paths anymore — they broadcast sorted-hash
+# structures; kept for callers that still do table-join broadcasts)
 BROADCAST_LIMIT = 2_000_000
 # sorted uint64 hash-array broadcasts (8B/key, zero per-task setup —
 # stages/hashset.py) are memory-bound only: 50M keys = 400MB object,
@@ -317,7 +318,8 @@ def combine_ref_verdicts(
 
     strategy 'broadcast': each counts table is collected once, ray.put, and
     left-joined per batch with pyarrow's C++ hash join — no shuffle; right
-    for counts sides up to BROADCAST_LIMIT rows. strategy 'bucket': Ray
+    for counts sides up to SEMI_BROADCAST_LIMIT url-hash keys (8 B/key
+    sorted-map lookup, zero per-task build). strategy 'bucket': Ray
     hash-partitioned Dataset.join — the both-sides-large scale path.
     'auto' picks per counts table by size.
 
@@ -351,23 +353,32 @@ def combine_ref_verdicts(
     for i, (counts_ds, _c) in enumerate(counts_and_constraints):
         col = f"qcount_{i}"
         if strategy == "auto" and size_hint is not None:
-            use_broadcast = size_hint <= BROADCAST_LIMIT
+            use_broadcast = size_hint <= SEMI_BROADCAST_LIMIT
         else:
             if strategy != "bucket":
                 counts_ds = counts_ds.materialize()
             use_broadcast = strategy == "broadcast" or (
-                strategy == "auto" and counts_ds.count() <= BROADCAST_LIMIT
+                strategy == "auto" and counts_ds.count() <= SEMI_BROADCAST_LIMIT
             )
         if use_broadcast:
+            # broadcast a SORTED url-hash -> count map (stages/hashset.py):
+            # per-batch np.searchsorted lookups with ZERO per-task build,
+            # unlike pa.Table.join which rebuilds its hash table per batch
+            from shaclapi_ray.stages.hashset import build_hash_map
+
             tables = [ray.get(r) for r in counts_ds.to_arrow_refs()]
-            tables = [t for t in tables if t.num_rows] or [
-                pa.table(
-                    {"url": pa.array([], pa.string()), "qcount": pa.array([], pa.int64())}
+            tables = [t for t in tables if t.num_rows]
+            if tables:
+                counts_tbl = pa.concat_tables(tables).combine_chunks()
+                hmap = build_hash_map(
+                    counts_tbl["url"],
+                    pc.cast(counts_tbl["qcount"], pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ),
                 )
-            ]
-            counts_tbl = pa.concat_tables(tables).combine_chunks()
-            counts_tbl = counts_tbl.rename_columns(["url", col])
-            broadcast_refs.append((col, ray.put(counts_tbl)))
+            else:
+                hmap = (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+            broadcast_refs.append((col, ray.put(hmap)))
         else:
             renamed = counts_ds.map_batches(
                 lambda t, col=col: pa.table({"j_url": t["url"], col: t["qcount"]}),
@@ -391,18 +402,16 @@ def combine_ref_verdicts(
         qcount_cols.append(col)
 
     if broadcast_refs:
+        from shaclapi_ray.stages.hashset import lookup
 
         def broadcast_join(batch: pa.Table) -> pa.Table:
-            for _c, ref in broadcast_refs:
-                tbl = ray.get(ref)
-                batch = batch.join(tbl, keys=["url"], join_type="left outer")
+            for c, ref in broadcast_refs:
+                counts = lookup(ray.get(ref), batch["url"], default=0)
+                batch = batch.append_column(c, pa.array(counts, pa.int64()))
             return batch
 
         base = base.map_batches(
-            broadcast_join,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=_probe_cap(),
+            broadcast_join, batch_format="pyarrow", zero_copy_batch=True
         )
 
     constraints = [c for (_ds, c) in counts_and_constraints]
