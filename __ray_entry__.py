@@ -873,7 +873,7 @@ def _q_exact_dedup_corpus(sf_dir: str):
 
     state_dir = tempfile.mkdtemp(prefix="shaclapi_ray_incstate_")
     try:
-        persist_dedup_state(half(0), state_dir)
+        persist_dedup_state(half(0), state_dir, num_buckets=16)
         inc_kept = set(
             dedup_incremental(half(1), state_dir)
             .select_columns(["doc_id"])

@@ -262,7 +262,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         d = _tf.mkdtemp(prefix="bench_incstate_")
         try:
-            persist_dedup_state(half(0), d)
+            # 16 buckets at bench scale: 256 near-empty partition dirs
+            # would be pure write overhead (scale default stays 256)
+            persist_dedup_state(half(0), d, num_buckets=16)
             return dedup_incremental(half(1), d).count()
         finally:
             _sh.rmtree(d, ignore_errors=True)

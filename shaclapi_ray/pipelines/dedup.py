@@ -1430,23 +1430,32 @@ def _content_hash_arrays(batch: pa.Table, text_col: str):
     )
 
 
-def persist_dedup_state(docs_ds, state_dir: str, text_col: str = "text") -> dict:
+def persist_dedup_state(
+    docs_ds, state_dir: str, text_col: str = "text", num_buckets: int = 256
+) -> dict:
     """Write the corpus's content-hash set under state_dir as parquet
-    partitioned by an 8-bit bucket of h1 (256 directories — the pruned-
-    read / resume unit), plus a row-count manifest. Hashes are uniqued
-    per batch; cross-batch duplicates may remain (membership semantics
-    are unaffected; dedup_incremental's join path re-distincts exactly).
+    partitioned by a bucket of h1's top bits (``num_buckets`` directories
+    — the pruned-read / resume unit; 256 is right for a large corpus,
+    drop to 8-16 for small ones where per-directory overhead dominates),
+    plus a row-count manifest. Hashes are uniqued per batch; cross-batch
+    duplicates may remain (membership semantics are unaffected;
+    dedup_incremental's join path re-distincts exactly).
     Returns the manifest dict."""
     import json
     import os
 
     import polars as pl
 
+    if num_buckets < 1 or num_buckets > 256:
+        raise ValueError("num_buckets must be in [1, 256]")
+
     def to_hashes(batch: pa.Table) -> pa.Table:
         h1, h2 = _content_hash_arrays(batch, text_col)
         df = pl.DataFrame({"h1": h1, "h2": h2}).unique()
         u1 = df["h1"].to_numpy()
-        bucket = (u1.view(np.uint64) >> np.uint64(56)).astype(np.int32)
+        bucket = (
+            (u1.view(np.uint64) >> np.uint64(56)) % np.uint64(num_buckets)
+        ).astype(np.int32)
         return pa.table(
             {
                 "h1": pa.array(u1),
@@ -1473,7 +1482,12 @@ def persist_dedup_state(docs_ds, state_dir: str, text_col: str = "text") -> dict
     frag_rows = sum(
         f.count_rows() for f in pads.dataset(state_dir, format="parquet").get_fragments()
     )
-    manifest = {"rows": int(frag_rows), "version": 1, "text_col": text_col}
+    manifest = {
+        "rows": int(frag_rows),
+        "version": 1,
+        "text_col": text_col,
+        "num_buckets": int(num_buckets),
+    }
     with open(os.path.join(state_dir, STATE_MANIFEST), "w") as fh:
         json.dump(manifest, fh)
     return manifest
@@ -1508,7 +1522,8 @@ def extend_dedup_state(docs_ds, state_dir: str, text_col: str | None = None) -> 
         h1, h2 = _content_hash_arrays(batch, col)
         df = pl.DataFrame({"h1": h1, "h2": h2}).unique()
         u1 = df["h1"].to_numpy()
-        bucket = (u1.view(np.uint64) >> np.uint64(56)).astype(np.int32)
+        nb = np.uint64(manifest.get("num_buckets", 256))
+        bucket = ((u1.view(np.uint64) >> np.uint64(56)) % nb).astype(np.int32)
         return pa.table(
             {
                 "h1": pa.array(u1),
