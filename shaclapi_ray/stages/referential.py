@@ -83,20 +83,6 @@ def child_valid_urls(verdicts_ds, child_shape_id: str):
     return verdicts_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _probe_cap() -> int:
-    """Max concurrent tasks for broadcast-probe stages.
-
-    pc.is_in / pa.Table.join rebuild the broadcast-side hash state per
-    task; capping these stages' parallelism keeps that total rebuild cost
-    CONSTANT as the cluster grows instead of growing with it (the probe
-    itself is cheap, so the cap does not bottleneck the pipeline)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(2, min(8, cpus))
-
-
 def _broadcast_semi_filter(hashes_ref):
     """Task body: keep links whose target_url is in the broadcast child
     set — probed as a SORTED uint64 hash array via np.searchsorted
@@ -167,9 +153,7 @@ def qualified_counts(
             else np.empty(0, dtype=np.uint64)
         )
         urls_ref = ray.put(sorted_h)
-        # no concurrency cap: searchsorted probes have zero per-task
-        # setup (the _probe_cap rationale applies only to pa.Table.join
-        # broadcast stages, which rebuild hash state per task)
+        # no concurrency cap: searchsorted probes have zero per-task setup
         qualified = links_ds.map_batches(
             _broadcast_semi_filter(urls_ref),
             batch_format="pyarrow",
