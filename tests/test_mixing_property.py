@@ -88,3 +88,39 @@ def test_quantization_cosine_error_bound(seed, n, dim):
     # worst-case per-component error is safe/2 = amax/254; for unit-ish
     # normal vectors that bounds cosine loss well above 0.99 at dim<=128
     assert (cos > 0.99).all()
+
+
+def test_combine_partials_multi_driver_equals_shuffle(ray_session):
+    """The two combine paths must agree exactly — mixed sum/min/max
+    merge ops over multi-key partials (the shuffle path is what runs
+    beyond DRIVER_MERGE_LIMIT, so it needs the same semantics)."""
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table(
+        {
+            "k1": pa.array(rng.integers(0, 7, n)),
+            "k2": pa.array([f"g{i}" for i in rng.integers(0, 11, n)]),
+            "s": pa.array(rng.integers(-100, 100, n)),
+            "mn": pa.array(rng.integers(0, 1000, n)),
+            "mx": pa.array(rng.normal(size=n)),
+        }
+    )
+    aggs = {"s": "sum", "mn": "min", "mx": "max"}
+
+    def run(mode):
+        ds = ray.data.from_arrow(t).repartition(8)
+        out = combine_partials_multi(ds, ["k1", "k2"], aggs, mode=mode)
+        df = out.to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+        return df[["k1", "k2", "s", "mn", "mx"]]
+
+    a, b = run("driver"), run("shuffle")
+    assert len(a) == len(b)
+    assert (a["k1"] == b["k1"]).all() and (a["k2"] == b["k2"]).all()
+    assert (a["s"].astype("int64") == b["s"].astype("int64")).all()
+    assert (a["mn"].astype("int64") == b["mn"].astype("int64")).all()
+    assert np.allclose(a["mx"], b["mx"])
