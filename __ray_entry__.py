@@ -508,21 +508,44 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_embedding_neardup_lsh(sf_dir: str):
-    """Scale path: bucketed multi-table hyperplane LSH (approximate).
+    """Approximate embedding near-dup, BOTH scale paths, kind-tagged union:
 
-    Bucket-bit count must be sized to tau: P(bit agrees) = 1 - theta/pi,
-    so at this fixture's LOW tau (0.45, theta ~63 deg) the default 12-bit
-    buckets give ~3% recall by construction. 4 planes x 12 tables puts
-    recall near 0.8 here (measured 11/14 true pairs); the (12, 6) default
-    is tuned for realistic near-dup thresholds (tau >= 0.9)."""
+    - kind='lsh': bucketed multi-table hyperplane LSH pairs (a, b),
+      cluster=-1. Bucket-bit count must be sized to tau: P(bit agrees)
+      = 1 - theta/pi, so at this fixture's LOW tau (0.45, theta ~63 deg)
+      the default 12-bit buckets give ~3% recall by construction; 4
+      planes x 12 tables puts recall near 0.8 here (measured 11/14 true
+      pairs); the (12, 6) default is tuned for realistic tau >= 0.9.
+    - kind='semantic': SemDeDup (pipelines/cluster.py) — exact-int64
+      k-means partition + per-cluster cosine components; a=vec_id,
+      b=rep_id (min id of the component; a==b means keep).
+    Both deterministic across block layouts -> golden-pinnable; semantic
+    correctness via tests/test_cluster.py (bruteforce equivalence) and
+    tests/test_dedup.py (LSH recall)."""
+    import pandas as pd
+
+    from shaclapi_ray.pipelines.cluster import semantic_dedup
     from shaclapi_ray.pipelines.dedup import embedding_neardup_pairs
 
-    return _sorted(
-        embedding_neardup_pairs(
-            _emb(sf_dir), tau=EMB_NEARDUP_TAU, method="lsh", n_planes=4, n_tables=12
-        ),
-        ["a", "b"],
+    lsh = embedding_neardup_pairs(
+        _emb(sf_dir), tau=EMB_NEARDUP_TAU, method="lsh", n_planes=4, n_tables=12
+    ).to_pandas()
+    lsh.insert(0, "kind", "lsh")
+    lsh["cluster"] = -1
+    sem_raw = semantic_dedup(
+        _emb(sf_dir), k=4, tau=EMB_NEARDUP_TAU, iters=8, seed=3
+    ).to_pandas()
+    sem = pd.DataFrame(
+        {
+            "kind": "semantic",
+            "a": sem_raw["vec_id"].astype("int64"),
+            "b": sem_raw["rep_id"].astype("int64"),
+            "cluster": sem_raw["cluster"].astype("int64"),
+        }
     )
+    out = pd.concat([lsh, sem], ignore_index=True)
+    out["cluster"] = out["cluster"].astype("int64")
+    return _sorted(out, ["kind", "a", "b"])
 
 
 def _q_embed_corpus(sf_dir: str):
@@ -1141,7 +1164,7 @@ GOLDEN_QUERIES: dict[str, list[str]] = {
     "rolling_fingerprint": ["doc_id"],
     "minhash_clusters": ["doc_id"],
     "dedup_corpus_minhash": ["doc_id"],
-    "embedding_neardup_lsh": ["a", "b"],
+    "embedding_neardup_lsh": ["kind", "a", "b"],
     "knn_ivf": ["query_id", "rank"],
     "transform_media": ["url", "kind", "idx"],
 }
