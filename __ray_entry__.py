@@ -477,9 +477,22 @@ def _q_dedup_corpus(sf_dir: str):
 
 
 def _q_dedup_corpus_minhash(sf_dir: str):
+    """Near-dup corpus materializers, kind-tagged union of BOTH scale
+    strategies over the same documents table: kind='minhash' (LSH
+    cluster reps) and kind='semantic' (SemDeDup — hash-embed + exact
+    k-means + per-cluster cosine components, pipelines/cluster.py).
+    Both deterministic across layouts -> one golden pins the pair."""
+    import pandas as pd
+
     from shaclapi_ray.pipelines.dedup import dedup_corpus
 
-    return _sorted(dedup_corpus(_docs(sf_dir), strategy="minhash"), ["doc_id"])
+    m = dedup_corpus(_docs(sf_dir), strategy="minhash").to_pandas()
+    m.insert(0, "kind", "minhash")
+    s = dedup_corpus(
+        _docs(sf_dir), strategy="semantic", semantic_k=4, semantic_tau=0.995
+    ).to_pandas()
+    s.insert(0, "kind", "semantic")
+    return _sorted(pd.concat([m, s], ignore_index=True), ["kind", "doc_id"])
 
 
 def _q_ngram_jaccard(sf_dir: str):
@@ -1163,7 +1176,7 @@ GOLDEN_QUERIES: dict[str, list[str]] = {
     "hll_distinct_urls": ["distinct_est"],
     "rolling_fingerprint": ["doc_id"],
     "minhash_clusters": ["doc_id"],
-    "dedup_corpus_minhash": ["doc_id"],
+    "dedup_corpus_minhash": ["kind", "doc_id"],
     "embedding_neardup_lsh": ["kind", "a", "b"],
     "knn_ivf": ["query_id", "rank"],
     "transform_media": ["url", "kind", "idx"],

@@ -170,6 +170,37 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     iset = set(zip(ivf_res["df"]["query_id"], ivf_res["df"]["neighbor_id"]))
     ivf_recall = round(len(bset & iset) / max(1, len(bset)), 4)
 
+    # SemDeDup at a size that actually exercises the k-means passes, the
+    # groupby(cluster) shuffle, and the per-cluster cosine matmuls — the
+    # sf embeddings table is tiny, so synthesize a deterministic
+    # 100k x 64 blob mixture (32 centers) on the driver (~26 MB).
+    import numpy as _np
+
+    from shaclapi_ray.pipelines.cluster import semantic_dedup
+
+    _rng = _np.random.default_rng(42)
+    _base = _rng.normal(0, 1, (32, 64))
+    _vecs = (
+        _base[_rng.integers(0, 32, 100_000)] + _rng.normal(0, 0.3, (100_000, 64))
+    ).astype(_np.float32)
+    _offs = __import__("pyarrow").array(
+        _np.arange(0, (100_000 + 1) * 64, 64, dtype=_np.int32)
+    )
+    import pyarrow as _pa
+
+    _sem_tbl = _pa.table(
+        {
+            "vec_id": _pa.array(_np.arange(100_000, dtype=_np.int64)),
+            "embedding": _pa.ListArray.from_arrays(_offs, _pa.array(_vecs.ravel())),
+        }
+    )
+    _sem_ds = ray.data.from_arrow(_sem_tbl).repartition(num_cpus).materialize()
+    timed(
+        "semantic_dedup_100k",
+        lambda: semantic_dedup(_sem_ds, k=32, tau=0.99, iters=4).count(),
+        rows=100_000,
+    )
+
     from shaclapi_ray.pipelines.dedup import exact_dedup, minhash_lsh_clusters
 
     timed("exact_dedup", lambda: exact_dedup(docs).count(), rows=n_doc_rows)

@@ -33,36 +33,50 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from shaclapi_ray.pipelines.knn import KNUTH, _ids, _normalize, _to_matrix
+from shaclapi_ray.pipelines.knn import KNUTH, _ids, _to_matrix
 
 QSCALE = 1 << 20  # vector quantization step for exact int64 accumulation
+
+
+def _normalize32(mat: np.ndarray) -> np.ndarray:
+    """Unit-normalize in float32: the per-group similarity matmuls run
+    ~4x faster than float64 on this BLAS and the goldens pin the (still
+    fully deterministic) float32 results. The knn/__ray_entry__ paths
+    keep float64 `_normalize` for DuckDB-SQL oracle parity."""
+    m = np.ascontiguousarray(mat, dtype=np.float32)
+    if m.size == 0:
+        return m
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n > 0, n, 1.0).astype(np.float32)
 
 
 def _sample_matrix(
     emb_ds, sample_size: int, seed: int, vec_col: str, id_col: str
 ) -> np.ndarray:
-    """Deterministic Knuth-hash sample of normalized vectors, sorted by
-    id — reproducible across block layouts (same trick as
-    knn._train_centroids; ds.random_sample would depend on the layout)."""
+    """Deterministic sample of normalized vectors: the ``sample_size``
+    rows with globally smallest Knuth hash of (id + seed) — ONE pass
+    (per-batch bottom-k partials, driver merge of <= sample_size rows
+    per block), reproducible across block layouts (ds.random_sample
+    would depend on the layout, and a threshold-filter sample would
+    need an extra count() pass)."""
     import ray
-
-    rows = max(1, emb_ds.count())
-    threshold = min(1 << 32, int((1 << 32) * min(1.0, 1.25 * sample_size / rows)))
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = _ids(batch[id_col]).astype(np.uint64)
-        keep = ((ids + np.uint64(seed)) * np.uint64(KNUTH)) % np.uint64(
-            1 << 32
-        ) < threshold
-        return batch.filter(pa.array(keep))
+        h = (ids + np.uint64(seed)) * np.uint64(KNUTH)  # wraps mod 2^64
+        k = min(sample_size, len(h))
+        part = np.argpartition(h, k - 1)[:k] if len(h) > k else np.arange(len(h))
+        sub = batch.take(pa.array(part))
+        return sub.append_column("__h", pa.array(h[part].view(np.int64)))
 
     tbl = pa.concat_tables(
         ray.get(emb_ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
     )
     if tbl.num_rows == 0:  # empty refs drop the schema — can't index columns
-        return np.empty((0, 0))
-    order = np.argsort(_ids(tbl[id_col]), kind="stable")[:sample_size]
-    return _normalize(_to_matrix(tbl[vec_col])[order])
+        return np.empty((0, 0), dtype=np.float32)
+    h = tbl["__h"].to_numpy(zero_copy_only=False).view(np.uint64)
+    order = np.lexsort((_ids(tbl[id_col]), h))[:sample_size]
+    return _normalize32(_to_matrix(tbl[vec_col])[order])
 
 
 def kmeans_fit(
@@ -77,7 +91,7 @@ def kmeans_fit(
     """Distributed Lloyd's k-means over unit-normalized vectors (cosine
     geometry: assignment = argmax dot product, centroids re-normalized).
 
-    Returns the (k, dim) float64 centroid matrix. Deterministic for a
+    Returns the (k, dim) float32 centroid matrix. Deterministic for a
     given (k, iters, seed, corpus) independent of block layout: per-batch
     partial sums are exact int64 (see module docstring) and the combine
     is a plain integer np.add.at. Empty clusters keep their previous
@@ -90,14 +104,14 @@ def kmeans_fit(
         raise ValueError("kmeans_fit: empty embedding dataset")
     rng = np.random.default_rng(seed)
     k_eff = min(k, len(smat))
-    cent = _normalize(smat[rng.choice(len(smat), size=k_eff, replace=False)])
+    cent = _normalize32(smat[rng.choice(len(smat), size=k_eff, replace=False)])
 
     for _ in range(iters):
         ref = ray.put(np.ascontiguousarray(cent))
 
         def partial(batch: pa.Table, _ref=ref, _k=k_eff) -> pa.Table:
             c = ray.get(_ref)
-            mat = _normalize(_to_matrix(batch[vec_col]))
+            mat = _normalize32(_to_matrix(batch[vec_col]))
             if mat.size == 0:
                 return pa.table(
                     {
@@ -140,8 +154,10 @@ def kmeans_fit(
         np.add.at(totc, cl, cnt)
         new = cent.copy()
         nz = totc > 0
-        new[nz] = tot[nz] / (totc[nz, None] * float(QSCALE))
-        new = _normalize(new)
+        # exact int64 sums -> float64 means -> float32 cast: still a
+        # deterministic function of the (layout-independent) totals
+        new[nz] = (tot[nz] / (totc[nz, None] * float(QSCALE))).astype(np.float32)
+        new = _normalize32(new)
         if np.array_equal(new, cent):
             break
         cent = new
@@ -153,11 +169,11 @@ def kmeans_assign(emb_ds, centroids: np.ndarray, vec_col: str = "embedding"):
     Centroids broadcast once via ray.put; per-batch argmax matmul."""
     import ray
 
-    ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float64))
+    ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float32))
 
     def fn(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        mat = _normalize(_to_matrix(batch[vec_col]))
+        mat = _normalize32(_to_matrix(batch[vec_col]))
         a = (
             np.argmax(mat @ c.T, axis=1).astype(np.int64)
             if mat.size
@@ -190,7 +206,7 @@ def _group_dedup(t: pa.Table, tau: float, vec_col: str, id_col: str) -> pa.Table
         )
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    mat = _normalize(_to_matrix(t[vec_col]))[order]
+    mat = _normalize32(_to_matrix(t[vec_col])[order])
     cluster = int(t["cluster"][0].as_py())
     ea_all, eb_all = [], []
     for s in range(0, n, _SIM_CHUNK):

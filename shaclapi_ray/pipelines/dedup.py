@@ -240,12 +240,22 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 DROPSET_BROADCAST_LIMIT = 50_000_000  # sorted int64 ids, 8 B each => <=400 MB
 
 
-def dedup_corpus(docs_ds, strategy: str = "exact", text_col: str = "text"):
+def dedup_corpus(
+    docs_ds,
+    strategy: str = "exact",
+    text_col: str = "text",
+    emb_ds=None,
+    semantic_k: int = 8,
+    semantic_tau: float = 0.9,
+):
     """The deduplicated documents table itself: every input column, one
     surviving row (min doc_id) per duplicate group.
 
-    ``strategy``: 'exact' (byte-identical ``text_col``) or 'minhash'
-    (near-duplicate clusters via minhash_lsh_clusters).
+    ``strategy``: 'exact' (byte-identical ``text_col``), 'minhash'
+    (near-duplicate clusters via minhash_lsh_clusters), or 'semantic'
+    (SemDeDup: embedding k-means + per-cluster cosine components;
+    ``semantic_k``/``semantic_tau`` size it, ``emb_ds`` supplies
+    precomputed (doc_id, embedding) rows).
 
     Scale shape: the DROP set (ids of non-canonical rows) is proportional
     to the number of DUPLICATES, not the corpus — for exact dedup it is
@@ -323,6 +333,22 @@ def dedup_corpus(docs_ds, strategy: str = "exact", text_col: str = "text"):
         drops = clusters.filter(expr="doc_id != cluster_id").select_columns(
             ["doc_id"]
         )
+    elif strategy == "semantic":
+        # SemDeDup (pipelines/cluster.py): embed -> k-means partition ->
+        # per-cluster cosine components; drop every member whose
+        # component has a smaller-id representative. Embeddings are
+        # materialized once (dim*4 bytes/doc — 2-3 orders narrower than
+        # the text column) so the k-means iterations don't re-run the
+        # embedder; at persistent-corpus scale pass precomputed
+        # embeddings via ``emb_ds`` instead.
+        from shaclapi_ray.pipelines.cluster import semantic_dedup
+        from shaclapi_ray.pipelines.knn import embed_corpus
+
+        emb = emb_ds if emb_ds is not None else embed_corpus(docs_ds).materialize()
+        sem = semantic_dedup(
+            emb, k=semantic_k, tau=semantic_tau, id_col="doc_id"
+        )
+        drops = sem.filter(expr="doc_id != rep_id").select_columns(["doc_id"])
     else:
         raise ValueError(f"unknown dedup_corpus strategy {strategy!r}")
 

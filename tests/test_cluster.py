@@ -121,6 +121,25 @@ def test_semantic_dedup_layout_independent():
     assert a.equals(b)
 
 
+def test_dedup_corpus_semantic_drops_exact_dups():
+    """Corpus-level composition: embed -> SemDeDup -> drop non-reps.
+    Identical texts embed identically (cosine 1.0) so they must always
+    collapse to the min doc_id regardless of clustering."""
+    from shaclapi_ray.pipelines.dedup import dedup_corpus
+
+    texts = [f"unique document number {i} with words {i * 7} and {i * 13}" for i in range(40)]
+    texts[11] = texts[3]
+    texts[25] = texts[3]
+    t = pa.table(
+        {"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)}
+    )
+    out = dedup_corpus(
+        rd.from_arrow(t), strategy="semantic", semantic_k=2, semantic_tau=0.9999
+    ).to_pandas()
+    assert set(out["doc_id"]) == set(range(40)) - {11, 25}
+    assert list(out.columns) == ["doc_id", "text"]
+
+
 def test_kmeans_empty_raises():
     ds = rd.from_arrow(_emb_table(np.empty((0, 4)))).repartition(1)
     with pytest.raises(ValueError):
