@@ -836,15 +836,21 @@ def _merge_docs(frames: list, key: str = "doc_id"):
 
 
 def _q_doc_signals(sf_dir: str):
-    """token_count + lang_id + fingerprint joined on doc_id (each is a
-    row-wise map over documents; doc_id is unique)."""
+    """token_count + lang_id + fingerprint + Naive-Bayes classifier
+    (self-trained on the lang column — the learned counterpart of the
+    stopword heuristic) joined on doc_id (each is a row-wise map over
+    documents; doc_id is unique)."""
+    from shaclapi_ray.pipelines.classify import nb_classify, train_nb
     from shaclapi_ray.pipelines.textstats import fingerprint, lang_id, token_count
 
     docs = _docs(sf_dir)
+    nb = nb_classify(_docs(sf_dir), train_nb(_docs(sf_dir))).to_pandas()
+    nb = nb.rename(columns={"pred": "nb_pred", "score": "nb_score"})
     frames = [
         token_count(docs).to_pandas(),
         lang_id(_docs(sf_dir)).to_pandas(),
         fingerprint(_docs(sf_dir)).to_pandas(),
+        nb,
     ]
     return _sorted(_merge_docs(frames), ["doc_id"])
 
@@ -1302,7 +1308,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             order="url",
         ),
         "doc_signals": _join_sql(
-            [o.token_count_sql(), o.lang_id_sql(), o.fingerprint_sql()],
+            [
+                o.token_count_sql(),
+                o.lang_id_sql(),
+                o.fingerprint_sql(),
+                o.nb_classify_sql(),
+            ],
             on="doc_id",
             order="doc_id",
         ),

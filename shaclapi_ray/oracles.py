@@ -661,6 +661,58 @@ def fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 
 
+def nb_classify_sql(label_col: str = "lang", alpha: float = 1.0) -> str:
+    """Mirror of pipelines.classify.train_nb + nb_classify (self-train on
+    the documents table): multinomial NB with Laplace ``alpha``, priors
+    ln(n_c/N), conditionals ln((cnt+alpha)/(N_c+alpha*V)) over the
+    corpus-wide distinct-token vocabulary V; prediction = argmax with
+    label-ascending tie-break, score = the winner's log-probability."""
+    a = float(alpha)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+),
+cls AS (
+  SELECT {label_col} AS label, count(*)::DOUBLE AS n_docs FROM documents
+  GROUP BY {label_col}
+),
+tot AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tc AS (
+  SELECT d.{label_col} AS label, t.token, count(*)::DOUBLE AS cnt
+  FROM toks t JOIN documents d USING (doc_id) GROUP BY d.{label_col}, t.token
+),
+nc AS (SELECT label, sum(cnt) AS n_tok FROM tc GROUP BY label),
+vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM toks),
+tok_scores AS (
+  SELECT t.doc_id, c.label,
+         sum(ln((coalesce(tc.cnt, 0) + {a}) / (nc.n_tok + {a} * vocab.v)))
+           AS tok_score
+  FROM toks t
+  CROSS JOIN cls c
+  JOIN nc ON nc.label = c.label
+  LEFT JOIN tc ON tc.label = c.label AND tc.token = t.token
+  CROSS JOIN vocab
+  GROUP BY t.doc_id, c.label
+),
+scored AS (
+  SELECT d.doc_id, c.label,
+         ln(c.n_docs / tot.n) + coalesce(s.tok_score, 0.0) AS score
+  FROM documents d
+  CROSS JOIN cls c
+  LEFT JOIN tok_scores s ON s.doc_id = d.doc_id AND s.label = c.label
+  CROSS JOIN tot
+),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label) AS rk
+  FROM scored
+)
+SELECT doc_id, label AS nb_pred, score AS nb_score
+FROM ranked WHERE rk = 1 ORDER BY doc_id
+"""
+
+
 def exact_dedup_sql() -> str:
     return (
         "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "

@@ -102,13 +102,21 @@ def combine_partials_multi(
         tables = [t for r in partials_ds.to_arrow_refs() if (t := ray.get(r)).num_rows]
         if not tables:
             schema = partials_ds.schema()
-            empty = pa.table(
-                {
-                    n: pa.array([], type=t)
-                    for n, t in zip(schema.names, schema.types)
-                    if n in keys or n in aggs
-                }
-            )
+            if schema is None:
+                # a fully-empty upstream loses its schema entirely —
+                # emit null-typed key/agg columns so callers can still
+                # see num_rows == 0 instead of crashing here
+                empty = pa.table(
+                    {n: pa.array([], type=pa.null()) for n in (*keys, *aggs)}
+                )
+            else:
+                empty = pa.table(
+                    {
+                        n: pa.array([], type=t)
+                        for n, t in zip(schema.names, schema.types)
+                        if n in keys or n in aggs
+                    }
+                )
             return ray.data.from_arrow(empty)
         cat = pa.concat_tables(tables)
         g = cat.group_by(keys).aggregate([(c, op) for c, op in aggs.items()])
