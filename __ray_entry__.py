@@ -236,9 +236,17 @@ def _q_link_components(sf_dir: str):
 
 
 def _q_hll_distinct_urls(sf_dir: str):
+    """Sketch estimates as a (kind, key, value) tagged union (golden):
+    kind='hll_distinct_urls' — merged HLL url-cardinality estimate;
+    kind='cms_host' / 'host_exact' — Count-Min estimated vs exact counts
+    of the top-5 linked hosts (profile.heavy_hitters), side by side so
+    the sketch's one-sided error is pinned by the golden."""
     import pandas as pd
     import ray.data
 
+    from shaclapi_ray.io import read_parquet
+    from shaclapi_ray.pipelines.profile import heavy_hitters
+    from shaclapi_ray.stages.links import extract_links
     from shaclapi_ray.state.sketches import HyperLogLog
 
     pages = ray.data.read_parquet(_pages(sf_dir), columns=["url"])
@@ -256,7 +264,29 @@ def _q_hll_distinct_urls(sf_dir: str):
     ):
         for raw in b["sketch"].to_pylist():
             merged.merge(HyperLogLog.loads(raw))
-    return pd.DataFrame({"distinct_est": [int(round(merged.estimate()))]})
+
+    hosts = extract_links(read_parquet(_pages(sf_dir), columns=["url", "html"]))
+    hh = heavy_hitters(hosts, "host", k=5)
+    out = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": ["hll_distinct_urls"],
+                    "key": [""],
+                    "value": [int(round(merged.estimate()))],
+                }
+            ),
+            pd.DataFrame(
+                {"kind": "cms_host", "key": hh["value"], "value": hh["n_cms"]}
+            ),
+            pd.DataFrame(
+                {"kind": "host_exact", "key": hh["value"], "value": hh["n_exact"]}
+            ),
+        ],
+        ignore_index=True,
+    )
+    out["value"] = out["value"].astype("int64")
+    return _sorted(out, ["kind", "key"])
 
 
 # documents / embeddings / events ------------------------------------------
@@ -1179,7 +1209,7 @@ GOLDEN_DIR = "/root/repo/fixtures/goldens"
 # the live query result) are ordered by
 GOLDEN_QUERIES: dict[str, list[str]] = {
     "drift_verdicts": ["url", "valid"],
-    "hll_distinct_urls": ["distinct_est"],
+    "hll_distinct_urls": ["kind", "key"],
     "rolling_fingerprint": ["doc_id"],
     "minhash_clusters": ["doc_id"],
     "dedup_corpus_minhash": ["kind", "doc_id"],

@@ -343,3 +343,36 @@ WITH rowsx AS (
 SELECT host, n_ref, n_cur, psi, (psi > {threshold}) AS drifted
 FROM psi ORDER BY host
 """
+
+
+def heavy_hitters(ds, col: str, k: int = 5, width: int = 8192, depth: int = 4):
+    """(value, n_exact, n_cms): the k most frequent values of ``col``
+    (ties break value-asc) with BOTH the exact count and the merged
+    Count-Min estimate — the sketch's one-sided error (n_cms >= n_exact,
+    small overshoot whp) is thereby visible, and the golden pins it.
+
+    Scale shape: ONE streaming pass over the wide data emits per-batch
+    (value, cnt) count partials; the merged CMS is built from those
+    NARROW partials with weighted adds (integer adds commute -> the
+    sketch is layout-independent), and the exact counts combine through
+    the auto driver-merge/shuffle path (exchange proportional to the
+    DISTINCT values — hosts/domains, not rows). At corpora where even
+    the distinct exchange is too wide, drop the exact leg and rank by
+    CMS over per-batch candidate top-m; here the exact leg doubles as
+    the estimate's verification."""
+    from shaclapi_ray.stages.aggregates import combine_partials, partial_counts
+    from shaclapi_ray.state.sketches import CountMinSketch
+
+    partials = partial_counts(ds, col).materialize()
+    merged = CountMinSketch(width=width, depth=depth)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        merged.add_array(b[col], weights=b["cnt"].to_numpy(zero_copy_only=False))
+
+    counts = combine_partials(partials, col, "cnt", "n_exact").to_pandas()
+    counts = counts.rename(columns={col: "value"})
+    counts = counts.sort_values(
+        ["n_exact", "value"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    est = merged.estimate_array(pa.array(counts["value"].tolist(), pa.string()))
+    counts["n_cms"] = est.astype("int64")
+    return counts.reset_index(drop=True)

@@ -288,3 +288,88 @@ def psi_statistic(a: TDigest, b: TDigest, n_bins: int = 10) -> float:
     pa_ = np.clip(pa_, 1e-6, None)
     pb = np.clip(pb, 1e-6, None)
     return float(np.sum((pa_ - pb) * np.log(pa_ / pb)))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a (depth, width)
+    int64 count matrix; add/estimate use Kirsch-Mitzenmacher double
+    hashing over a vectorized 64-bit polars string hash (no per-value
+    Python in the hot path, unlike the Bloom/HLL classes whose inputs
+    are bounded). Merge = elementwise add, so partials from any block
+    layout combine to the identical sketch — the frequency member of
+    the engine's mergeable-sketch checkpoint family (HLL uniqueness,
+    Bloom membership, t-digest distribution, CMS frequency).
+
+    Estimates overcount only: est(x) >= true(x), with overflow
+    probability exp(-depth) for error > 2N/width (N = total adds)."""
+
+    def __init__(self, width: int = 8192, depth: int = 4, counts=None):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.counts = (
+            counts
+            if counts is not None
+            else np.zeros((self.depth, self.width), dtype=np.int64)
+        )
+
+    def _positions(self, col) -> np.ndarray:
+        """(n, depth) table positions for a string array/ChunkedArray."""
+        import polars as pl
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(col if isinstance(col, pa.Array) else pa.array(col))
+        h1 = s.fill_null("").hash(seed=101).to_numpy().astype(np.uint64)
+        h2 = s.fill_null("").hash(seed=211).to_numpy().astype(np.uint64) | np.uint64(1)
+        ks = np.arange(self.depth, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.width)).astype(
+            np.int64
+        )
+
+    def add_array(self, col, weights=None) -> None:
+        """Add each value once, or ``weights[i]`` times — weighted adds
+        let the sketch ingest pre-aggregated (value, count) partials."""
+        pos = self._positions(col)
+        if pos.size == 0:
+            return
+        rows = np.broadcast_to(
+            np.arange(self.depth, dtype=np.int64), pos.shape
+        ).ravel()
+        if weights is None:
+            w = 1
+        else:
+            w = np.repeat(np.asarray(weights, dtype=np.int64), self.depth)
+        np.add.at(self.counts, (rows, pos.ravel()), w)
+
+    def estimate_array(self, col) -> np.ndarray:
+        pos = self._positions(col)
+        if pos.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        rows = np.arange(self.depth, dtype=np.int64)
+        return self.counts[rows[None, :], pos].min(axis=1)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.width == other.width and self.depth == other.depth
+        self.counts += other.counts
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            {"width": self.width, "depth": self.depth, "counts": self.counts.tobytes()}
+        )
+
+    @classmethod
+    def loads(cls, raw: bytes) -> "CountMinSketch":
+        d = pickle.loads(raw)
+        return cls(
+            width=d["width"],
+            depth=d["depth"],
+            counts=np.frombuffer(d["counts"], dtype=np.int64)
+            .reshape(d["depth"], d["width"])
+            .copy(),
+        )

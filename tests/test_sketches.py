@@ -74,3 +74,66 @@ def test_ks_psi_detect_shift():
     assert ks_statistic(a, c) > 0.5
     assert psi_statistic(a, b) < 0.1
     assert psi_statistic(a, c) > 1.0
+
+
+def test_cms_onesided_and_merge():
+    from shaclapi_ray.state.sketches import CountMinSketch
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    vals = [f"host{i}.example" for i in rng.integers(0, 200, 5000)]
+    vals += ["hot.example"] * 500
+    full = CountMinSketch(width=2048, depth=4)
+    full.add_array(pa.array(vals))
+    # split-merge equals one-shot (layout independence)
+    a = CountMinSketch(width=2048, depth=4)
+    b = CountMinSketch(width=2048, depth=4)
+    a.add_array(pa.array(vals[:2000]))
+    b.add_array(pa.array(vals[2000:]))
+    assert (a.merge(b).counts == full.counts).all()
+    # one-sided error: estimate >= true, and tight for the heavy key
+    import collections
+
+    true = collections.Counter(vals)
+    keys = list(true)
+    est = full.estimate_array(pa.array(keys))
+    exact = np.array([true[k] for k in keys])
+    assert (est >= exact).all()
+    assert est[keys.index("hot.example")] <= true["hot.example"] + 20
+    # weighted adds == repeated adds
+    w = CountMinSketch(width=2048, depth=4)
+    w.add_array(pa.array(keys), weights=exact)
+    assert (w.counts == full.counts).all()
+
+
+def test_cms_serialization_roundtrip():
+    from shaclapi_ray.state.sketches import CountMinSketch
+
+    import pyarrow as pa
+
+    c = CountMinSketch(width=128, depth=3)
+    c.add_array(pa.array(["x", "y", "x"]))
+    r = CountMinSketch.loads(c.to_bytes())
+    assert (r.counts == c.counts).all()
+    assert r.estimate_array(pa.array(["x"]))[0] == 2
+
+
+def test_heavy_hitters_ray():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shaclapi_ray.pipelines.profile import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    hosts = [f"h{i}.net" for i in rng.integers(0, 50, 3000)] + ["big.net"] * 400
+    ds = rd.from_arrow(pa.table({"host": pa.array(hosts)})).repartition(6)
+    out = heavy_hitters(ds, "host", k=3)
+    assert list(out.columns) == ["value", "n_exact", "n_cms"]
+    assert out.loc[0, "value"] == "big.net" and out.loc[0, "n_exact"] == 400
+    assert (out["n_cms"] >= out["n_exact"]).all()
+    # layout independence of the whole operator
+    out1 = heavy_hitters(
+        rd.from_arrow(pa.table({"host": pa.array(hosts)})).repartition(1), "host", k=3
+    )
+    assert out.equals(out1)
