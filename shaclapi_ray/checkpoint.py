@@ -9,7 +9,7 @@ Layout under ``out_dir``::
     MANIFEST.json                 {"completed": [...], "epoch": N}
     partitions/p{i:05d}/events/   pass-A event rows for input partition i
     partitions/p{i:05d}/links/    extracted links for input partition i
-    sketches/p{i:05d}.bin         serialized partition sketches (HLL urls,
+    sketches/p{i:05d}.bin         serialized partition sketches (HLL urls, CMS hosts,
                                   t-digest text length) — mergeable, so the
                                   global state is recoverable from any
                                   subset and order (commutative merges)
@@ -50,7 +50,7 @@ from shaclapi_ray.engine import (
 )
 from shaclapi_ray.stages.links import extract_links
 from shaclapi_ray.stages.predicates import ColumnShapeEvaluator
-from shaclapi_ray.state.sketches import HyperLogLog, TDigest
+from shaclapi_ray.state.sketches import CountMinSketch, HyperLogLog, TDigest
 
 def _stabilize_fsspec_http() -> None:
     """Make ``import fsspec.implementations.http`` deterministic under
@@ -232,21 +232,34 @@ class CheckpointedValidation:
             h.add_array(batch["url"])
             t = TDigest()
             t.add_array(pc.utf8_length(batch["text"]).to_pylist())
+            # host-frequency CMS: the checkpointed skew monitor — on
+            # resume (or mid-run) it tells the referential planner which
+            # hosts are heavy enough to need salting, without any exchange
+            from shaclapi_ray.stages.links import HOST_RE
+
+            cm = CountMinSketch(width=4096, depth=4)
+            cm.add_array(
+                pc.fill_null(
+                    pc.struct_field(pc.extract_regex(batch["url"], HOST_RE), "host"),
+                    "",
+                )
+            )
             carrier = pa.table(
                 {
-                    "url": pa.array([None, None], pa.string()),
-                    "shape_id": pa.array([None, None], pa.string()),
-                    "kind": pa.array(["sketchpart", "sketchpart"], pa.string()),
-                    "valid": pa.array([None, None], pa.bool_()),
+                    "url": pa.array([None] * 3, pa.string()),
+                    "shape_id": pa.array([None] * 3, pa.string()),
+                    "kind": pa.array(["sketchpart"] * 3, pa.string()),
+                    "valid": pa.array([None] * 3, pa.bool_()),
                     "reason": pa.array(
                         [
                             base64.b64encode(h.to_bytes()).decode(),
                             base64.b64encode(t.to_bytes()).decode(),
+                            base64.b64encode(cm.to_bytes()).decode(),
                         ],
                         pa.string(),
                     ),
-                    "constraint": pa.array(["hll", "tdigest"], pa.string()),
-                    "offending_value": pa.array([None, None], pa.string()),
+                    "constraint": pa.array(["hll", "tdigest", "cms"], pa.string()),
+                    "offending_value": pa.array([None] * 3, pa.string()),
                 },
                 schema=EVENTS_SCHEMA,
             )
@@ -294,6 +307,7 @@ class CheckpointedValidation:
             # text length — written BEFORE the manifest marks completion
             hll = HyperLogLog(p=14)
             td = TDigest()
+            cms = CountMinSketch(width=4096, depth=4)
             for batch in _filter_events(combined, kind="sketchpart").iter_batches(
                 batch_format="pyarrow"
             ):
@@ -303,10 +317,19 @@ class CheckpointedValidation:
                     blob = base64.b64decode(payload)
                     if c == "hll":
                         hll.merge(HyperLogLog.loads(blob))
+                    elif c == "cms":
+                        cms.merge(CountMinSketch.loads(blob))
                     else:
                         td.merge(TDigest.loads(blob))
             with open(os.path.join(self.out_dir, "sketches", pid + ".bin"), "wb") as fh:
-                pickle.dump({"hll": hll.to_bytes(), "tdigest": td.to_bytes()}, fh)
+                pickle.dump(
+                    {
+                        "hll": hll.to_bytes(),
+                        "tdigest": td.to_bytes(),
+                        "cms": cms.to_bytes(),
+                    },
+                    fh,
+                )
 
             os.replace(tmp_dir, part_dir)  # atomic partition commit
             wall_ms = int((time.monotonic() - t0) * 1000)
@@ -418,7 +441,7 @@ class CheckpointedValidation:
     # -- merged sketch state --------------------------------------------------
     def merged_sketches(self) -> dict:
         """Order-insensitive merge of all partition sketches."""
-        hll, td = None, None
+        hll, td, cms = None, None, None
         sk_dir = os.path.join(self.out_dir, "sketches")
         for f in sorted(os.listdir(sk_dir)):
             with open(os.path.join(sk_dir, f), "rb") as fh:
@@ -427,7 +450,10 @@ class CheckpointedValidation:
             t = TDigest.loads(d["tdigest"])
             hll = h if hll is None else hll.merge(h)
             td = t if td is None else td.merge(t)
-        return {"hll": hll, "tdigest": td}
+            if "cms" in d:  # state written by an older run lacks it
+                c = CountMinSketch.loads(d["cms"])
+                cms = c if cms is None else cms.merge(c)
+        return {"hll": hll, "tdigest": td, "cms": cms}
 
     def lineage(self) -> pa.Table:
         path = os.path.join(self.out_dir, "lineage.parquet")

@@ -97,6 +97,18 @@ def test_lineage_and_sketches(ray_session, multi_part_pages, tmp_path):
     # ~594 distinct urls (600 minus duplicate ''/null collapses)
     assert abs(est - 594) / 594 < 0.1
     assert sk["tdigest"].quantile(0.5) > 100  # text length median sane
+    # host-frequency CMS (skew monitor): every row added exactly once
+    # per depth row, and per-host estimates are one-sided around 60
+    # (600 pages over 10 round-robin hosts)
+    import pyarrow as _pa
+
+    assert sk["cms"].counts.sum() == 600 * sk["cms"].depth
+    ests = sk["cms"].estimate_array(
+        _pa.array([f"host{i}.example.org" for i in range(10)])
+    )
+    # 600 pages round-robin 10 hosts, minus the fixture's null/dup urls;
+    # CMS is one-sided so each estimate >= its (roughly 54-60) true count
+    assert (ests >= 50).all() and 540 <= ests.sum() <= 620
 
 
 def test_resume_skips_completed_partitions(ray_session, multi_part_pages, tmp_path):
