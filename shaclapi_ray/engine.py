@@ -75,6 +75,7 @@ class JobConfig:
     drift_threshold: float = 0.25
     stats_order: bool = True  # 'TARGET IN BIG' order from parquet stats
     backend: str = "auto"  # evaluation backend (backends.BACKENDS)
+    scan_pushdown: bool = True  # push weakened target filters into the read
 
 
 @dataclass
@@ -269,6 +270,55 @@ class ValidationEngine:
                     cols |= c.columns()
         return sorted(cols)
 
+    def _scan_filter_expr(self, shape_subset, pages_path: str):
+        """Weakened OR-of-target-filters scan expression for the pass-A
+        read, or None when pushdown is unsound/useless.
+
+        Sound because (a) pass A emits events only for rows matching SOME
+        shape's target (the per-batch target-mask skip), so rows outside
+        the union are pure read cost; (b) each shape's expression is a
+        SUPERSET of its targets (shapes.ir.pred_to_scan_expr weakening);
+        (c) it is disabled whenever any shape carries a Unique or Drift
+        constraint — those aggregate over ALL rows of their source read,
+        which pruning would change. A shape with an untranslatable (or
+        absent) target restriction makes the union unbounded -> None."""
+        from shaclapi_ray.shapes.ir import UniqueConstraint, pred_to_scan_expr
+
+        if any(
+            isinstance(c, (UniqueConstraint, DriftConstraint))
+            for s in self.dag.shapes.values()
+            for c in s.constraints
+        ):
+            return None
+        try:
+            import pyarrow.parquet as _pq
+
+            f = pages_path
+            import os as _os
+
+            if _os.path.isdir(pages_path):
+                names = [
+                    n for n in _os.listdir(pages_path) if n.endswith(".parquet")
+                ]
+                if not names:
+                    return None
+                f = _os.path.join(pages_path, sorted(names)[0])
+            schema = _pq.read_schema(f)
+        except Exception:
+            schema = None
+        exprs = []
+        for s in shape_subset:
+            e = pred_to_scan_expr(s.target, schema)
+            if e is None:
+                return None
+            exprs.append(e)
+        if not exprs:
+            return None
+        out = exprs[0]
+        for e in exprs[1:]:
+            out = out | e
+        return out
+
     def needs_links(self) -> bool:
         return any(
             isinstance(c, RefConstraint)
@@ -338,7 +388,17 @@ class ValidationEngine:
             # blocks (per-task overhead x blocks); too FEW blocks makes html
             # blocks multi-GB and spills the object store
             nb = target_blocks(factor=1, rows=rows_hint)
-            pages_a = _read(pages_path, columns=self.pass_a_columns(), num_blocks=nb)
+            scan = (
+                self._scan_filter_expr(pass_a_shapes, pages_path)
+                if cfg.scan_pushdown
+                else None
+            )
+            pages_a = _read(
+                pages_path,
+                columns=self.pass_a_columns(),
+                num_blocks=nb,
+                filter_expr=scan,
+            )
             pages_links = (
                 _read(pages_path, columns=["url", "html"], num_blocks=nb)
                 if self.needs_links()
@@ -513,12 +573,21 @@ class ValidationEngine:
                     for c in shape.constraints:
                         if not isinstance(c, RefConstraint):
                             cols |= c.columns()
+                    # per-shape scan pushdown: this read serves ONLY this
+                    # shape's fused eval (verdicts are target-masked), so
+                    # its own weakened target filter is always sound here
+                    ref_scan = (
+                        self._scan_filter_expr([shape], pages_source)
+                        if cfg.scan_pushdown
+                        else None
+                    )
                     pages_ref = _read(
                         pages_source,
                         columns=sorted(cols),
                         num_blocks=target_blocks(
                             factor=1, rows=getattr(self, "_rows_hint", None)
                         ),
+                        filter_expr=ref_scan,
                     )
                 else:
                     pages_ref = pages_source

@@ -67,10 +67,16 @@ def _clean_schema(path, columns=None):
     return schema
 
 
-def read_parquet(path, columns=None, num_blocks: int | None = None):
+def read_parquet(path, columns=None, num_blocks: int | None = None, filter_expr=None):
     """Plain pruned read. Ray's default block sizing (file/row-group
     granularity) beats forced small blocks when per-task overhead is high;
     pass ``num_blocks`` only to override deliberately.
+
+    ``filter_expr`` (a pyarrow.dataset Expression) is pushed into the
+    fragment scan: Arrow prunes whole ROW GROUPS whose column statistics
+    cannot match, so a warc_ts window or lang slice never leaves storage
+    (build it with ``shapes.ir.pred_to_scan_expr`` — weakened, so callers
+    must still apply the full predicate post-read).
 
     ``num_blocks`` is clamped to the file's total ROW-GROUP count: asking
     for more read tasks than row groups yields empty tasks, and Ray
@@ -78,6 +84,9 @@ def read_parquet(path, columns=None, num_blocks: int | None = None):
     untouched — a hash-shuffle join partition fed only such blocks aborts
     with 'No match for key field' (observed with Ray 2.49)."""
     schema = _clean_schema(path, columns)
+    kwargs = {}
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
     if num_blocks:
         if isinstance(path, str):
             try:
@@ -86,9 +95,13 @@ def read_parquet(path, columns=None, num_blocks: int | None = None):
             except Exception:
                 pass
         return ray.data.read_parquet(
-            path, columns=columns, schema=schema, override_num_blocks=num_blocks
+            path,
+            columns=columns,
+            schema=schema,
+            override_num_blocks=num_blocks,
+            **kwargs,
         )
-    return ray.data.read_parquet(path, columns=columns, schema=schema)
+    return ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)
 
 
 _META_CACHE: dict = {}

@@ -121,6 +121,91 @@ def pred_columns(pred: Pred | None) -> set[str]:
     return {pred["column"]}
 
 
+def pred_to_scan_expr(pred: Pred | None, schema: pa.Schema | None = None):
+    """WEAKENED pyarrow.dataset filter expression for scan-level row-group
+    pruning, or None when the predicate admits no sound restriction.
+
+    Soundness contract: the returned expression selects a SUPERSET of the
+    rows ``eval_pred`` would keep, so pushing it into
+    ``read_parquet(filter=...)`` can only skip rows every consumer would
+    drop anyway — the full predicate still runs post-read. Weakening
+    rules: AND may drop untranslatable conjuncts; OR requires every
+    branch translatable (an unbounded branch makes the whole OR
+    unbounded); NOT is never pushed (negating a weakened inner would
+    STRENGTHEN and could drop matching rows); regex / len_range are not
+    stats-prunable. Null handling matches eval_pred (nulls fail value
+    predicates; Arrow's filter drops null-valued comparisons the same
+    way). ``schema`` coerces ISO timestamp strings like _coerce_scalar.
+
+    This is the read-side half of the reference's target-query pushdown
+    (/root/reference/shaclapi/query.py:194-244): the driver-side
+    intersection narrows WHICH rows are targets, this narrows which row
+    groups ever leave storage — the lever that matters at 10^12 rows
+    when targets are a warc_ts window or a lang slice."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset  # noqa: F401  (registers Expression methods)
+
+    if pred is None or pred.get("op") == "true":
+        return None
+    op = pred["op"]
+    if op == "and":
+        parts = [
+            e
+            for e in (pred_to_scan_expr(a, schema) for a in pred["args"])
+            if e is not None
+        ]
+        if not parts:
+            return None
+        out = parts[0]
+        for e in parts[1:]:
+            out = out & e
+        return out
+    if op == "or":
+        parts = [pred_to_scan_expr(a, schema) for a in pred["args"]]
+        if any(e is None for e in parts) or not parts:
+            return None
+        out = parts[0]
+        for e in parts[1:]:
+            out = out | e
+        return out
+    if op in ("not", "regex", "len_range"):
+        return None
+
+    col = pred["column"]
+    f = _pc.field(col)
+
+    def coerce(v: Any):
+        # python-value coercion (expressions take plain values; the only
+        # lossy case is ISO timestamp strings, mirrored from _coerce_scalar)
+        if schema is not None and col in schema.names:
+            t = schema.field(col).type
+            if pa.types.is_timestamp(t) and isinstance(v, str):
+                return datetime.fromisoformat(v.replace("Z", "+00:00")).replace(
+                    tzinfo=None
+                )
+        return v
+
+    if op == "not_null":
+        return f.is_valid()
+    if op == "is_null":
+        return f.is_null()
+    if op == "in":
+        return f.isin([coerce(v) for v in pred["values"]])
+    if op in ("==", "eq"):
+        return f == coerce(pred["value"])
+    if op in ("!=", "ne"):
+        return f != coerce(pred["value"])
+    if op == "range":
+        out = None
+        if pred.get("min") is not None:
+            out = f >= coerce(pred["min"])
+        if pred.get("max") is not None:
+            hi = f <= coerce(pred["max"])
+            out = hi if out is None else out & hi
+        return out
+    return None
+
+
 def pred_to_sql(
     pred: Pred | None, col_map: dict[str, str] | None = None
 ) -> str:
