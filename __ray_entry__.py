@@ -629,10 +629,25 @@ def _q_knn_bruteforce(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    from shaclapi_ray.pipelines.knn import knn_ivf
+    """Approximate ANN, both compressed paths, kind-tagged union:
+    kind='ivf' — bucket-partitioned IVF probe (I/O-pruned);
+    kind='pq' — product-quantized ADC search (pipelines/pq.py, 32×
+    smaller codes). Both deterministic -> one golden pins the pair."""
+    import pandas as pd
 
+    from shaclapi_ray.pipelines.knn import knn_ivf
+    from shaclapi_ray.pipelines.pq import pq_search
+
+    ivf = knn_ivf(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+    if hasattr(ivf, "to_pandas"):
+        ivf = ivf.to_pandas()
+    ivf.insert(0, "kind", "ivf")
+    pq = pq_search(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K, m=8)
+    if hasattr(pq, "to_pandas"):
+        pq = pq.to_pandas()
+    pq.insert(0, "kind", "pq")
     return _sorted(
-        knn_ivf(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K), ["query_id", "rank"]
+        pd.concat([ivf, pq], ignore_index=True), ["kind", "query_id", "rank"]
     )
 
 
@@ -1214,7 +1229,7 @@ GOLDEN_QUERIES: dict[str, list[str]] = {
     "minhash_clusters": ["doc_id"],
     "dedup_corpus_minhash": ["kind", "doc_id"],
     "embedding_neardup_lsh": ["kind", "a", "b"],
-    "knn_ivf": ["query_id", "rank"],
+    "knn_ivf": ["kind", "query_id", "rank"],
     "transform_media": ["url", "kind", "idx"],
 }
 

@@ -1,0 +1,221 @@
+"""Product quantization for embedding ANN (Jegou, Douze, Schmid 2011).
+
+The compression lever beyond int8 (pipelines/knn.quantize_embeddings):
+PQ stores each unit-normalized vector as ``m`` uint8 codebook indices —
+64 float32 dims (256 B) become 8 bytes (32x) — and searches with
+asymmetric distance computation (ADC): the query stays exact, each
+candidate's score is a sum of ``m`` table lookups, no decode. This is
+the standard shape for 100 TB embedding corpora (FAISS IVF-PQ): codes
+small enough to shuffle/broadcast freely, scan cost m lookups/vector.
+
+Ray-Data shapes:
+- ``pq_train`` — codebooks fit driver-side on the deterministic
+  bottom-k-by-hash sample (cluster._sample_matrix, ONE streaming pass);
+  per-subspace exact float32 Lloyd's. Sample-fit is the standard PQ
+  recipe (training needs ~100x k points, not the corpus) and keeps the
+  model a layout-independent function of the dataset.
+- ``pq_encode`` — one map_batches pass; codebooks broadcast once via
+  ray.put; per-subspace argmin over ||x - c||^2 fully vectorized.
+- ``pq_search`` — ADC: per-query (m, k) dot-product LUT broadcast once;
+  per batch of codes the score matrix is m fancy-indexed adds (no
+  per-row Python); local top-k then the shared driver/grouped merge
+  from pipelines/knn (same contract and tie-breaks as knn_bruteforce).
+
+No counterpart in the reference (SDM-TIB/shaclAPI has no vector
+search); extends the engine's ANN surface (knn_bruteforce exact,
+knn_ivf partition-pruned, PQ compressed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from shaclapi_ray.pipelines.cluster import _normalize32, _sample_matrix
+from shaclapi_ray.pipelines.knn import (
+    GROUPED_MERGE_Q,
+    _final_topk_driver,
+    _final_topk_grouped,
+    _ids,
+    _to_matrix,
+)
+
+
+def _driver_kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Exact float32 Lloyd's over a driver-held sample; deterministic for
+    (x, k, iters, seed). Empty clusters keep their previous centroid."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    k_eff = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k_eff, replace=False)].copy()
+    for _ in range(iters):
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+        d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        assign = np.argmin(d, axis=1)
+        new = cent.copy()
+        for j in range(k_eff):
+            mask = assign == j
+            if mask.any():
+                new[j] = x[mask].mean(axis=0, dtype=np.float64).astype(np.float32)
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    return cent
+
+
+def pq_train(
+    emb_ds,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 20,
+    seed: int = 7,
+    sample_size: int = 8192,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Fit per-subspace codebooks. Returns {'codebooks': (m, k, dsub)
+    float32, 'm': m, 'dsub': dsub}. Vectors are unit-normalized before
+    splitting (the search ranks by approximate cosine)."""
+    smat = _sample_matrix(emb_ds, sample_size, seed, vec_col, id_col)
+    if len(smat) == 0:
+        raise ValueError("pq_train: empty embedding dataset")
+    dim = smat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack(
+        [
+            _driver_kmeans(smat[:, j * dsub : (j + 1) * dsub], k, iters, seed + j)
+            for j in range(m)
+        ]
+    )
+    return {"codebooks": books, "m": m, "dsub": dsub}
+
+
+def pq_encode(emb_ds, model: dict, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """(vec_id, code list<uint8>): each vector's m codebook indices."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(model["codebooks"]))
+    m, dsub = model["m"], model["dsub"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        mat = _normalize32(_to_matrix(batch[vec_col]))
+        n = mat.shape[0] if mat.size else batch.num_rows
+        codes = np.zeros((n, m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub] if mat.size else mat
+            c = books[j]
+            if sub.size:
+                d = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+                codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+        offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "code": pa.ListArray.from_arrays(offs, pa.array(codes.ravel())),
+            }
+        )
+
+    return emb_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_search(
+    emb_ds,
+    query_ids: list[int],
+    k: int = 10,
+    model: dict | None = None,
+    codes_ds=None,
+    merge: str = "auto",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **train_kwargs,
+):
+    """(query_id, neighbor_id, rank): approximate cosine top-k via ADC.
+
+    Queries are read EXACT from ``emb_ds`` (asymmetric: only candidates
+    are quantized); ``codes_ds`` reuses a persisted pq_encode output,
+    otherwise codes are computed in-pipeline. Self-matches excluded;
+    ties break (score desc, neighbor_id asc) exactly like
+    knn_bruteforce, so outputs are layout-independent and
+    golden-pinnable."""
+    import pyarrow.compute as pc
+    import ray
+
+    if model is None:
+        model = pq_train(emb_ds, vec_col=vec_col, id_col=id_col, **train_kwargs)
+    m, dsub = model["m"], model["dsub"]
+    books = model["codebooks"]  # (m, kc, dsub)
+
+    qset = sorted(int(q) for q in query_ids)
+
+    def pick_queries(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch[id_col], value_set=pa.array(qset, type=pa.int64()))
+        )
+
+    qtbl = pa.concat_tables(
+        ray.get(
+            emb_ds.map_batches(pick_queries, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    q_ids = _ids(qtbl[id_col])
+    q_mat = _normalize32(_to_matrix(qtbl[vec_col]))
+    # per-query LUT of subspace dot products: (Q, m, kc) — score of a
+    # candidate = sum_j LUT[q, j, code_j] ~= cosine(q, candidate)
+    Q = len(q_ids)
+    lut = (
+        np.einsum("qjd,jkd->qjk", q_mat.reshape(Q, m, dsub), books)
+        if Q
+        else np.zeros((0, m, books.shape[1]), np.float32)
+    )
+    lut_ref = ray.put((q_ids, np.ascontiguousarray(lut, dtype=np.float32)))
+
+    codes = codes_ds if codes_ds is not None else pq_encode(emb_ds, model, vec_col, id_col)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q_ids, lut = ray.get(lut_ref)
+        ids = _ids(batch[id_col])
+        col = batch["code"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n = len(ids)
+        cmat = flat.reshape(n, m).astype(np.int64)
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        if n == 0 or len(q_ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        # scores (Q, n): m fancy-indexed adds, no per-row Python
+        scores = np.zeros((len(q_ids), n), dtype=np.float32)
+        for j in range(m):
+            scores += lut[:, j, cmat[:, j]]
+        kk = min(k, n)
+        for qi, qid in enumerate(q_ids):
+            s = scores[qi].astype(np.float64)
+            cand = np.nonzero(ids != qid)[0]
+            if cand.size == 0:
+                continue
+            order = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+            out["query_id"].extend([int(qid)] * len(order))
+            out["neighbor_id"].extend(ids[order].tolist())
+            out["sim"].extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    candidates = codes.map_batches(
+        batch_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if merge == "grouped" or (merge == "auto" and len(qset) > GROUPED_MERGE_Q):
+        return _final_topk_grouped(candidates, k)
+    return _final_topk_driver(candidates, k)
