@@ -201,6 +201,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=100_000,
     )
 
+    # PQ over the same 100k x 64: train (sample-fit) + encode + ADC search
+    from shaclapi_ray.pipelines.pq import pq_encode, pq_search, pq_train
+
+    _pq_model = {}
+    timed(
+        "pq_train_encode_100k",
+        lambda: pq_encode(
+            _sem_ds, _pq_model.setdefault("m", pq_train(_sem_ds, m=8))
+        ).count(),
+        rows=100_000,
+    )
+    timed(
+        "pq_search_100k",
+        lambda: len(
+            pq_search(_sem_ds, list(range(8)), k=10, model=_pq_model["m"])
+        ),
+        rows=100_000,
+    )
+
     from shaclapi_ray.pipelines.dedup import exact_dedup, minhash_lsh_clusters
 
     timed("exact_dedup", lambda: exact_dedup(docs).count(), rows=n_doc_rows)

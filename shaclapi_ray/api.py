@@ -242,8 +242,11 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "attribute_events": "shaclapi_ray.pipelines.events:attribute_events",
     "parse_props": "shaclapi_ray.pipelines.events:parse_props",
     "drop_late_events": "shaclapi_ray.pipelines.events:drop_late_events",
+    # classification
+    "nb_classify": "shaclapi_ray.pipelines.classify:nb_self_classify",
     # embeddings
     "embed_corpus": "shaclapi_ray.pipelines.knn:embed_corpus",
+    "semantic_dedup": "shaclapi_ray.pipelines.cluster:semantic_dedup",
     "quantize_embeddings": "shaclapi_ray.pipelines.knn:quantize_embeddings",
     "dequantize_embeddings": "shaclapi_ray.pipelines.knn:dequantize_embeddings",
     # graph (pages table in, per-url metrics out)

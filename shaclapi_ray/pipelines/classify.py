@@ -195,3 +195,11 @@ def nb_classify(docs_ds, model):
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nb_self_classify(docs_ds, label_col: str = "lang", alpha: float = 1.0):
+    """train_nb + nb_classify over the same corpus — the single-input
+    composition the config-driven runner / HTTP surface can invoke
+    (models aren't JSON-able; self-training is, and is exactly what the
+    doc_signals driver slot exercises)."""
+    return nb_classify(docs_ds, train_nb(docs_ds, label_col=label_col, alpha=alpha))

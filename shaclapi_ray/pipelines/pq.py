@@ -52,11 +52,12 @@ def _driver_kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
         # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
         d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
         assign = np.argmin(d, axis=1)
+        sums = np.zeros((k_eff, x.shape[1]), dtype=np.float64)
+        np.add.at(sums, assign, x)  # scatter-sum, no per-centroid loop
+        counts = np.bincount(assign, minlength=k_eff)
         new = cent.copy()
-        for j in range(k_eff):
-            mask = assign == j
-            if mask.any():
-                new[j] = x[mask].mean(axis=0, dtype=np.float64).astype(np.float32)
+        nz = counts > 0
+        new[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
         if np.array_equal(new, cent):
             break
         cent = new
