@@ -460,3 +460,33 @@ class CheckpointedValidation:
         if os.path.exists(path):
             return pq.read_table(path)
         return LINEAGE_SCHEMA.empty_table()
+
+
+def suggest_salt_k(
+    cms, total_rows: int, num_partitions: int = 32, max_k: int = 16
+) -> int:
+    """Data-driven salt factor for the skew-salted bucket join
+    (stages.referential.qualified_counts(salt_k=...)), derived from the
+    checkpointed host-frequency Count-Min sketch — the north rule's
+    "explicit salting for skewed hosts/domains" decided by measurement
+    instead of a hand-tuned constant.
+
+    Heuristic: a hash-partitioned join is balanced while the heaviest
+    key's share <= 1/num_partitions; beyond that, the hot partition is
+    ~share*num_partitions times the average, and replicating the small
+    side salt_k ways divides it back. CMS overcounts only, so the
+    suggestion errs toward salting — the safe direction. Returns 0 (no
+    salting) when balanced; otherwise ceil(share * num_partitions)
+    clamped to max_k (replication cost grows linearly with salt_k)."""
+    import math
+
+    if cms is None or total_rows <= 0:
+        return 0
+    # a key's estimate is min over depth rows of its cell, and each cell
+    # is bounded by its row's max — so min-of-row-maxima upper-bounds
+    # EVERY key's estimate, hence the heaviest key's true count
+    heaviest = int(cms.counts.max(axis=1).min())
+    share = heaviest / total_rows
+    if share <= 1.0 / num_partitions:
+        return 0
+    return min(max_k, max(2, math.ceil(share * num_partitions)))

@@ -187,3 +187,30 @@ def test_source_change_invalidates_only_touched_partition(
     a = v2[key].sort_values(key).reset_index(drop=True)
     b = ref[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_suggest_salt_k():
+    import pyarrow as pa
+
+    from shaclapi_ray.checkpoint import suggest_salt_k
+    from shaclapi_ray.state.sketches import CountMinSketch
+
+    # balanced: 1000 keys uniform over 10k rows -> no salting
+    c = CountMinSketch(width=4096, depth=4)
+    keys = [f"h{i}.org" for i in range(1000)] * 10
+    c.add_array(pa.array(keys))
+    assert suggest_salt_k(c, total_rows=10_000, num_partitions=32) == 0
+
+    # one host owns 50% of 10k rows -> hot partition ~16x average
+    hot = CountMinSketch(width=4096, depth=4)
+    hot.add_array(pa.array(["hot.org"] * 5000 + [f"h{i}.org" for i in range(5000)]))
+    k = suggest_salt_k(hot, total_rows=10_000, num_partitions=32)
+    assert k == 16  # ceil(0.5 * 32) = 16, at the clamp
+
+    # moderate skew: 10% share -> ceil(0.1 * 32) = 4
+    mid = CountMinSketch(width=4096, depth=4)
+    mid.add_array(pa.array(["warm.org"] * 1000 + [f"h{i}.org" for i in range(9000)]))
+    assert 2 <= suggest_salt_k(mid, total_rows=10_000, num_partitions=32) <= 5
+
+    assert suggest_salt_k(None, 100) == 0
+    assert suggest_salt_k(hot, 0) == 0
