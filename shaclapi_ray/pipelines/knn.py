@@ -241,40 +241,16 @@ def _train_centroids(
     return cent
 
 
-def build_ivf_index(
-    emb_ds,
-    index_dir: str,
-    n_centroids: int = 16,
-    sample_size: int = 2048,
-    seed: int = 3,
-    quantize: bool = False,
-) -> np.ndarray:
-    """One-time index build: train centroids, assign every vector to its
-    nearest centroid, and persist the corpus as BUCKET-PARTITIONED parquet
-    (``bucket=<id>/`` hive dirs) so probes read ONLY the probed buckets'
-    files — IVF's I/O pruning, not an in-memory filter over a full scan.
+def content_fingerprint(emb_ds) -> tuple[int, int]:
+    """(rows, fp): dataset-identity stamp for on-disk index reuse.
 
-    ``quantize=True`` stores symmetric int8 vectors instead of float32
-    (4x smaller index and probe I/O). Per-vector scale factors CANCEL
-    under the probe's normalization, so the int8 list is written under
-    the same ``embedding`` column and the probe path needs no change —
-    only ranking near-ties can flip (int8 grid noise).
-
-    Idempotent per (n_centroids, seed, row count): a manifest records the
-    build params; matching manifests reuse the on-disk index. Returns the
-    centroid matrix (also persisted)."""
-    import json
-    import os
-
-    import ray
-
-    # Content fingerprint, not just a row count: a different corpus with
-    # the same cardinality (or even the same vec_ids — the sf0.001 and
-    # sf0.01 fixtures share ids with different vectors) must NOT silently
-    # reuse a stale on-disk index. The fingerprint is an order- and
-    # layout-independent wrapping-uint64 sum over each row's raw vector
-    # bits weighted by (vec_id + 1) — exact (no float accumulation), so
-    # it never spuriously invalidates across block layouts.
+    A content fingerprint, not just a row count: a different corpus with
+    the same cardinality (or even the same vec_ids — the sf0.001 and
+    sf0.01 fixtures share ids with different vectors) must NOT silently
+    reuse a stale on-disk index. The fingerprint is an order- and
+    layout-independent wrapping-uint64 sum over each row's raw vector
+    bits weighted by (vec_id + 1) — exact (no float accumulation), so
+    it never spuriously invalidates across block layouts."""
     import ray as _ray_fp
 
     def fp_partial(batch: pa.Table) -> pa.Table:
@@ -304,6 +280,37 @@ def build_ivf_index(
         for nn, fp in zip(t["n"].to_pylist(), t["fp"].to_pylist()):
             rows_total += nn
             fp_total = (fp_total + int(fp)) % (1 << 64)  # wrapping merge
+    return rows_total, fp_total
+
+
+def build_ivf_index(
+    emb_ds,
+    index_dir: str,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 3,
+    quantize: bool = False,
+) -> np.ndarray:
+    """One-time index build: train centroids, assign every vector to its
+    nearest centroid, and persist the corpus as BUCKET-PARTITIONED parquet
+    (``bucket=<id>/`` hive dirs) so probes read ONLY the probed buckets'
+    files — IVF's I/O pruning, not an in-memory filter over a full scan.
+
+    ``quantize=True`` stores symmetric int8 vectors instead of float32
+    (4x smaller index and probe I/O). Per-vector scale factors CANCEL
+    under the probe's normalization, so the int8 list is written under
+    the same ``embedding`` column and the probe path needs no change —
+    only ranking near-ties can flip (int8 grid noise).
+
+    Idempotent per (n_centroids, seed, row count): a manifest records the
+    build params; matching manifests reuse the on-disk index. Returns the
+    centroid matrix (also persisted)."""
+    import json
+    import os
+
+    import ray
+
+    rows_total, fp_total = content_fingerprint(emb_ds)
     stamp = {
         "train_ver": 3,  # bump when centroid training / fingerprint changes
         "n_centroids": int(n_centroids),

@@ -220,3 +220,225 @@ def pq_search(
     if merge == "grouped" or (merge == "auto" and len(qset) > GROUPED_MERGE_Q):
         return _final_topk_grouped(candidates, k)
     return _final_topk_driver(candidates, k)
+
+
+def build_ivf_pq_index(
+    emb_ds,
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 256,
+    sample_size: int = 2048,
+    seed: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-PQ index: bucket-partitioned parquet of (vec_id, code, b) —
+    the canonical 100-TB ANN layout (FAISS IVFADC): probes read ONLY the
+    probed buckets' files (IVF's I/O pruning) and each file holds m
+    uint8 codes per vector instead of the float32 vector (PQ's 32×
+    compression), so probe I/O shrinks by BOTH factors. Idempotent per
+    content fingerprint (same stamp discipline as knn.build_ivf_index).
+    Returns (coarse_centroids, pq_model)."""
+    import json
+    import os
+
+    import ray
+
+    from shaclapi_ray.pipelines.knn import _train_centroids, content_fingerprint
+
+    rows_total, fp_total = content_fingerprint(emb_ds)
+    stamp = {
+        "kind": "ivf_pq",
+        "train_ver": 1,
+        "n_centroids": int(n_centroids),
+        "m": int(m),
+        "k": int(k),
+        "seed": int(seed),
+        "rows": int(rows_total),
+        "content_fp": str(int(fp_total)),
+        "sample_size": int(sample_size),
+    }
+    manifest = os.path.join(index_dir, "_IVF_PQ_MANIFEST.json")
+    cent_path = os.path.join(index_dir, "_centroids.npy")
+    books_path = os.path.join(index_dir, "_pq_codebooks.npy")
+    if all(os.path.exists(p) for p in (manifest, cent_path, books_path)):
+        with open(manifest) as f:
+            if json.load(f) == stamp:
+                books = np.load(books_path)
+                model = {"codebooks": books, "m": int(m), "dsub": books.shape[2]}
+                return np.load(cent_path), model
+        import shutil
+
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+
+    cent = _train_centroids(emb_ds, n_centroids, sample_size, seed)
+    model = pq_train(
+        emb_ds,
+        m=m,
+        k=k,
+        seed=seed,
+        sample_size=sample_size,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    cent_ref = ray.put(np.ascontiguousarray(cent, dtype=np.float32))
+    books_ref = ray.put(np.ascontiguousarray(model["codebooks"]))
+    dsub = model["dsub"]
+
+    def assigner(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        books = ray.get(books_ref)
+        mat = _normalize32(_to_matrix(batch[vec_col]))
+        n = mat.shape[0] if mat.size else batch.num_rows
+        bucket = (
+            np.argmax(mat @ c.T, axis=1).astype(np.int64)
+            if mat.size
+            else np.empty(0, np.int64)
+        )
+        codes = np.zeros((n, m), dtype=np.uint8)
+        for j in range(m):
+            cb = books[j]
+            sub = mat[:, j * dsub : (j + 1) * dsub] if mat.size else mat
+            if sub.size:
+                d = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+                codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+        offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "code": pa.ListArray.from_arrays(offs, pa.array(codes.ravel())),
+                "bucket": pa.array(bucket),
+                "b": pa.array(bucket),
+            }
+        )
+
+    emb_ds.map_batches(
+        assigner, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+    np.save(cent_path, cent)
+    np.save(books_path, model["codebooks"])
+    with open(manifest, "w") as f:
+        json.dump(stamp, f)
+    return cent, model
+
+
+def knn_ivf_pq(
+    emb_ds,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    index_dir: str | None = None,
+    sample_size: int = 2048,
+    seed: int = 3,
+    merge: str = "auto",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(query_id, neighbor_id, rank): IVF-pruned ADC search over the PQ
+    index — reads only the probed buckets' code files, scores each
+    candidate with m table lookups, merges with the shared knn top-k
+    contract. Recall loses to both the probe miss (as knn_ivf) and PQ
+    quantization (rank by coarse neighborhoods; rerank the top window
+    with exact vectors when fine order matters)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from shaclapi_ray.pipelines.knn import (
+        _probed_bucket_paths,
+        _final_topk_driver,
+        _final_topk_grouped,
+    )
+
+    if index_dir is None:
+        index_dir = f"/tmp/shaclapi_ray_ivfpq/c{n_centroids}_m{m}_s{seed}"
+    cent, model = build_ivf_pq_index(
+        emb_ds,
+        index_dir,
+        n_centroids=n_centroids,
+        m=m,
+        sample_size=sample_size,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    dsub = model["dsub"]
+    books = model["codebooks"]
+
+    qset = sorted(int(q) for q in query_ids)
+
+    def pick_queries(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch[id_col], value_set=pa.array(qset, type=pa.int64()))
+        )
+
+    qtbl = pa.concat_tables(
+        ray.get(
+            emb_ds.map_batches(pick_queries, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    q_ids = _ids(qtbl[id_col])
+    q_mat = _normalize32(_to_matrix(qtbl[vec_col]))
+    q_buckets = {
+        int(qid): np.argsort(-(q_mat[i] @ cent.T.astype(np.float32)))[:nprobe].tolist()
+        for i, qid in enumerate(q_ids)
+    }
+    probed: set[int] = set()
+    for bs in q_buckets.values():
+        probed.update(int(b) for b in bs)
+    paths = _probed_bucket_paths(index_dir, probed)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+    if not paths or len(q_ids) == 0:
+        return _final_topk_driver(ray.data.from_arrow(empty), k)
+    Q = len(q_ids)
+    lut = np.einsum("qjd,jkd->qjk", q_mat.reshape(Q, m, dsub), books)
+    probe_ref = ray.put(
+        (q_ids, np.ascontiguousarray(lut, dtype=np.float32), q_buckets)
+    )
+
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        p_ids, p_lut, p_buckets = ray.get(probe_ref)
+        ids = _ids(batch[id_col])
+        buckets = _ids(batch["b"])
+        col = batch["code"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(ids)
+        cmat = arr.flatten().to_numpy(zero_copy_only=False).reshape(n, m).astype(np.int64)
+        scores = np.zeros((len(p_ids), n), dtype=np.float32)
+        for j in range(m):
+            scores += p_lut[:, j, cmat[:, j]]
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(p_ids):
+            mask = np.isin(buckets, p_buckets[int(qid)]) & (ids != qid)
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            s = scores[qi].astype(np.float64)
+            order = cand[np.lexsort((ids[cand], -s[cand]))][: min(k, cand.size)]
+            out["query_id"].extend([int(qid)] * len(order))
+            out["neighbor_id"].extend(ids[order].tolist())
+            out["sim"].extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+            }
+        )
+
+    candidates = ray.data.read_parquet(
+        paths, columns=[id_col, "code", "b"]
+    ).map_batches(probe_topk, batch_format="pyarrow", zero_copy_batch=True)
+    if merge == "grouped" or (merge == "auto" and len(qset) > GROUPED_MERGE_Q):
+        return _final_topk_grouped(candidates, k)
+    return _final_topk_driver(candidates, k)

@@ -100,3 +100,72 @@ def test_train_errors():
     vecs = _clustered(dim=30)  # 30 % 8 != 0
     with pytest.raises(ValueError):
         pq_train(rd.from_arrow(_emb(vecs)), m=8)
+
+
+def test_ivf_pq_index_and_search(tmp_path):
+    """IVF-PQ: pruned + compressed search agrees with coarse-neighborhood
+    semantics; index reuse is idempotent; code files are much smaller
+    than the float32 index."""
+    import os
+
+    from shaclapi_ray.pipelines.pq import build_ivf_pq_index, knn_ivf_pq
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (12, 32))
+    labels = rng.integers(0, 12, 600)
+    vecs = base[labels] + rng.normal(0, 0.08, (600, 32))
+    ds = rd.from_arrow(_emb(vecs))
+    idx = str(tmp_path / "ivfpq")
+
+    out = knn_ivf_pq(
+        ds, [0, 1, 2, 3], k=10, n_centroids=8, nprobe=8, m=8, index_dir=idx,
+        sample_size=600,
+    )
+    assert len(out) == 40
+    same = [labels[int(q)] == labels[int(nb)] for q, nb in zip(out["query_id"], out["neighbor_id"])]
+    assert np.mean(same) >= 0.9, np.mean(same)
+
+    # idempotent: second build reuses the manifest (mtime unchanged)
+    manifest = os.path.join(idx, "_IVF_PQ_MANIFEST.json")
+    mt = os.stat(manifest).st_mtime_ns
+    out2 = knn_ivf_pq(
+        ds, [0, 1, 2, 3], k=10, n_centroids=8, nprobe=8, m=8, index_dir=idx,
+        sample_size=600,
+    )
+    assert os.stat(manifest).st_mtime_ns == mt
+    assert out.equals(out2)
+
+    # compression: total code-file bytes << a float32 vector index
+    code_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(idx)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert code_bytes < 600 * 32 * 4  # smaller than raw float32 vectors
+
+
+def test_ivf_pq_nprobe_prunes(tmp_path):
+    """With nprobe=1 only the query's own bucket is read — neighbors all
+    come from that bucket (probe pruning is real, not a full scan)."""
+    from shaclapi_ray.pipelines.pq import build_ivf_pq_index, knn_ivf_pq
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (6, 16))
+    labels = rng.integers(0, 6, 300)
+    vecs = base[labels] + rng.normal(0, 0.05, (300, 16))
+    ds = rd.from_arrow(_emb(vecs))
+    idx = str(tmp_path / "ivfpq1")
+    cent, model = build_ivf_pq_index(
+        ds, idx, n_centroids=6, m=4, sample_size=300
+    )
+    out = knn_ivf_pq(
+        ds, [0], k=5, n_centroids=6, nprobe=1, m=4, index_dir=idx, sample_size=300
+    )
+    # all neighbors share the query's coarse bucket
+    from shaclapi_ray.pipelines.cluster import _normalize32
+
+    xn = _normalize32(vecs)
+    buckets = np.argmax(xn @ cent.T.astype(np.float32), axis=1)
+    qb = buckets[0]
+    assert all(buckets[int(nb)] == qb for nb in out["neighbor_id"])
