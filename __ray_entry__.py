@@ -880,11 +880,25 @@ def _merge_docs(frames: list, key: str = "doc_id"):
     return out
 
 
+BPE_MERGES = 100
+
+
+def _bpe_part(sf_dir: str):
+    """(doc_id, bpe_tokens): corpus-trained BPE piece counts — the
+    golden-backed part of doc_signals (iterative merge training is not
+    SQL-expressible; semantic correctness in tests/test_bpe.py)."""
+    from shaclapi_ray.pipelines.bpe import bpe_token_count, train_bpe
+
+    merges = train_bpe(_docs(sf_dir), n_merges=BPE_MERGES)
+    return _sorted(bpe_token_count(_docs(sf_dir), merges), ["doc_id"])
+
+
 def _q_doc_signals(sf_dir: str):
     """token_count + lang_id + fingerprint + Naive-Bayes classifier
     (self-trained on the lang column — the learned counterpart of the
-    stopword heuristic) joined on doc_id (each is a row-wise map over
-    documents; doc_id is unique)."""
+    stopword heuristic) + corpus-trained BPE piece counts (golden part)
+    joined on doc_id (each is a row-wise map over documents; doc_id is
+    unique)."""
     from shaclapi_ray.pipelines.classify import nb_classify, train_nb
     from shaclapi_ray.pipelines.textstats import fingerprint, lang_id, token_count
 
@@ -896,6 +910,7 @@ def _q_doc_signals(sf_dir: str):
         lang_id(_docs(sf_dir)).to_pandas(),
         fingerprint(_docs(sf_dir)).to_pandas(),
         nb,
+        _bpe_part(sf_dir),
     ]
     return _sorted(_merge_docs(frames), ["doc_id"])
 
@@ -1437,6 +1452,20 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
 
     if os.path.exists(golden_path(sf_dir, "media_features_feat")):
         out["media_features"] = media_features_sql
+    if os.path.exists(golden_path(sf_dir, "doc_signals_bpe")):
+        # mixed slot: 4 SQL parts + the golden-backed BPE piece counts
+        out["doc_signals"] = _join_sql(
+            [
+                o.token_count_sql(),
+                o.lang_id_sql(),
+                o.fingerprint_sql(),
+                o.nb_classify_sql(),
+                "SELECT doc_id, bpe_tokens FROM "
+                f"read_parquet('{golden_path(sf_dir, 'doc_signals_bpe')}')",
+            ],
+            on="doc_id",
+            order="doc_id",
+        )
     for name, order_cols in GOLDEN_QUERIES.items():
         p = golden_path(sf_dir, name)
         if os.path.exists(p):

@@ -218,6 +218,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "doc_frequency": "shaclapi_ray.pipelines.textstats:doc_frequency",
     "tfidf_top_terms": "shaclapi_ray.pipelines.textstats:tfidf_top_terms",
     "unigram_logprob": "shaclapi_ray.pipelines.textstats:unigram_logprob",
+    "bpe_tokenize": "shaclapi_ray.pipelines.bpe:bpe_self_tokenize",
     "rebalance_corpus": "shaclapi_ray.pipelines.textstats:rebalance_corpus",
     "sample_corpus": "shaclapi_ray.pipelines.textstats:sample_corpus",
     "sample_stratified": "shaclapi_ray.pipelines.textstats:sample_stratified",

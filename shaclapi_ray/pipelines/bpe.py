@@ -1,0 +1,195 @@
+"""Byte-pair-encoding tokenizer training + application (Sennrich,
+Haddow & Birch 2016) over the documents table.
+
+The real version of what most corpus pipelines approximate with a
+"BPE-ish regex" token count: learn the merge table from the corpus
+itself, then tokenize with it. The classic algorithm is already
+distributed-friendly — it trains on the WORD-FREQUENCY table, not the
+corpus stream:
+
+- ``train_bpe``: ONE distributed word-count pass (pre-aggregated
+  per-batch partials -> combine_partials, exchange proportional to the
+  distinct-word vocabulary, same VOCAB_BROADCAST_LIMIT ceiling as
+  unigram_logprob), then the merge loop runs driver-side over that
+  (vocabulary-sized, corpus-independent) table with a pair->words
+  inverted index so each merge touches only the words that contain it.
+- ``bpe_token_count``: streaming map_batches; the merge table is
+  broadcast once via ray.put and compiled to a rank dict per actor
+  call; each batch dictionary-encodes its tokens so the (inherently
+  sequential) merge application runs once per DISTINCT in-batch word,
+  then piece counts propagate back over the indices vectorized.
+
+Determinism: word counts are exact integers; merge selection breaks
+count ties lexicographically on the pair, so the learned merges — and
+every downstream count — are layout-independent and golden-pinnable.
+
+No counterpart in the reference (shaclAPI validates shapes); extends
+the text-analysis surface next to token_count / unigram_logprob.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+END = "▁"  # end-of-word sentinel symbol (never a corpus char at train time)
+
+
+def _word_counts(docs_ds) -> tuple[list[str], np.ndarray]:
+    """Distinct whitespace tokens + exact corpus counts (driver-held;
+    vocabulary-proportional, ceiling-checked)."""
+    import polars as pl
+    import ray
+
+    from shaclapi_ray.pipelines.textstats import (
+        VOCAB_BROADCAST_LIMIT,
+        _explode_tokens,
+    )
+    from shaclapi_ray.stages.aggregates import combine_partials
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        counts = (
+            _explode_tokens(batch, [])
+            .group_by("t")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return counts.rename({"t": "token"}).to_arrow()
+
+    tf = combine_partials(
+        docs_ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "token",
+        "cnt",
+        "cnt",
+        "auto",
+    )
+    words, counts = [], []
+    for b in tf.iter_batches(batch_format="pyarrow"):
+        words.extend(b["token"].to_pylist())
+        counts.append(b["cnt"].to_numpy(zero_copy_only=False))
+    if len(words) > VOCAB_BROADCAST_LIMIT:
+        raise ValueError(
+            f"vocabulary has {len(words)} words (> {VOCAB_BROADCAST_LIMIT}); "
+            "train on a deterministic sample at this scale"
+        )
+    cnt = np.concatenate(counts) if counts else np.empty(0, np.int64)
+    order = np.argsort(np.asarray(words, dtype=object), kind="stable")
+    return [words[i] for i in order], cnt[order]
+
+
+def train_bpe(docs_ds, n_merges: int = 200) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ranked
+    merge list [(left, right), ...]. Ties in pair frequency break
+    lexicographically (deterministic across layouts)."""
+    import collections
+
+    words, counts = _word_counts(docs_ds)
+    # symbol sequences per distinct word (word-end marker on the last
+    # symbol keeps merges from crossing word boundaries)
+    seqs = [tuple(w) + (END,) for w in words]
+    pair_freq: collections.Counter = collections.Counter()
+    pair_words: dict[tuple[str, str], set[int]] = collections.defaultdict(set)
+    for wi, seq in enumerate(seqs):
+        c = int(counts[wi])
+        for a, b in zip(seq, seq[1:]):
+            pair_freq[(a, b)] += c
+            pair_words[(a, b)].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_freq:
+            break
+        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_freq[best] <= 0:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for wi in list(pair_words.pop(best, ())):
+            seq = seqs[wi]
+            c = int(counts[wi])
+            # remove old pair contributions for this word
+            for a, b in zip(seq, seq[1:]):
+                pair_freq[(a, b)] -= c
+                if pair_freq[(a, b)] <= 0:
+                    del pair_freq[(a, b)]
+                pair_words[(a, b)].discard(wi)
+            # apply the merge left-to-right
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[wi] = tuple(out)
+            for a, b in zip(seqs[wi], seqs[wi][1:]):
+                pair_freq[(a, b)] += c
+                pair_words[(a, b)].add(wi)
+    return merges
+
+
+def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Tokenize one word with a trained merge-rank table (greedy
+    lowest-rank-first, the standard BPE apply)."""
+    seq = list(word) + [END]
+    while len(seq) > 1:
+        pairs = [(ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(seq, seq[1:]))]
+        cand = [(r, i) for r, i in pairs if r is not None]
+        if not cand:
+            break
+        _, i = min(cand)
+        seq[i : i + 2] = [seq[i] + seq[i + 1]]
+    if seq and seq[-1] == END:
+        seq = seq[:-1]
+    elif seq and seq[-1].endswith(END):
+        seq[-1] = seq[-1][: -len(END)]
+    return seq
+
+
+def bpe_token_count(docs_ds, merges: list[tuple[str, str]]):
+    """(doc_id, bpe_tokens): number of BPE pieces per document under the
+    trained merges. Merge table broadcast once; per batch the merge
+    apply runs once per DISTINCT word (dictionary-encode), counts
+    propagate back over indices vectorized."""
+    import ray
+
+    from shaclapi_ray.pipelines.textstats import _explode_tokens
+
+    ref = ray.put([tuple(m) for m in merges])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ranks = {p: i for i, p in enumerate(ray.get(ref))}
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        totals = np.zeros(n, dtype=np.int64)
+        ex = _explode_tokens(batch, ["doc_id"])
+        if len(ex):
+            order = np.argsort(ids, kind="stable")
+            exid = ex["doc_id"].to_numpy()
+            pos = order[np.searchsorted(ids[order], exid)]
+            toks = ex["t"].to_arrow()
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            enc = pc.dictionary_encode(toks)
+            dict_vals = enc.dictionary.to_pylist()
+            piece_per_distinct = np.array(
+                [len(apply_bpe(w, ranks)) for w in dict_vals], dtype=np.int64
+            )
+            pieces = piece_per_distinct[enc.indices.to_numpy(zero_copy_only=False)]
+            np.add.at(totals, pos, pieces)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "bpe_tokens": pa.array(totals)}
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bpe_self_tokenize(docs_ds, n_merges: int = 200):
+    """train_bpe + bpe_token_count over the same corpus — the
+    single-input composition for the config-driven runner / HTTP
+    surface (a pre-trained merge table is list-of-pairs JSON; pass it
+    to bpe_token_count directly when reusing one)."""
+    return bpe_token_count(docs_ds, train_bpe(docs_ds, n_merges=n_merges))

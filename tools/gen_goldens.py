@@ -49,6 +49,7 @@ def main(sf_dirs: list[str]) -> None:
         os.makedirs(out_dir, exist_ok=True)
         targets = {n: qs[n] for n in entry.GOLDEN_QUERIES}
         targets["media_features_feat"] = entry._media_feat_part
+        targets["doc_signals_bpe"] = entry._bpe_part
         for name, fn in sorted(targets.items()):
             df = fn(sf_dir)
             if hasattr(df, "to_pandas"):
