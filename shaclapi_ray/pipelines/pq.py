@@ -122,6 +122,48 @@ def pq_encode(emb_ds, model: dict, vec_col: str = "embedding", id_col: str = "ve
     return emb_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _exact_rerank(emb_ds, cand_df, q_ids, q_mat, k, vec_col, id_col):
+    """Rerank ADC candidates with exact cosine — the standard PQ recipe
+    (quantized scan finds the neighborhood, a bounded exact pass fixes
+    the fine order). One streaming filter pass pulls ONLY the candidate
+    vectors (|candidates| <= Q * window, never corpus-proportional);
+    the rerank itself is a driver-side (Q, window) matmul."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    if hasattr(cand_df, "to_pandas"):
+        cand_df = cand_df.to_pandas()
+    need = sorted(set(int(i) for i in cand_df["neighbor_id"]))
+    if not need:
+        return cand_df.iloc[:0][["query_id", "neighbor_id", "rank"]]
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch[id_col], value_set=pa.array(need, type=pa.int64()))
+        )
+
+    tbl = pa.concat_tables(
+        ray.get(emb_ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+    )
+    nid = _ids(tbl[id_col])
+    nmat = _normalize32(_to_matrix(tbl[vec_col]))
+    pos = {int(i): p for p, i in enumerate(nid)}
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+    rows = []
+    for qid, grp in cand_df.groupby("query_id"):
+        qi = qpos[int(qid)]
+        cand = np.array([pos[int(i)] for i in grp["neighbor_id"]], dtype=np.int64)
+        sims = (nmat[cand] @ q_mat[qi]).astype(np.float64)
+        cids = nid[cand]
+        order = np.lexsort((cids, -sims))[: min(k, len(cand))]
+        for r, oi in enumerate(order, 1):
+            rows.append((int(qid), int(cids[oi]), r))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype(
+        "int64"
+    )
+
+
 def pq_search(
     emb_ds,
     query_ids: list[int],
@@ -131,6 +173,7 @@ def pq_search(
     merge: str = "auto",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank_window: int | None = None,
     **train_kwargs,
 ):
     """(query_id, neighbor_id, rank): approximate cosine top-k via ADC.
@@ -140,7 +183,9 @@ def pq_search(
     otherwise codes are computed in-pipeline. Self-matches excluded;
     ties break (score desc, neighbor_id asc) exactly like
     knn_bruteforce, so outputs are layout-independent and
-    golden-pinnable."""
+    golden-pinnable. ``rerank_window``: take that many ADC candidates
+    per query, then rerank them with EXACT cosine (one bounded filter
+    pass) — restores fine ordering PQ quantization blurs."""
     import pyarrow.compute as pc
     import ray
 
@@ -174,6 +219,7 @@ def pq_search(
     lut_ref = ray.put((q_ids, np.ascontiguousarray(lut, dtype=np.float32)))
 
     codes = codes_ds if codes_ds is not None else pq_encode(emb_ds, model, vec_col, id_col)
+    sel_k = rerank_window if rerank_window else k
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         q_ids, lut = ray.get(lut_ref)
@@ -196,7 +242,7 @@ def pq_search(
         scores = np.zeros((len(q_ids), n), dtype=np.float32)
         for j in range(m):
             scores += lut[:, j, cmat[:, j]]
-        kk = min(k, n)
+        kk = min(sel_k, n)
         for qi, qid in enumerate(q_ids):
             s = scores[qi].astype(np.float64)
             cand = np.nonzero(ids != qid)[0]
@@ -217,6 +263,9 @@ def pq_search(
     candidates = codes.map_batches(
         batch_topk, batch_format="pyarrow", zero_copy_batch=True
     )
+    if rerank_window:
+        cand = _final_topk_driver(candidates, sel_k)
+        return _exact_rerank(emb_ds, cand, q_ids, q_mat, k, vec_col, id_col)
     if merge == "grouped" or (merge == "auto" and len(qset) > GROUPED_MERGE_Q):
         return _final_topk_grouped(candidates, k)
     return _final_topk_driver(candidates, k)

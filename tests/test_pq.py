@@ -169,3 +169,28 @@ def test_ivf_pq_nprobe_prunes(tmp_path):
     buckets = np.argmax(xn @ cent.T.astype(np.float32), axis=1)
     qb = buckets[0]
     assert all(buckets[int(nb)] == qb for nb in out["neighbor_id"])
+
+
+def test_rerank_restores_exact_order():
+    """ADC top-10 inside tight clusters is blurred by quantization; an
+    exact rerank over the ADC top-50 window must recover most of the
+    true top-10 (everything the window caught)."""
+    from shaclapi_ray.pipelines.knn import knn_bruteforce
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (12, 32))
+    vecs = base[rng.integers(0, 12, 600)] + rng.normal(0, 0.08, (600, 32))
+    ds = rd.from_arrow(_emb(vecs))
+    qids = list(range(8))
+    exact = knn_bruteforce(ds, qids, k=10)
+    plain = pq_search(ds, qids, k=10, m=8, sample_size=600)
+    rr = pq_search(ds, qids, k=10, m=8, sample_size=600, rerank_window=50)
+    window = pq_search(ds, qids, k=50, m=8, sample_size=600)
+    eset = set(zip(exact["query_id"], exact["neighbor_id"]))
+    wset = set(zip(window["query_id"], window["neighbor_id"]))
+    rset = set(zip(rr["query_id"], rr["neighbor_id"]))
+    pset = set(zip(plain["query_id"], plain["neighbor_id"]))
+    # rerank recovers exactly the true top-10 members the window caught
+    assert rset >= (eset & wset)
+    assert len(rset & eset) >= len(pset & eset)
+    assert len(rset & eset) / len(eset) >= 0.8
