@@ -102,3 +102,80 @@ def test_empty_corpus_raises():
     ).repartition(1)
     with pytest.raises(ValueError):
         train_nb(ds)
+
+
+def test_sharded_equals_broadcast():
+    """The token-hash-partitioned model path must reproduce the
+    broadcast scorer: same predictions, scores equal to float-sum
+    reassociation error."""
+    from shaclapi_ray.pipelines.classify import (
+        nb_classify_sharded,
+        train_nb_sharded,
+    )
+
+    rng = np.random.default_rng(8)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        (
+            " ".join(rng.choice(words, size=rng.integers(3, 12))),
+            ["en", "de", "fr"][i % 3],
+        )
+        for i in range(80)
+    ]
+    ds = _docs(rows).repartition(5)
+    m = train_nb(_docs(rows))
+    bc = (
+        nb_classify(_docs(rows), m)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    model_ds, meta = train_nb_sharded(ds)
+    assert meta["labels"] == m["labels"]
+    np.testing.assert_allclose(meta["log_prior"], m["log_prior"])
+    np.testing.assert_allclose(meta["log_oov"], m["log_oov"])
+    assert meta["vocab_size"] == m["vocab_size"]
+    sh = (
+        nb_classify_sharded(_docs(rows).repartition(5), model_ds, meta)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(sh.columns) == ["doc_id", "pred", "score"]
+    assert (sh["pred"] == bc["pred"]).all()
+    np.testing.assert_allclose(sh["score"], bc["score"], rtol=0, atol=1e-9)
+
+
+def test_sharded_oov_scoring():
+    """Cross-corpus scoring with the sharded model: unseen tokens get
+    the exact log_oov mass (reconstructed from n_tokens - matched)."""
+    from shaclapi_ray.pipelines.classify import (
+        nb_classify_sharded,
+        train_nb_sharded,
+    )
+
+    train_rows = [("apple banana apple", "fruit")] * 3 + [("carrot pea pea", "veg")] * 2
+    model_ds, meta = train_nb_sharded(_docs(train_rows))
+    m = train_nb(_docs(train_rows))
+    score_docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["zz qq", "apple zz"]),
+            }
+        )
+    )
+    sh = (
+        nb_classify_sharded(score_docs, model_ds, meta)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bc = (
+        nb_classify(score_docs, m)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (sh["pred"] == bc["pred"]).all()
+    np.testing.assert_allclose(sh["score"], bc["score"], atol=1e-9)
