@@ -1072,3 +1072,151 @@ def lookup_tokens(index_dir: str, tokens: list[str]) -> pa.Table:
     mask = pc.is_in(tbl["token"], value_set=pa.array(toks))
     out = tbl.filter(mask)
     return out.sort_by("token")
+
+
+def unigram_logprob_sharded(docs_ds):
+    """The beyond-VOCAB_BROADCAST_LIMIT path unigram_logprob's loud
+    ValueError points at: the (token, tf) unigram table stays a
+    token-hash-partitioned Dataset — only the corpus token total (one
+    scalar) reaches the driver. Scoring: per-batch (doc_id, token,
+    tcnt) partials join the table on token, per-doc weighted log-prob
+    sums pre-aggregate per batch, ONE doc_id combine, then a bounded
+    join back onto (doc_id, n_tokens). Same (doc_id, n_tokens, logprob)
+    contract and the same loud corpus-divergence check (matched tokens
+    must equal n_tokens)."""
+    import numpy as np
+    import polars as pl
+
+    import ray as _ray
+
+    from shaclapi_ray.stages.aggregates import (
+        combine_partials,
+        combine_partials_multi,
+    )
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        counts = (
+            _explode_tokens(batch, [])
+            .group_by("t")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return counts.rename({"t": "token"}).to_arrow()
+
+    tf = combine_partials(
+        docs_ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "token",
+        "cnt",
+        "tf",
+        "auto",
+    ).materialize()
+    total = 0
+    for t in _ray.get(
+        tf.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([int(b["tf"].to_numpy(zero_copy_only=False).sum())])}
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ):
+        total += sum(t["s"].to_pylist())
+    total = float(total) if total else 1.0
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, ["doc_id"])
+        return (
+            ex.group_by(["doc_id", "t"])
+            .agg(pl.len().cast(pl.Int64).alias("tcnt"))
+            .rename({"t": "token"})
+            .to_arrow()
+        )
+
+    toks_nb = drop_empty_blocks(
+        docs_ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    tf_nb = drop_empty_blocks(tf)
+    sums = None
+    if toks_nb is not None and tf_nb is not None:
+        joined = toks_nb.join(
+            tf_nb,
+            join_type="inner",
+            num_partitions=clamp_partitions(None),
+            on=("token",),
+        )
+
+        def sum_partial(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            w = batch["tcnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lp = np.log(
+                batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64) / total
+            )
+            uniq, inv = np.unique(ids, return_inverse=True)
+            s = np.zeros(len(uniq))
+            np.add.at(s, inv, lp * w)
+            cnt = np.zeros(len(uniq))
+            np.add.at(cnt, inv, w)
+            return pa.table(
+                {
+                    "doc_id": pa.array(uniq),
+                    "lp_sum": pa.array(s),
+                    "matched": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        sums = combine_partials_multi(
+            joined.map_batches(sum_partial, batch_format="pyarrow"),
+            ["doc_id"],
+            {"lp_sum": "sum", "matched": "sum"},
+        )
+
+    base = token_count(docs_ds)
+    if sums is not None:
+        sums_nb = drop_empty_blocks(
+            sums.map_batches(
+                lambda t: t.rename_columns(["j_doc_id", "lp_sum", "matched"]),
+                batch_format="pyarrow",
+            )
+        )
+        if sums_nb is not None:
+            base = drop_empty_blocks(base).join(
+                sums_nb,
+                join_type="left_outer",
+                num_partitions=clamp_partitions(None),
+                on=("doc_id",),
+                right_on=("j_doc_id",),
+            )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ntok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        if "matched" in batch.column_names:
+            matched = (
+                pc.fill_null(batch["matched"], 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lp_sum = (
+                pc.fill_null(batch["lp_sum"], 0.0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+        else:
+            matched = np.zeros(len(ntok), dtype=np.int64)
+            lp_sum = np.zeros(len(ntok))
+        if (matched != ntok).any():
+            raise ValueError(
+                "token absent from the unigram table: the scored corpus "
+                "diverged from the one the statistics were built on"
+            )
+        logprob = np.where(ntok > 0, lp_sum / np.maximum(ntok, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "logprob": pa.array(logprob),
+            }
+        )
+
+    return base.map_batches(finish, batch_format="pyarrow")

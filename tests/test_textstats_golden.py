@@ -237,3 +237,39 @@ def test_max_word_count_golden(ray_session):
     )
     df = repetition_signals(ds).to_pandas().sort_values("doc_id")
     assert list(df.max_word_count) == [3, 1, 0, 3]
+
+
+def test_unigram_sharded_equals_broadcast(ray_session):
+    """The hash-partitioned unigram path must match the broadcast scorer
+    (n_tokens identical, logprob to float reassociation error)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shaclapi_ray.pipelines.textstats import (
+        unigram_logprob,
+        unigram_logprob_sharded,
+    )
+
+    rng = np.random.default_rng(6)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 14))) for _ in range(60)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)}
+    )
+    a = (
+        unigram_logprob(rd.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        unigram_logprob_sharded(rd.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a["n_tokens"].tolist() == b["n_tokens"].tolist()
+    np.testing.assert_allclose(a["logprob"], b["logprob"], atol=1e-9)
