@@ -131,16 +131,182 @@ def dup_gram_hashes(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
     return out
 
 
+def dup_gram_hash_ds(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
+    """The duplicated-gram set as a DISTRIBUTED Dataset[(h int64)] — the
+    beyond-BROADCAST_LIMIT form dup_gram_hashes' loud error points at
+    (hashes viewed as int64 for join-key compatibility)."""
+    from shaclapi_ray.stages.aggregates import grouped_count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _gram_starts(batch, n)
+        if len(g) == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        dg = g.select("doc_id", "gram").unique()
+        return pa.table(
+            {
+                "h": pa.array(
+                    hash_strings(dg["gram"].to_arrow()).view(np.int64),
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    pairs = docs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_count(pairs, "h", out_name="n_docs")
+    return counts.filter(expr=f"n_docs >= {min_docs}").select_columns(["h"])
+
+
+def _coverage_join(docs_ds, n: int, min_docs: int):
+    """Partition-join coverage path: the dup-gram set never leaves the
+    cluster. Grams (doc_id, s, h) join the distributed dup set on h;
+    per-doc window unions resolve in a groupby(doc_id); a final bounded
+    join attaches token counts (docs without hits covered by left-outer
+    + fill 0). Output-identical to the broadcast path (tested)."""
+    import polars as pl
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    dup_nb = drop_empty_blocks(
+        dup_gram_hash_ds(docs_ds, n, min_docs).map_batches(
+            lambda t: t.rename_columns(["j_h"]), batch_format="pyarrow"
+        )
+    )
+
+    def grams(batch: pa.Table) -> pa.Table:
+        g = _gram_starts(batch, n)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].to_arrow(),
+                "s": pa.array(g["s"].to_numpy(), pa.int64()),
+                "h": pa.array(
+                    hash_strings(g["gram"].to_arrow()).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def window_union(t: pa.Table) -> pa.Table:
+        s = np.sort(t["s"].to_numpy(zero_copy_only=False))
+        contrib = int(np.minimum(np.diff(s), n).sum()) + n if s.size else 0
+        return pa.table(
+            {
+                "j_doc_id": pa.array([int(t["doc_id"][0].as_py())], pa.int64()),
+                "n_dup_tokens": pa.array([contrib], pa.int64()),
+            }
+        )
+
+    def base(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+                ),
+            }
+        )
+
+    base_ds = drop_empty_blocks(
+        docs_ds.map_batches(base, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if dup_nb is None or base_ds is None:
+        cov_nb = None
+    else:
+        hits = drop_empty_blocks(
+            docs_ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        hits = (
+            hits.join(
+                dup_nb,
+                join_type="inner",
+                num_partitions=clamp_partitions(None),
+                on=("h",),
+                right_on=("j_h",),
+            )
+            if hits is not None
+            else None
+        )
+        cov_nb = (
+            drop_empty_blocks(
+                hits.groupby("doc_id").map_groups(
+                    window_union, batch_format="pyarrow"
+                )
+            )
+            if hits is not None
+            else None
+        )
+    if cov_nb is None:
+        out = base_ds if base_ds is not None else docs_ds.map_batches(
+            base, batch_format="pyarrow"
+        )
+
+        def zero(batch: pa.Table) -> pa.Table:
+            nd = np.zeros(batch.num_rows, dtype=np.int64)
+            nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+            frac = np.zeros(batch.num_rows)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": batch["n_tokens"],
+                    "n_dup_tokens": pa.array(nd),
+                    "dup_frac": pa.array(frac),
+                }
+            )
+
+        return out.map_batches(zero, batch_format="pyarrow")
+
+    joined = base_ds.join(
+        cov_nb,
+        join_type="left_outer",
+        num_partitions=clamp_partitions(None),
+        on=("doc_id",),
+        right_on=("j_doc_id",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = (
+            pc.fill_null(batch["n_dup_tokens"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        frac = np.where(nt > 0, nd / np.maximum(nt, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "n_dup_tokens": pa.array(nd),
+                "dup_frac": pa.array(frac),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def dup_span_coverage(
-    docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS
+    docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS, strategy: str = "broadcast"
 ):
     """(doc_id, n_tokens, n_dup_tokens, dup_frac): per document, tokens
     covered by at least one cross-document duplicated n-gram.
 
     n_dup_tokens is the size of the UNION of all duplicated n-token
     windows — computed per doc as sum(min(n, next_start - start)) over
-    ascending duplicated-window starts (last window contributes n)."""
+    ascending duplicated-window starts (last window contributes n).
+
+    ``strategy='join'`` is the beyond-BROADCAST_LIMIT path: the dup-gram
+    set stays a distributed Dataset and coverage resolves through a
+    hash-partitioned join + groupby (output-identical, tested)."""
     import ray
+
+    if strategy == "join":
+        return _coverage_join(docs_ds, n, min_docs)
 
     dup_ref = ray.put(dup_gram_hashes(docs_ds, n, min_docs))
 

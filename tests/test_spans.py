@@ -334,3 +334,37 @@ def test_remove_dup_spans_block_layout_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_coverage_join_strategy_equals_broadcast(ray_session):
+    """The partition-join coverage path must be output-identical to the
+    broadcast path (the beyond-50M-gram scale form)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shaclapi_ray.pipelines.spans import dup_span_coverage
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a different document with the quick brown fox jumps over words",
+        "totally unrelated content here nothing shared at all really",
+        "",
+        "the quick brown fox jumps over the lazy dog today exactly",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    a = (
+        dup_span_coverage(rd.from_arrow(tbl).repartition(3), strategy="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dup_span_coverage(rd.from_arrow(tbl).repartition(3), strategy="join")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["n_dup_tokens"].sum() > 0  # the fixture does share grams
