@@ -69,18 +69,36 @@ def _word_counts(docs_ds) -> tuple[list[str], np.ndarray]:
     if len(words) > VOCAB_BROADCAST_LIMIT:
         raise ValueError(
             f"vocabulary has {len(words)} words (> {VOCAB_BROADCAST_LIMIT}); "
-            "train on a deterministic sample at this scale"
+            "pass train_bpe(..., sample_fraction=...) to train on a "
+            "deterministic subsample at this scale"
         )
     cnt = np.concatenate(counts) if counts else np.empty(0, np.int64)
     order = np.argsort(np.asarray(words, dtype=object), kind="stable")
     return [words[i] for i in order], cnt[order]
 
 
-def train_bpe(docs_ds, n_merges: int = 200) -> list[tuple[str, str]]:
+def train_bpe(
+    docs_ds,
+    n_merges: int = 200,
+    sample_fraction: float | None = None,
+    seed: int = 0,
+) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ranked
     merge list [(left, right), ...]. Ties in pair frequency break
-    lexicographically (deterministic across layouts)."""
+    lexicographically (deterministic across layouts).
+
+    ``sample_fraction`` is the documented escape hatch for corpora whose
+    distinct-word vocabulary exceeds VOCAB_BROADCAST_LIMIT: train on a
+    DETERMINISTIC doc-id-hash subsample (``textstats.sample_corpus`` —
+    reproducible across runs, block layouts and cluster sizes, unlike
+    ``Dataset.random_sample``), so the learned merge table is still
+    golden-pinnable."""
     import collections
+
+    if sample_fraction is not None and sample_fraction < 1.0:
+        from shaclapi_ray.pipelines.textstats import sample_corpus
+
+        docs_ds = sample_corpus(docs_ds, sample_fraction, seed=seed)
 
     words, counts = _word_counts(docs_ds)
     # symbol sequences per distinct word (word-end marker on the last

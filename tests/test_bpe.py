@@ -87,3 +87,13 @@ def test_layout_independent():
         .reset_index(drop=True)
     )
     assert (a["bpe_tokens"] <= c["bpe_tokens"]).all()
+
+
+def test_sample_fraction_training():
+    """Sample-trained merges are deterministic across layouts and still
+    learn the dominant merges of a heavily-repeated corpus."""
+    texts = ["newest " * 8 + "lowest " * 4] * 30 + ["rare words here"] * 2
+    m1 = train_bpe(_docs(texts).repartition(1), n_merges=3, sample_fraction=0.5)
+    m7 = train_bpe(_docs(texts).repartition(7), n_merges=3, sample_fraction=0.5)
+    assert m1 == m7
+    assert m1[0] == ("e", "s")
