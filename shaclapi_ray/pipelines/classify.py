@@ -124,8 +124,9 @@ def train_nb(
     V = len(vocab)
     if V > VOCAB_BROADCAST_LIMIT:
         raise ValueError(
-            f"vocabulary has {V} tokens (> {VOCAB_BROADCAST_LIMIT}); shard the "
-            "model by token hash and score with a partitioned join at this scale"
+            f"vocabulary has {V} tokens (> {VOCAB_BROADCAST_LIMIT}); use "
+            "train_nb_sharded + nb_classify_sharded (token-hash-sharded model, "
+            "partitioned-join scoring) at this scale"
         )
     tok_map = build_hash_map(vocab, np.arange(V, dtype=np.int64))
     from shaclapi_ray.stages.hashset import lookup

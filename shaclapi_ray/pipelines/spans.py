@@ -125,8 +125,8 @@ def dup_gram_hashes(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
     if out.size > BROADCAST_LIMIT:
         raise ValueError(
             f"duplicated-gram set has {out.size} hashes (> {BROADCAST_LIMIT}); "
-            "use a hash-partitioned join of gram hashes against the dup set "
-            "instead of the broadcast path at this scale"
+            "pass dup_span_coverage(..., strategy='join') to resolve grams "
+            "against the dup set with a hash-partitioned join at this scale"
         )
     return out
 

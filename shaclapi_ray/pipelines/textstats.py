@@ -914,8 +914,9 @@ def unigram_logprob(docs_ds):
     once via ray.put as a sorted-hash (token -> tf) numpy map
     (stages/hashset.build_hash_map — zero per-task setup) with a
     VOCAB_BROADCAST_LIMIT ceiling; a raw \\S+ web-scale vocabulary can
-    exceed it, at which point the scorer should switch to a
-    hash-partitioned join on token (loud ValueError, not an OOM).
+    exceed it, at which point ``unigram_logprob_sharded`` (hash-
+    partitioned join on token) is the scale path (loud ValueError
+    pointing there, not an OOM).
     Pass 2 streams: explode tokens, vectorized lookup, per-doc mean."""
     import numpy as np
     import polars as pl
@@ -951,7 +952,8 @@ def unigram_logprob(docs_ds):
     if n_vocab > VOCAB_BROADCAST_LIMIT:
         raise ValueError(
             f"vocabulary has {n_vocab} tokens (> {VOCAB_BROADCAST_LIMIT}); "
-            "switch to a hash-partitioned join on token at this scale"
+            "use unigram_logprob_sharded (hash-partitioned join on token) "
+            "at this scale"
         )
     tokens = (
         pa.concat_arrays(tok_chunks)
