@@ -282,6 +282,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("inverted_index", lambda: inverted_index(docs).count(), rows=n_doc_rows)
     timed("unigram_logprob", lambda: unigram_logprob(docs).count(), rows=n_doc_rows)
 
+    from shaclapi_ray.pipelines.bpe import bpe_self_tokenize
+    from shaclapi_ray.pipelines.classify import nb_self_classify
+
+    timed("nb_train_classify", lambda: nb_self_classify(docs).count(), rows=n_doc_rows)
+    timed(
+        "bpe_train_tokenize",
+        lambda: bpe_self_tokenize(docs, n_merges=100).count(),
+        rows=n_doc_rows,
+    )
+
     from shaclapi_ray.pipelines.dedup import dedup_incremental, persist_dedup_state
     from shaclapi_ray.pipelines.mixing import mix_corpora, shuffle_corpus, split_corpus
 
