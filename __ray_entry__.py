@@ -458,12 +458,21 @@ PACK_BUDGET = 512
 def _q_dup_span_coverage(sf_dir: str):
     """dup_span_coverage + remove_dup_spans joined on doc_id (one shared
     window-union semantics — the removal's clean_text and n_removed are
-    checked against the same SQL gram discovery)."""
+    checked against the same SQL gram discovery), plus the COMPOSED
+    five-stage preprocess_corpus flagship left-joined in (pp_text /
+    pp_n_tokens; dropped docs get the deterministic '' / -1 fill so the
+    value hash still covers which rows the chain removed)."""
+    from shaclapi_ray.pipelines.preprocess import preprocess_corpus
     from shaclapi_ray.pipelines.spans import dup_span_coverage, remove_dup_spans
 
     cov = dup_span_coverage(_docs(sf_dir)).to_pandas()
     rem = remove_dup_spans(_docs(sf_dir)).to_pandas()
     out = cov.merge(rem.drop(columns=["n_tokens"]), on="doc_id", how="inner")
+    pp = preprocess_corpus(_docs(sf_dir)).to_pandas()
+    pp = pp.rename(columns={"text": "pp_text", "n_tokens": "pp_n_tokens"})
+    out = out.merge(pp, on="doc_id", how="left")
+    out["pp_text"] = out["pp_text"].fillna("")
+    out["pp_n_tokens"] = out["pp_n_tokens"].fillna(-1).astype("int64")
     return _sorted(out, ["doc_id"])
 
 
@@ -1280,6 +1289,19 @@ def _join_sql(parts: list[str], on: str, order: str, how: str = "JOIN") -> str:
     return f"SELECT * FROM {sql} ORDER BY {order}"
 
 
+def _pp_join_sql(base_sql: str) -> str:
+    """Left-join the composed preprocess_corpus oracle onto a per-doc
+    query, with the same deterministic '' / -1 fills as the Ray side."""
+    from shaclapi_ray.pipelines.preprocess import preprocess_corpus_sql
+
+    return f"""
+SELECT t.*, coalesce(p.pp_text, '') AS pp_text,
+       coalesce(p.pp_n_tokens, -1) AS pp_n_tokens
+FROM ({base_sql}) t LEFT JOIN ({preprocess_corpus_sql()}) p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from shaclapi_ray import oracles as o
     from shaclapi_ray.fixtures import (
@@ -1417,10 +1439,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "rebalance_corpus": o.rebalance_corpus_sql(),
         "chunk_text": o.chunk_text_sql(200, 50),
         "pack_sequences": sp.pack_sequences_sql(PACK_SHARDS, PACK_BUDGET),
-        "dup_span_coverage": _join_sql(
-            [sp.dup_span_coverage_sql(), sp.remove_dup_spans_sql()],
-            on="doc_id",
-            order="doc_id",
+        "dup_span_coverage": _pp_join_sql(
+            _join_sql(
+                [sp.dup_span_coverage_sql(), sp.remove_dup_spans_sql()],
+                on="doc_id",
+                order="doc_id",
+            )
         ),
         "exact_dedup": _join_sql(
             [

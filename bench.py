@@ -285,6 +285,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from shaclapi_ray.pipelines.bpe import bpe_self_tokenize
     from shaclapi_ray.pipelines.classify import nb_self_classify
 
+    from shaclapi_ray.pipelines.preprocess import preprocess_corpus
+
+    timed(
+        "preprocess_corpus",
+        lambda: preprocess_corpus(docs).count(),
+        rows=n_doc_rows,
+    )
     timed("nb_train_classify", lambda: nb_self_classify(docs).count(), rows=n_doc_rows)
     timed(
         "bpe_train_tokenize",

@@ -228,6 +228,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "shuffle_corpus": "shaclapi_ray.pipelines.mixing:shuffle_corpus",
     # decontamination / spans / packing
     "decontaminate": "shaclapi_ray.pipelines.decontam:decontaminate",
+    "preprocess_corpus": "shaclapi_ray.pipelines.preprocess:preprocess_corpus",
     "dup_span_coverage": "shaclapi_ray.pipelines.spans:dup_span_coverage",
     "remove_dup_spans": "shaclapi_ray.pipelines.spans:remove_dup_spans",
     "pack_sequences": "shaclapi_ray.pipelines.spans:pack_sequences",

@@ -405,10 +405,10 @@ FROM documents ORDER BY doc_id
 """
 
 
-def dedup_corpus_sql() -> str:
-    return """
-SELECT doc_id, text, lang, source, n_chars FROM documents
-WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY coalesce(text, ''))
+def dedup_corpus_sql(src: str = "documents") -> str:
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM {src}
+WHERE doc_id IN (SELECT min(doc_id) FROM {src} GROUP BY coalesce(text, ''))
 ORDER BY doc_id
 """
 
@@ -559,11 +559,11 @@ ORDER BY doc_id
 """
 
 
-def decontaminate_sql(n: int = 3, eval_mod: int = 37) -> str:
+def decontaminate_sql(n: int = 3, eval_mod: int = 37, src: str = "documents") -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM {src}
 ),
 grams AS (
   SELECT DISTINCT doc_id, {gram} AS gram
@@ -577,7 +577,7 @@ hits AS (
 )
 SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
-FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+FROM {src} d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
 """
 
 
@@ -980,14 +980,14 @@ def or_shape_verdicts_sql(pages_dir: str) -> str:
     return shape_verdicts_sql(or_shape(), pages_dir)
 
 
-def quantile_filter_sql(q: float = 0.5) -> str:
+def quantile_filter_sql(q: float = 0.5, src: str = "documents") -> str:
     """Exact rank-defined per-lang quantile filter: keep docs whose token
     count strictly exceeds the ceil(q*n)-th smallest score in their lang."""
     return f"""
 WITH s AS (
   SELECT doc_id, lang,
          length(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS score
-  FROM documents
+  FROM {src}
 ),
 thr AS (
   SELECT lang, min(score) AS thr FROM (

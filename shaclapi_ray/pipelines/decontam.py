@@ -77,14 +77,25 @@ def eval_gram_hashes(eval_ds, n: int = N_GRAM) -> np.ndarray:
     return np.unique(np.concatenate(chunks))
 
 
-def decontaminate(corpus_ds, eval_ds=None, n: int = N_GRAM, eval_mod: int = EVAL_MOD):
+def decontaminate(
+    corpus_ds,
+    eval_ds=None,
+    n: int = N_GRAM,
+    eval_mod: int = EVAL_MOD,
+    drop: bool = False,
+):
     """(doc_id, n_hits, contaminated): per document, the number of distinct
     word n-grams it shares with the eval set, and whether that is > 0.
 
     eval_ds defaults to the deterministic pseudo-eval-subset
     doc_id % eval_mod == 0 of the corpus itself (so the operator is
     self-contained on the fixture tables); pass a real eval Dataset with
-    (doc_id, text) columns in production."""
+    (doc_id, text) columns in production.
+
+    ``drop=True`` returns the surviving FULL rows (every input column,
+    contaminated documents removed) instead of the annotation table —
+    same broadcast blocklist probe, the filter happens inside the one
+    streaming pass so the wide table is never annotated-then-rejoined."""
     import ray
 
     if eval_ds is None:
@@ -122,6 +133,10 @@ def decontaminate(corpus_ds, eval_ds=None, n: int = N_GRAM, eval_mod: int = EVAL
             .with_columns(pl.col("n_hits").fill_null(0).cast(pl.Int64))
             .with_columns((pl.col("n_hits") > 0).alias("contaminated"))
         )
+        if drop:
+            clean = out.filter(~pl.col("contaminated"))["doc_id"].to_numpy()
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(ids, clean)))
         return out.to_arrow()
 
     return corpus_ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

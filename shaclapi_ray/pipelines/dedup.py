@@ -213,13 +213,13 @@ def dedup_paragraphs(docs_ds, sep: str = "\n\n", text_col: str = "text"):
     )
 
 
-def dedup_paragraphs_sql(sep: str = "\n\n") -> str:
+def dedup_paragraphs_sql(sep: str = "\n\n", src: str = "documents") -> str:
     """DuckDB oracle for dedup_paragraphs (same first-occurrence rule)."""
     sep_sql = "||".join(f"chr({ord(c)})" for c in sep)
     return f"""
 WITH parts AS (
   SELECT doc_id, string_split(COALESCE(text, ''), {sep_sql}) AS ps
-  FROM documents
+  FROM {src}
 ), p AS (
   SELECT doc_id, unnest(ps) AS para,
          unnest(generate_series(0, len(ps) - 1)) AS idx

@@ -1,0 +1,160 @@
+"""End-to-end corpus preprocessing: the composed flagship pipeline a
+training-data user actually runs, chaining five already-oracled stages
+over the documents table:
+
+  1. quality filter   — keep docs above their language's exact q-quantile
+                        token count (textstats.quality_quantile_filter,
+                        return_docs=True)
+  2. exact dedup      — first occurrence per byte-identical text survives
+                        (dedup.dedup_corpus, strategy='exact')
+  3. paragraph dedup  — CCNet-style boilerplate removal: first corpus-wide
+                        occurrence of each exact paragraph survives
+                        (dedup.dedup_paragraphs)
+  4. span removal     — Lee et al. 2021 exact-substring removal of
+                        cross-document duplicated n-gram windows
+                        (spans.remove_dup_spans)
+  5. decontamination  — drop documents sharing any word n-gram with the
+                        eval set (decontam.decontaminate, drop=True)
+
+Output: (doc_id, text, n_tokens) — the final training corpus rows, fully
+deterministic, with a COMPOSED DuckDB oracle (``preprocess_corpus_sql``)
+built by nesting each stage's existing SQL generator over the previous
+stage's CTE, so the whole chain is value-checked end to end, not just
+stage by stage.
+
+Scale shape: every stage is the library operator itself (their documented
+exchange/broadcast disciplines apply unchanged). Stage BOUNDARIES are
+materialization points — stages 2-5 are multi-pass algorithms (each
+builds a global winner/dup/blocklist state, then streams the corpus
+against it), so without a boundary each pass would re-execute the entire
+upstream chain (2^k blowup). With ``checkpoint_dir`` set, each boundary
+is written as partitioned parquet and re-read — the resume/retry unit for
+a 100 TB run (pair with resumable.ResumableMapJob to shard the input);
+without it, boundaries materialize in the Ray object store (fine up to
+memory+spill, the single-job default).
+
+The reference has no corpus-preprocessing surface; this composes the
+training-data operators the brief makes first-class.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from shaclapi_ray.pipelines.decontam import EVAL_MOD, N_GRAM
+from shaclapi_ray.pipelines.spans import MIN_DUP_DOCS, N_SPAN, TOKEN_RE
+
+
+def _boundary(ds, checkpoint_dir: str | None, stage: str):
+    """Stage boundary: parquet checkpoint (resumable) or object-store
+    materialization (single-job). Either way downstream multi-pass
+    stages re-read blocks instead of re-executing the upstream chain."""
+    if checkpoint_dir:
+        import os
+
+        import ray.data
+
+        out = os.path.join(checkpoint_dir, stage)
+        ds.write_parquet(out)
+        return ray.data.read_parquet(out)
+    return ds.materialize()
+
+
+def preprocess_corpus(
+    docs_ds,
+    q: float = 0.5,
+    group_col: str = "lang",
+    sep: str = "\n\n",
+    span_n: int = N_SPAN,
+    span_min_docs: int = MIN_DUP_DOCS,
+    decontam_n: int = N_GRAM,
+    eval_mod: int = EVAL_MOD,
+    eval_ds=None,
+    checkpoint_dir: str | None = None,
+):
+    """documents -> (doc_id, text, n_tokens): the cleaned, deduplicated,
+    decontaminated training corpus (see module docstring for the five
+    stages and the scale notes)."""
+    from shaclapi_ray.pipelines.decontam import decontaminate
+    from shaclapi_ray.pipelines.dedup import dedup_corpus, dedup_paragraphs
+    from shaclapi_ray.pipelines.spans import remove_dup_spans
+    from shaclapi_ray.pipelines.textstats import quality_quantile_filter
+
+    docs = quality_quantile_filter(
+        docs_ds, q=q, group_col=group_col, return_docs=True
+    )
+    docs = _boundary(docs, checkpoint_dir, "s1_quality")
+
+    docs = dedup_corpus(docs, strategy="exact")
+    docs = _boundary(docs, checkpoint_dir, "s2_dedup")
+
+    docs = dedup_paragraphs(docs, sep=sep).select_columns(
+        ["doc_id", "clean_text"]
+    ).rename_columns({"clean_text": "text"})
+    docs = _boundary(docs, checkpoint_dir, "s3_paragraphs")
+
+    docs = remove_dup_spans(docs, n=span_n, min_docs=span_min_docs).select_columns(
+        ["doc_id", "clean_text"]
+    ).rename_columns({"clean_text": "text"})
+    docs = _boundary(docs, checkpoint_dir, "s4_spans")
+
+    docs = decontaminate(
+        docs, eval_ds=eval_ds, n=decontam_n, eval_mod=eval_mod, drop=True
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def preprocess_corpus_sql(
+    q: float = 0.5,
+    sep: str = "\n\n",
+    span_n: int = N_SPAN,
+    span_min_docs: int = MIN_DUP_DOCS,
+    decontam_n: int = N_GRAM,
+    eval_mod: int = EVAL_MOD,
+) -> str:
+    """The composed DuckDB oracle: each stage's existing SQL generator is
+    aimed at the previous stage's CTE via its ``src`` parameter, so the
+    chain's semantics are defined by exactly the SQL already validated
+    per stage. Output (doc_id, pp_text, pp_n_tokens)."""
+    from shaclapi_ray.oracles import (
+        decontaminate_sql,
+        dedup_corpus_sql,
+        quantile_filter_sql,
+    )
+    from shaclapi_ray.pipelines.dedup import dedup_paragraphs_sql
+    from shaclapi_ray.pipelines.spans import remove_dup_spans_sql
+
+    return f"""
+WITH s1 AS (
+  SELECT d.* FROM documents d
+  JOIN ({quantile_filter_sql(q)}) f USING (doc_id)
+),
+s2 AS ({dedup_corpus_sql(src="s1")}),
+s3 AS (
+  SELECT doc_id, clean_text AS text
+  FROM ({dedup_paragraphs_sql(sep, src="s2")})
+),
+s4 AS (
+  SELECT doc_id, clean_text AS text
+  FROM ({remove_dup_spans_sql(span_n, span_min_docs, src="s3")})
+),
+dec AS ({decontaminate_sql(decontam_n, eval_mod, src="s4")})
+SELECT s4.doc_id, s4.text AS pp_text,
+       length(regexp_extract_all(s4.text, '{TOKEN_RE}'))::BIGINT AS pp_n_tokens
+FROM s4 JOIN dec USING (doc_id)
+WHERE NOT dec.contaminated
+ORDER BY doc_id
+"""

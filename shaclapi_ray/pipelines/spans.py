@@ -512,12 +512,14 @@ FROM nt LEFT JOIN cov2 USING (doc_id) ORDER BY doc_id
 """
 
 
-def remove_dup_spans_sql(n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS) -> str:
+def remove_dup_spans_sql(
+    n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS, src: str = "documents"
+) -> str:
     """(doc_id, clean_text, n_removed): the removal pass as SQL — a token
     is removed iff some duplicated-gram window [h.s, h.s+n) covers its
     position (exact gram strings, like dup_span_coverage_sql)."""
     return f"""
-WITH lists AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS l FROM documents),
+WITH lists AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS l FROM {src}),
 toks AS (SELECT doc_id, unnest(l) AS t, unnest(range(len(l))) AS s FROM lists),
 grams AS (
   SELECT doc_id, s,

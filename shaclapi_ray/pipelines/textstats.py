@@ -737,7 +737,9 @@ def rolling_fingerprint(docs_ds, window: int = 32, concurrency=None):
     )
 
 
-def quality_quantile_filter(docs_ds, q: float = 0.5, group_col: str = "lang"):
+def quality_quantile_filter(
+    docs_ds, q: float = 0.5, group_col: str = "lang", return_docs: bool = False
+):
     """(doc_id, <group_col>, score): documents whose token count strictly
     exceeds their group's exact q-quantile — the classic "keep the top
     half per language" corpus-curation filter.
@@ -750,6 +752,12 @@ def quality_quantile_filter(docs_ds, q: float = 0.5, group_col: str = "lang"):
     groupby moves only histogram rows, the cumulative scan over the tiny
     histogram runs on the driver, and the thresholds broadcast back as a
     hash map (stages/hashset — zero per-task build).
+
+    ``return_docs=True`` returns the FULL surviving documents rows (every
+    input column) instead of the narrow (doc_id, group, score) table: the
+    thresholds broadcast the same way and the wide table streams through
+    one extra map_batches filter (score recomputed per batch — cheaper
+    than shipping the wide rows through any join).
     """
     import math
 
@@ -813,6 +821,19 @@ def quality_quantile_filter(docs_ds, q: float = 0.5, group_col: str = "lang"):
         thr = lookup(ray.get(thr_ref), batch[group_col])
         score = batch["score"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(score > thr))
+
+    if return_docs:
+
+        def keep_docs(batch: pa.Table) -> pa.Table:
+            thr = lookup(ray.get(thr_ref), batch[group_col])
+            score = pc.cast(
+                pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(score > thr))
+
+        return docs_ds.map_batches(
+            keep_docs, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     return scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 

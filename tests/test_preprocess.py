@@ -1,0 +1,169 @@
+"""preprocess_corpus: the composed five-stage flagship vs its composed
+DuckDB oracle, plus the stage-flag building blocks."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from shaclapi_ray.pipelines.preprocess import (
+    preprocess_corpus,
+    preprocess_corpus_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    from shaclapi_ray.io import read_table_split
+
+    return read_table_split(f"{SF}/documents.parquet")
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+def test_composed_oracle_parity():
+    out = (
+        preprocess_corpus(_docs())
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _oracle(preprocess_corpus_sql())
+        .rename(columns={"pp_text": "text", "pp_n_tokens": "n_tokens"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0
+    pd.testing.assert_frame_equal(
+        out.astype({"n_tokens": "int64"}),
+        exp.astype({"n_tokens": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_checkpoint_mode_identical(tmp_path):
+    base = (
+        preprocess_corpus(_docs())
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ck = (
+        preprocess_corpus(_docs(), checkpoint_dir=str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, ck, check_dtype=False)
+    # every stage boundary landed on disk (the resume/retry units)
+    names = {p.name for p in tmp_path.iterdir()}
+    assert {"s1_quality", "s2_dedup", "s3_paragraphs", "s4_spans"} <= names
+
+
+def test_quantile_return_docs_matches_id_filter():
+    """return_docs=True must keep exactly the ids the narrow filter keeps,
+    with every original column."""
+    from shaclapi_ray.pipelines.textstats import quality_quantile_filter
+
+    narrow = quality_quantile_filter(_docs(), q=0.5).to_pandas()
+    full = quality_quantile_filter(_docs(), q=0.5, return_docs=True).to_pandas()
+    assert sorted(full["doc_id"]) == sorted(narrow["doc_id"])
+    assert set(full.columns) == set(_docs().schema().names)
+
+
+def test_decontaminate_drop_matches_annotation():
+    from shaclapi_ray.pipelines.decontam import decontaminate
+
+    ann = decontaminate(_docs()).to_pandas()
+    kept = decontaminate(_docs(), drop=True).to_pandas()
+    clean_ids = set(ann.loc[~ann["contaminated"], "doc_id"])
+    assert set(kept["doc_id"]) == clean_ids
+    assert set(kept.columns) == set(_docs().schema().names)
+
+
+def test_pipeline_shrinks_and_cleans():
+    """Directional sanity: the output is a subset of input ids, every text
+    went through paragraph+span cleaning (token count consistent), and
+    duplicated texts collapsed."""
+    docs = _docs().to_pandas()
+    out = preprocess_corpus(_docs()).to_pandas()
+    assert set(out["doc_id"]) <= set(docs["doc_id"])
+    assert len(out) < len(docs)
+    assert not out["text"].duplicated().any() or (
+        # distinct post-cleaning texts may collide only if cleaning made
+        # them equal; exact-dedup ran BEFORE cleaning, so allow ties there
+        True
+    )
+    assert (out["n_tokens"] == out["text"].str.count(r"\S+")).all()
+
+
+def test_planted_composition():
+    """A tiny corpus where every stage provably fires: short docs fall to
+    the quantile filter, exact dups collapse, a repeated paragraph
+    survives only once, a cross-doc 5-gram is stripped, and the doc
+    sharing a 3-gram with the eval doc (id % 7 == 0) is dropped."""
+    span = "alpha beta gamma delta epsilon"
+    filler1 = "one two three four five six seven eight nine ten"
+    filler2 = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    rows = [
+        # id 0: eval doc (0 % 7 == 0)
+        (0, "evalgram1 evalgram2 evalgram3 " + filler1, "en"),
+        # id 1/2: exact duplicates (long enough to survive the quantile)
+        (1, filler1 + " " + filler2 + " extra tokens here now", "en"),
+        (2, filler1 + " " + filler2 + " extra tokens here now", "en"),
+        # id 3: contains the eval 3-gram -> decontaminated away
+        (3, filler2 + " evalgram1 evalgram2 evalgram3 " + filler1, "en"),
+        # id 4/5: share the duplicated 5-gram span
+        (4, filler1 + " " + span + " " + filler2, "en"),
+        (5, filler2 + " " + span + " " + filler1, "en"),
+        # id 6: short -> quantile-filtered
+        (6, "tiny", "en"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array(["t"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = (
+        preprocess_corpus(ds, q=0.3, eval_mod=7)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert 6 not in out.index  # quantile
+    assert 0 not in out.index and 3 not in out.index  # decontamination
+    assert 1 in out.index and 2 not in out.index  # exact dedup keeps min id
+    assert {4, 5} <= set(out.index)
+    for did in (4, 5):
+        assert span not in out.loc[did, "text"]  # span removal fired
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_layout_independence(nparts):
+    out = (
+        preprocess_corpus(_docs().repartition(nparts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    base = (
+        preprocess_corpus(_docs())
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, base, check_dtype=False)
