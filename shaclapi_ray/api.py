@@ -263,14 +263,16 @@ def run_pipeline(config: dict[str, Any]) -> dict[str, Any]:
         {"pipeline": "exact_dedup",
          "input": "/data/documents.parquet",     # parquet/jsonl/csv (io seam)
          "args": {"text_col": "text"},           # optional kwargs
-         "output": "/out/dedup",                 # optional parquet sink dir
+         "output": "/out/dedup",                 # optional sink dir
+         "output_format": "parquet",             # or "jsonl" / "csv"
          "columns": ["doc_id", "text"]}          # optional read pruning
 
-    Streams end-to-end: with "output" the result is written as
-    partitioned parquet and only counts return to the driver; without
-    it, the row count and schema are returned (the Dataset is never
-    collected). Raises KeyError for unknown pipeline names (the
-    reference's unknown-backend semantics)."""
+    Streams end-to-end: with "output" the result is written as a
+    partitioned sink (parquet by default — the scale path; JSONL/CSV
+    mirror the read seam for interchange) and only counts return to the
+    driver; without it, the row count and schema are returned (the
+    Dataset is never collected). Raises KeyError for unknown pipeline
+    names (the reference's unknown-backend semantics)."""
     import importlib
 
     name = config.get("pipeline")
@@ -289,13 +291,27 @@ def run_pipeline(config: dict[str, Any]) -> dict[str, Any]:
     out = fn(ds, **config.get("args", {}))
     t0 = time.time()
     if config.get("output"):
-        out.write_parquet(config["output"])
-        import pyarrow.dataset as pads
+        ofmt = config.get("output_format", "parquet")
+        if ofmt == "parquet":
+            out.write_parquet(config["output"])
+            import pyarrow.dataset as pads
 
-        n = sum(
-            f.count_rows()
-            for f in pads.dataset(config["output"], format="parquet").get_fragments()
-        )
+            n = sum(
+                f.count_rows()
+                for f in pads.dataset(
+                    config["output"], format="parquet"
+                ).get_fragments()
+            )
+        elif ofmt in ("json", "jsonl"):
+            out = out.materialize()
+            n = out.count()
+            out.write_json(config["output"])
+        elif ofmt == "csv":
+            out = out.materialize()
+            n = out.count()
+            out.write_csv(config["output"])
+        else:
+            raise ValueError(f"unsupported output_format {ofmt!r}")
         result = {"rows": int(n), "output": config["output"]}
     else:
         result = {"rows": int(out.count()), "schema": [str(c) for c in out.schema().names]}

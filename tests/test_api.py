@@ -160,6 +160,65 @@ def test_run_pipeline_count_and_sink(ray_session, tmp_path):
     assert pads.dataset(sink, format="parquet").count_rows() == 20
 
 
+def test_run_pipeline_interchange_sinks(ray_session, tmp_path):
+    """JSONL/CSV output mirrors the read seam: write a result as JSONL,
+    read it back through read_table_any, values round-trip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from shaclapi_ray import api
+    from shaclapi_ray.io import read_table_any
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(12), pa.int64()),
+                "text": pa.array([f"body {i % 3}" for i in range(12)]),
+            }
+        ),
+        src,
+    )
+    jdir = str(tmp_path / "j")
+    out = api.run_pipeline(
+        {
+            "pipeline": "token_count",
+            "input": src,
+            "output": jdir,
+            "output_format": "jsonl",
+        }
+    )
+    assert out["rows"] == 12
+    back = (
+        read_table_any(jdir, format="json").to_pandas().sort_values("doc_id")
+    )
+    assert list(back["doc_id"]) == list(range(12))
+    assert (back["n_tokens"] == 2).all()
+
+    cdir = str(tmp_path / "c")
+    out2 = api.run_pipeline(
+        {
+            "pipeline": "token_count",
+            "input": src,
+            "output": cdir,
+            "output_format": "csv",
+        }
+    )
+    assert out2["rows"] == 12
+    back2 = (
+        read_table_any(cdir, format="csv").to_pandas().sort_values("doc_id")
+    )
+    assert list(back2["doc_id"]) == list(range(12))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.run_pipeline(
+            {"pipeline": "token_count", "input": src, "output": cdir,
+             "output_format": "xml"}
+        )
+
+
 def test_run_pipeline_errors(ray_session):
     import pytest as _pytest
 
