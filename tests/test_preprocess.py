@@ -152,6 +152,74 @@ def test_planted_composition():
         assert span not in out.loc[did, "text"]  # span removal fired
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_edge_corpus_parity(seed, tmp_path):
+    """Randomized corpora with the nasty edges (null text, empty text,
+    whitespace-only, unicode, sep runs at the boundaries, exact dups)
+    must match the composed oracle value-for-value."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "Gamma", "δelta", "x", "longword" * 3, "7"]
+    texts = []
+    for i in range(60):
+        kind = i % 6
+        if kind == 0:
+            texts.append(None)
+        elif kind == 1:
+            texts.append("")
+        elif kind == 2:
+            texts.append("   \n\n  ")
+        else:
+            paras = [
+                " ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+                for _ in range(rng.integers(1, 4))
+            ]
+            t = "\n\n".join(paras)
+            if rng.random() < 0.3:
+                t = "\n\n" + t + "\n\n"
+            texts.append(t)
+    # plant exact duplicates
+    texts[7] = texts[3]
+    texts[13] = texts[3]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(60)]),
+            "source": pa.array(["r"] * 60),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = (
+        preprocess_corpus(ray.data.read_parquet(src).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}')"
+    )
+    exp = (
+        con.execute(preprocess_corpus_sql())
+        .df()
+        .rename(columns={"pp_text": "text", "pp_n_tokens": "n_tokens"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n_tokens": "int64"}),
+        exp.astype({"n_tokens": "int64"}),
+        check_dtype=False,
+    )
+
+
 @pytest.mark.parametrize("nparts", [1, 5])
 def test_layout_independence(nparts):
     out = (
