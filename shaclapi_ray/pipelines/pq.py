@@ -281,6 +281,7 @@ def build_ivf_pq_index(
     seed: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    verify: bool = True,
 ):
     """IVF-PQ index: bucket-partitioned parquet of (vec_id, code, b) —
     the canonical 100-TB ANN layout (FAISS IVFADC): probes read ONLY the
@@ -294,23 +295,37 @@ def build_ivf_pq_index(
 
     import ray
 
-    from shaclapi_ray.pipelines.knn import _train_centroids, content_fingerprint
+    from shaclapi_ray.pipelines.knn import (
+        _structural_reuse,
+        _train_centroids,
+        content_fingerprint,
+    )
 
-    rows_total, fp_total = content_fingerprint(emb_ds)
-    stamp = {
+    structural = {
         "kind": "ivf_pq",
         "train_ver": 1,
         "n_centroids": int(n_centroids),
         "m": int(m),
         "k": int(k),
         "seed": int(seed),
-        "rows": int(rows_total),
-        "content_fp": str(int(fp_total)),
         "sample_size": int(sample_size),
     }
     manifest = os.path.join(index_dir, "_IVF_PQ_MANIFEST.json")
     cent_path = os.path.join(index_dir, "_centroids.npy")
     books_path = os.path.join(index_dir, "_pq_codebooks.npy")
+    if not verify:
+        # probe-time fast path: no corpus scan (see knn.build_ivf_index)
+        if _structural_reuse(manifest, [cent_path, books_path], structural):
+            books = np.load(books_path)
+            model = {"codebooks": books, "m": int(m), "dsub": books.shape[2]}
+            return np.load(cent_path), model
+
+    rows_total, fp_total = content_fingerprint(emb_ds)
+    stamp = {
+        **structural,
+        "rows": int(rows_total),
+        "content_fp": str(int(fp_total)),
+    }
     if all(os.path.exists(p) for p in (manifest, cent_path, books_path)):
         with open(manifest) as f:
             if json.load(f) == stamp:
@@ -386,6 +401,7 @@ def knn_ivf_pq(
     merge: str = "auto",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    verify_index: bool = True,
 ):
     """(query_id, neighbor_id, rank): IVF-pruned ADC search over the PQ
     index — reads only the probed buckets' code files, scores each
@@ -414,6 +430,7 @@ def knn_ivf_pq(
         seed=seed,
         vec_col=vec_col,
         id_col=id_col,
+        verify=verify_index,
     )
     dsub = model["dsub"]
     books = model["codebooks"]

@@ -204,3 +204,46 @@ def test_quantized_ivf_index_smaller_and_near_equal_recall(ray_session, tmp_path
     qset = set(zip(quant["query_id"], quant["neighbor_id"]))
     # nprobe == n_centroids -> both exact up to int8 grid tie-flips
     assert len(fset & qset) / len(fset) >= 0.95
+
+
+def test_trusted_reuse_skips_corpus_scan(ray_session, emb_ds, tmp_path):
+    """verify=False reuses a structurally-matching index WITHOUT a corpus
+    pass (probe must not scan the corpus at scale): same results as the
+    verifying path; a structural mismatch still falls through to a full
+    (fingerprinted) rebuild."""
+    import json
+
+    from shaclapi_ray.pipelines.knn import build_ivf_index, knn_ivf
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb_ds, idx, n_centroids=8)
+    # poison the content stamp: trusted reuse must NOT notice (no scan),
+    # verifying reuse must rebuild
+    man = os.path.join(idx, "_IVF_MANIFEST.json")
+    stamp = json.load(open(man))
+    stamp["content_fp"] = "0"
+    json.dump(stamp, open(man, "w"))
+
+    a = (
+        knn_ivf(emb_ds, [0, 1], k=5, n_centroids=8, index_dir=idx,
+                verify_index=False)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert json.load(open(man))["content_fp"] == "0"  # untouched: no rebuild
+
+    b = (
+        knn_ivf(emb_ds, [0, 1], k=5, n_centroids=8, index_dir=idx)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert json.load(open(man))["content_fp"] != "0"  # verified: rebuilt
+    assert a.equals(b)
+
+    # structural mismatch (different n_centroids) is never trusted
+    import shutil
+
+    shutil.rmtree(idx)
+    build_ivf_index(emb_ds, idx, n_centroids=8)
+    build_ivf_index(emb_ds, idx, n_centroids=4, verify=False)
+    assert json.load(open(man))["n_centroids"] == 4
