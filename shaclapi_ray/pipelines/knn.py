@@ -283,6 +283,50 @@ def content_fingerprint(emb_ds) -> tuple[int, int]:
     return rows_total, fp_total
 
 
+def fetch_query_matrix(
+    emb_ds,
+    query_ids,
+    query_vectors=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(q_ids int64 array, raw float matrix): query vectors either PASSED
+    DIRECTLY (``query_vectors`` row-aligned with ``query_ids`` — the
+    corpus-free probe path: a production search serves queries from a
+    request, not by scanning the corpus for them) or fetched from the
+    corpus with one pruned scan."""
+    import pyarrow.compute as pc
+    import ray
+
+    ids = np.asarray([int(x) for x in query_ids], dtype=np.int64)
+    if query_vectors is not None:
+        # float64 like the corpus path (_to_matrix); float32 callers
+        # (pq/cluster) downcast via _normalize32 themselves
+        q = np.asarray(query_vectors, dtype=np.float64)
+        if q.ndim != 2 or q.shape[0] != ids.size:
+            raise ValueError(
+                f"query_vectors must be (len(query_ids), dim); got {q.shape} "
+                f"for {ids.size} ids"
+            )
+        return ids, q
+
+    qset = sorted(int(x) for x in query_ids)
+
+    def pick_queries(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch[id_col], value_set=pa.array(qset, type=pa.int64()))
+        )
+
+    qtbl = pa.concat_tables(
+        ray.get(
+            emb_ds.select_columns([id_col, vec_col])
+            .map_batches(pick_queries, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    return _ids(qtbl[id_col]), _to_matrix(qtbl[vec_col])
+
+
 def _structural_reuse(manifest: str, artifacts: list[str], structural: dict):
     """verify=False fast path: reuse an existing index when the manifest's
     STRUCTURAL params match, without re-fingerprinting the corpus (no
@@ -423,6 +467,7 @@ def knn_ivf(
     merge: str = "auto",
     quantize: bool = False,
     verify_index: bool = True,
+    query_vectors=None,
 ):
     """IVF approximate top-k with REAL probe pruning: the corpus lives in
     bucket-partitioned parquet (build_ivf_index); a search reads only the
@@ -441,7 +486,6 @@ def knn_ivf(
     structurally-matching index exists (no corpus scan at probe time —
     the at-scale mode once the index is built); the default True guards
     against a different corpus aliasing the same index_dir."""
-    import pyarrow.compute as pc
     import ray
     import ray.data
 
@@ -459,20 +503,8 @@ def knn_ivf(
         verify=verify_index,
     )
 
-    def pick_queries(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(
-            batch["vec_id"],
-            value_set=pa.array(sorted(int(q) for q in query_ids), type=pa.int64()),
-        )
-        return batch.filter(mask)
-
-    qtbl = pa.concat_tables(
-        ray.get(
-            emb_ds.map_batches(pick_queries, batch_format="pyarrow").to_arrow_refs()
-        )
-    )
-    q_ids = _ids(qtbl["vec_id"])
-    q_mat = _normalize(_to_matrix(qtbl["embedding"]))
+    q_ids, q_raw = fetch_query_matrix(emb_ds, query_ids, query_vectors)
+    q_mat = _normalize(q_raw)
     q_buckets = {
         int(qid): np.argsort(-(q_mat[i] @ cent.T))[:nprobe].tolist()
         for i, qid in enumerate(q_ids)

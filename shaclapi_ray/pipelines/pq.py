@@ -174,6 +174,7 @@ def pq_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     rerank_window: int | None = None,
+    query_vectors=None,
     **train_kwargs,
 ):
     """(query_id, neighbor_id, rank): approximate cosine top-k via ADC.
@@ -186,7 +187,6 @@ def pq_search(
     golden-pinnable. ``rerank_window``: take that many ADC candidates
     per query, then rerank them with EXACT cosine (one bounded filter
     pass) — restores fine ordering PQ quantization blurs."""
-    import pyarrow.compute as pc
     import ray
 
     if model is None:
@@ -194,20 +194,12 @@ def pq_search(
     m, dsub = model["m"], model["dsub"]
     books = model["codebooks"]  # (m, kc, dsub)
 
-    qset = sorted(int(q) for q in query_ids)
+    from shaclapi_ray.pipelines.knn import fetch_query_matrix
 
-    def pick_queries(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.is_in(batch[id_col], value_set=pa.array(qset, type=pa.int64()))
-        )
-
-    qtbl = pa.concat_tables(
-        ray.get(
-            emb_ds.map_batches(pick_queries, batch_format="pyarrow").to_arrow_refs()
-        )
+    q_ids, q_raw = fetch_query_matrix(
+        emb_ds, query_ids, query_vectors, vec_col=vec_col, id_col=id_col
     )
-    q_ids = _ids(qtbl[id_col])
-    q_mat = _normalize32(_to_matrix(qtbl[vec_col]))
+    q_mat = _normalize32(q_raw)
     # per-query LUT of subspace dot products: (Q, m, kc) — score of a
     # candidate = sum_j LUT[q, j, code_j] ~= cosine(q, candidate)
     Q = len(q_ids)
@@ -266,7 +258,7 @@ def pq_search(
     if rerank_window:
         cand = _final_topk_driver(candidates, sel_k)
         return _exact_rerank(emb_ds, cand, q_ids, q_mat, k, vec_col, id_col)
-    if merge == "grouped" or (merge == "auto" and len(qset) > GROUPED_MERGE_Q):
+    if merge == "grouped" or (merge == "auto" and len(q_ids) > GROUPED_MERGE_Q):
         return _final_topk_grouped(candidates, k)
     return _final_topk_driver(candidates, k)
 
@@ -402,6 +394,7 @@ def knn_ivf_pq(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     verify_index: bool = True,
+    query_vectors=None,
 ):
     """(query_id, neighbor_id, rank): IVF-pruned ADC search over the PQ
     index — reads only the probed buckets' code files, scores each
@@ -409,14 +402,14 @@ def knn_ivf_pq(
     contract. Recall loses to both the probe miss (as knn_ivf) and PQ
     quantization (rank by coarse neighborhoods; rerank the top window
     with exact vectors when fine order matters)."""
-    import pyarrow.compute as pc
     import ray
     import ray.data
 
     from shaclapi_ray.pipelines.knn import (
-        _probed_bucket_paths,
         _final_topk_driver,
         _final_topk_grouped,
+        _probed_bucket_paths,
+        fetch_query_matrix,
     )
 
     if index_dir is None:
@@ -435,20 +428,10 @@ def knn_ivf_pq(
     dsub = model["dsub"]
     books = model["codebooks"]
 
-    qset = sorted(int(q) for q in query_ids)
-
-    def pick_queries(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.is_in(batch[id_col], value_set=pa.array(qset, type=pa.int64()))
-        )
-
-    qtbl = pa.concat_tables(
-        ray.get(
-            emb_ds.map_batches(pick_queries, batch_format="pyarrow").to_arrow_refs()
-        )
+    q_ids, q_raw = fetch_query_matrix(
+        emb_ds, query_ids, query_vectors, vec_col=vec_col, id_col=id_col
     )
-    q_ids = _ids(qtbl[id_col])
-    q_mat = _normalize32(_to_matrix(qtbl[vec_col]))
+    q_mat = _normalize32(q_raw)
     q_buckets = {
         int(qid): np.argsort(-(q_mat[i] @ cent.T.astype(np.float32)))[:nprobe].tolist()
         for i, qid in enumerate(q_ids)
@@ -505,6 +488,6 @@ def knn_ivf_pq(
     candidates = ray.data.read_parquet(
         paths, columns=[id_col, "code", "b"]
     ).map_batches(probe_topk, batch_format="pyarrow", zero_copy_batch=True)
-    if merge == "grouped" or (merge == "auto" and len(qset) > GROUPED_MERGE_Q):
+    if merge == "grouped" or (merge == "auto" and len(q_ids) > GROUPED_MERGE_Q):
         return _final_topk_grouped(candidates, k)
     return _final_topk_driver(candidates, k)

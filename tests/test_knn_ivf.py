@@ -247,3 +247,48 @@ def test_trusted_reuse_skips_corpus_scan(ray_session, emb_ds, tmp_path):
     build_ivf_index(emb_ds, idx, n_centroids=8)
     build_ivf_index(emb_ds, idx, n_centroids=4, verify=False)
     assert json.load(open(man))["n_centroids"] == 4
+
+
+def test_query_vectors_corpus_free_probe(ray_session, emb_ds, tmp_path):
+    """Passing query vectors directly (the production probe: queries come
+    from the request, not the corpus) must match fetching them from the
+    corpus — making the probe's only data access the probed buckets."""
+    from shaclapi_ray.pipelines.knn import (
+        _to_matrix,
+        build_ivf_index,
+        knn_ivf,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb_ds, idx, n_centroids=8)
+    qt = (
+        emb_ds.to_pandas().set_index("vec_id").loc[[0, 3, 5], "embedding"]
+    )
+    qvecs = np.stack([np.asarray(v, dtype=np.float32) for v in qt])
+    a = (
+        knn_ivf(emb_ds, [0, 3, 5], k=5, n_centroids=8, index_dir=idx,
+                verify_index=False)
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        knn_ivf(emb_ds, [0, 3, 5], k=5, n_centroids=8, index_dir=idx,
+                verify_index=False, query_vectors=qvecs)
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+    from shaclapi_ray.pipelines.pq import knn_ivf_pq, pq_search, pq_train
+
+    model = pq_train(emb_ds, m=8)
+    pa_ = pq_search(emb_ds, [0, 3], k=5, model=model)
+    pb_ = pq_search(
+        emb_ds, [0, 3], k=5, model=model, query_vectors=qvecs[:2]
+    )
+    assert pa_.reset_index(drop=True).equals(pb_.reset_index(drop=True))
+
+    ia = knn_ivf_pq(emb_ds, [0, 3], k=5, n_centroids=8,
+                    index_dir=str(tmp_path / "ivfpq"))
+    ib = knn_ivf_pq(emb_ds, [0, 3], k=5, n_centroids=8,
+                    index_dir=str(tmp_path / "ivfpq"), verify_index=False,
+                    query_vectors=qvecs[:2])
+    assert ia.reset_index(drop=True).equals(ib.reset_index(drop=True))
