@@ -396,9 +396,17 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_rolling_fingerprint(sf_dir: str):
-    from shaclapi_ray.pipelines.textstats import rolling_fingerprint
+    """Rolling Rabin-Karp fingerprint + zlib compression-ratio signals,
+    joined on doc_id (both deterministic, no SQL analog — one pinned
+    golden covers the pair)."""
+    from shaclapi_ray.pipelines.textstats import (
+        compression_signals,
+        rolling_fingerprint,
+    )
 
-    return _sorted(rolling_fingerprint(_docs(sf_dir)), ["doc_id"])
+    fp = rolling_fingerprint(_docs(sf_dir)).to_pandas()
+    cz = compression_signals(_docs(sf_dir)).to_pandas()
+    return _sorted(fp.merge(cz, on="doc_id", how="inner"), ["doc_id"])
 
 
 MIN_DF = 2

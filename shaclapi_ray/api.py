@@ -214,6 +214,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "pii_scan": "shaclapi_ray.pipelines.textstats:pii_scan",
     "fingerprint": "shaclapi_ray.pipelines.textstats:fingerprint",
     "rolling_fingerprint": "shaclapi_ray.pipelines.textstats:rolling_fingerprint",
+    "compression_signals": "shaclapi_ray.pipelines.textstats:compression_signals",
     "chunk_text": "shaclapi_ray.pipelines.textstats:chunk_text",
     "doc_frequency": "shaclapi_ray.pipelines.textstats:doc_frequency",
     "tfidf_top_terms": "shaclapi_ray.pipelines.textstats:tfidf_top_terms",

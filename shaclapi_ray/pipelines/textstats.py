@@ -645,6 +645,48 @@ def chunk_text(docs_ds, chunk_chars: int = CHUNK_CHARS, overlap: int = CHUNK_OVE
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def compression_signals(docs_ds, level: int = 6):
+    """(doc_id, n_bytes, n_compressed, compression_ratio): per-document
+    zlib redundancy signal — the RefinedWeb/Gopher-family quality
+    heuristic: highly repetitive/boilerplate text compresses far below
+    natural prose, so a HIGH ratio (n_bytes / n_compressed) marks
+    low-entropy documents and a ratio near 1 marks natural or
+    high-entropy text. ``level`` is the zlib level (6 = the stdlib
+    default; the signal is deterministic for a fixed level).
+
+    Empty/null documents get ratio 0.0 (n_bytes = 0), keeping them
+    distinguishable from incompressible text (~1.0). One streaming
+    map_batches pass; the per-row work is stdlib zlib (C speed) over
+    utf-8 bytes — no SQL analog (DuckDB has no compressor), so the
+    driver check is a pinned golden and semantics are asserted by
+    direct-recompute + planted-redundancy tests."""
+    import zlib
+
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n_bytes = np.empty(len(arr), dtype=np.int64)
+        n_comp = np.empty(len(arr), dtype=np.int64)
+        for i, v in enumerate(arr):
+            s = v.as_py()
+            b = s.encode("utf-8") if s else b""
+            n_bytes[i] = len(b)
+            n_comp[i] = len(zlib.compress(b, level))
+        ratio = np.where(n_bytes > 0, n_bytes / np.maximum(n_comp, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(n_bytes),
+                "n_compressed": pa.array(n_comp),
+                "compression_ratio": pa.array(ratio),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 ROLL_B = 1000003  # odd => invertible mod 2^64
 
 

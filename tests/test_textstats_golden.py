@@ -273,3 +273,80 @@ def test_unigram_sharded_equals_broadcast(ray_session):
     )
     assert a["n_tokens"].tolist() == b["n_tokens"].tolist()
     np.testing.assert_allclose(a["logprob"], b["logprob"], atol=1e-9)
+
+
+def _docs_from(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+
+
+def test_compression_signals_match_direct(ray_session):
+    """Exact byte/compressed sizes vs a direct zlib recompute, including
+    null/empty/unicode edges."""
+    import zlib
+
+    from shaclapi_ray.pipelines.textstats import compression_signals
+
+    texts = [None, "", "abc " * 200, "the quick brown fox", "δοκιμή " * 50]
+    out = (
+        compression_signals(_docs_from(texts))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8") if t else b""
+        assert out.loc[i, "n_bytes"] == len(b)
+        assert out.loc[i, "n_compressed"] == len(zlib.compress(b, 6))
+        if len(b) == 0:
+            assert out.loc[i, "compression_ratio"] == 0.0
+        else:
+            assert out.loc[i, "compression_ratio"] == len(b) / len(
+                zlib.compress(b, 6)
+            )
+
+
+def test_compression_signals_rank_redundancy(ray_session):
+    """The signal's point: boilerplate/repetition compresses much harder
+    than natural-looking prose of the same length."""
+    import numpy as np
+
+    from shaclapi_ray.pipelines.textstats import compression_signals
+
+    rng = np.random.default_rng(5)
+    words = ["data", "spark", "query", "merge", "vector", "line", "sort"]
+    prose = " ".join(rng.choice(words, size=400))
+    boiler = "click here to subscribe now " * 80
+    out = (
+        compression_signals(_docs_from([prose, boiler]))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "compression_ratio"] > out.loc[0, "compression_ratio"] * 2
+
+
+def test_compression_signals_layout_independent(ray_session):
+    from shaclapi_ray.pipelines.textstats import compression_signals
+
+    texts = [f"doc {i} " + "pad " * (i % 17) for i in range(40)]
+    a = (
+        compression_signals(_docs_from(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        compression_signals(_docs_from(texts).repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
