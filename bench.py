@@ -254,6 +254,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("simhash_neardup", lambda: simhash_neardup_pairs(docs).count(), rows=n_doc_rows)
     timed("rolling_fingerprint", lambda: rolling_fingerprint(docs).count(), rows=n_doc_rows)
 
+    from shaclapi_ray.pipelines.textstats import compression_signals
+
+    timed(
+        "compression_signals",
+        lambda: compression_signals(docs).count(),
+        rows=n_doc_rows,
+    )
+
     from shaclapi_ray.pipelines.events import attribute_events, sessionize
 
     events = read_table_split(f"{sf_dir}/events.parquet")
