@@ -52,10 +52,14 @@ def _boundary(ds, checkpoint_dir: str | None, stage: str):
     stages re-read blocks instead of re-executing the upstream chain."""
     if checkpoint_dir:
         import os
+        import shutil
 
         import ray.data
 
         out = os.path.join(checkpoint_dir, stage)
+        # idempotent overwrite: a rerun into the same checkpoint_dir must
+        # not APPEND a second copy of every stage file
+        shutil.rmtree(out, ignore_errors=True)
         ds.write_parquet(out)
         return ray.data.read_parquet(out)
     return ds.materialize()

@@ -235,3 +235,21 @@ def test_layout_independence(nparts):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, base, check_dtype=False)
+
+
+def test_checkpoint_rerun_idempotent(tmp_path):
+    """Re-running into the same checkpoint_dir must overwrite stage dirs,
+    not append a second copy of every file."""
+    a = (
+        preprocess_corpus(_docs(), checkpoint_dir=str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        preprocess_corpus(_docs(), checkpoint_dir=str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
