@@ -431,9 +431,16 @@ def _q_inverted_index(sf_dir: str):
 
 
 def _q_unigram_logprob(sf_dir: str):
-    from shaclapi_ray.pipelines.textstats import unigram_logprob
+    """unigram_logprob + CCNet head/middle/tail bucketing (ccnet_buckets
+    runs the full unigram scorer inside, then per-lang exact quantile
+    cuts — one slot exercises both, all columns SQL-mirrored)."""
+    from shaclapi_ray.pipelines.textstats import ccnet_buckets
 
-    return _sorted(unigram_logprob(_docs(sf_dir)), ["doc_id"])
+    out = ccnet_buckets(_docs(sf_dir)).to_pandas()
+    return _sorted(
+        out[["doc_id", "lang", "n_tokens", "logprob", "score_q", "bucket"]],
+        ["doc_id"],
+    )
 
 
 TFIDF_K = 5
@@ -1442,7 +1449,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "top_docs_per_lang": o.top_docs_per_group_sql(3),
         "decontaminate": o.decontaminate_sql(),
         "inverted_index": o.inverted_index_sql(MIN_DF),
-        "unigram_logprob": o.unigram_logprob_sql(),
+        "unigram_logprob": o.ccnet_buckets_sql(),
         "tfidf_top_terms": o.tfidf_top_terms_sql(TFIDF_K, MIN_DF),
         "rebalance_corpus": o.rebalance_corpus_sql(),
         "chunk_text": o.chunk_text_sql(200, 50),

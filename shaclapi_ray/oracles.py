@@ -488,6 +488,42 @@ FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id
 """
 
 
+def ccnet_buckets_sql(
+    q1: float = 1.0 / 3.0, q2: float = 2.0 / 3.0, precision: int = 1000
+) -> str:
+    """Mirror of pipelines.textstats.ccnet_buckets: per-lang exact rank
+    quantiles over the integer-quantized unigram logprob, head/middle/
+    tail assignment."""
+    return f"""
+WITH lp AS ({unigram_logprob_sql()}),
+wl AS (
+  SELECT lp.doc_id, d.lang, lp.n_tokens, lp.logprob,
+         CAST(round(lp.logprob * {precision}, 0) AS BIGINT) AS score_q
+  FROM lp JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT lang, score_q,
+         row_number() OVER (PARTITION BY lang ORDER BY score_q) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM wl
+),
+t1 AS (
+  SELECT lang, min(score_q) AS t FROM ranked
+  WHERE rn = CAST(ceil({q1} * n) AS BIGINT) GROUP BY lang
+),
+t2 AS (
+  SELECT lang, min(score_q) AS t FROM ranked
+  WHERE rn = CAST(ceil({q2} * n) AS BIGINT) GROUP BY lang
+)
+SELECT wl.doc_id, wl.lang, wl.n_tokens, wl.logprob, wl.score_q,
+       CASE WHEN wl.score_q <= t1.t THEN 'tail'
+            WHEN wl.score_q <= t2.t THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM wl JOIN t1 USING (lang) JOIN t2 USING (lang)
+ORDER BY doc_id
+"""
+
+
 def tfidf_top_terms_sql(k: int = 5, min_df: int = 1) -> str:
     """Mirror of pipelines.textstats.tfidf_top_terms: tfidf rounded to 6
     decimals BEFORE ranking (ties token-asc), df >= min_df, N = all docs."""

@@ -963,8 +963,8 @@ def inverted_index(docs_ds, min_df: int = 2, max_df: int | None = None):
 VOCAB_BROADCAST_LIMIT = 50_000_000
 
 
-def unigram_logprob(docs_ds):
-    """(doc_id, n_tokens, logprob): mean natural-log corpus-unigram
+def unigram_logprob(docs_ds, keep_cols: tuple = ()):
+    """(doc_id, [*keep_cols,] n_tokens, logprob): mean natural-log corpus-unigram
     probability of each document's tokens — the language-model quality
     filter of CCNet-class pipelines (Wenzek et al. 2020) with the LM
     replaced by the corpus's own unigram statistics, so the operator is
@@ -1062,13 +1062,13 @@ def unigram_logprob(docs_ds):
                 }
             )
         out = (
-            pl.from_arrow(batch.select(["doc_id"]))
+            pl.from_arrow(batch.select(["doc_id", *keep_cols]))
             .join(per_doc, on="doc_id", how="left")
             .with_columns(
                 pl.col("n_tokens").fill_null(0),
                 pl.col("logprob").fill_null(0.0),
             )
-            .select("doc_id", "n_tokens", "logprob")
+            .select("doc_id", *keep_cols, "n_tokens", "logprob")
         )
         return out.to_arrow()
 
@@ -1137,6 +1137,97 @@ def lookup_tokens(index_dir: str, tokens: list[str]) -> pa.Table:
     mask = pc.is_in(tbl["token"], value_set=pa.array(toks))
     out = tbl.filter(mask)
     return out.sort_by("token")
+
+
+def ccnet_buckets(
+    docs_ds,
+    group_col: str = "lang",
+    q1: float = 1.0 / 3.0,
+    q2: float = 2.0 / 3.0,
+    precision: int = 1000,
+):
+    """(doc_id, <group_col>, n_tokens, logprob, score_q, bucket): CCNet's
+    head/middle/tail split (Wenzek et al. 2020) — per language, rank
+    documents by unigram-LM log-probability and cut at the q1/q2
+    quantiles: 'head' = most-probable (cleanest) text, 'tail' = rare/
+    garbage-token text, 'middle' between.
+
+    Exactness discipline: the quantiles are EXACT rank quantiles (the
+    ceil(q*n)-th smallest), computed over the INTEGER-quantized score
+    ``score_q = round(logprob * precision)`` so the per-group
+    distribution is a small (group, score_q) histogram — the same
+    pre-aggregate → tiny driver cumsum → broadcast-thresholds shape as
+    quality_quantile_filter; no corpus-sized group ever materializes and
+    the whole operator (scores, thresholds, buckets) is mirrored by
+    ``oracles.ccnet_buckets_sql``. Round-to-NEAREST (not floor) is
+    deliberate: float group means reproduce only to ~1 ulp across block
+    layouts/engines, and nearest-int absorbs that noise (a flip needs
+    the true value within ~1e-12 of an exact .5 — which log means do
+    not produce), where floor flips at every integer boundary."""
+    import math
+
+    import numpy as np
+    import polars as pl
+
+    import ray
+
+    from shaclapi_ray.stages.hashset import build_hash_map, lookup
+
+    lp = unigram_logprob(docs_ds, keep_cols=(group_col,)).materialize()
+
+    def add_score(batch: pa.Table) -> pa.Table:
+        sq = np.rint(
+            batch["logprob"].to_numpy(zero_copy_only=False) * precision
+        ).astype(np.int64)
+        return batch.append_column("score_q", pa.array(sq))
+
+    scored = lp.map_batches(
+        add_score, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch.select([group_col, "score_q"]))
+            .group_by([group_col, "score_q"])
+            .len()
+        )
+        t = df.to_arrow()
+        return pa.table(
+            {
+                group_col: t[group_col].cast(pa.string()),
+                "score_q": t["score_q"],
+                "c": t["len"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        scored.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby([group_col, "score_q"])
+        .sum("c")
+        .to_pandas()  # |groups| x |distinct quantized scores| — tiny
+    )
+
+    groups, t1s, t2s = [], [], []
+    for grp, sub in hist.groupby(group_col, sort=True):
+        sub = sub.sort_values("score_q")
+        cum = sub["sum(c)"].cumsum()
+        n = int(cum.iloc[-1])
+        t1 = int(sub["score_q"][cum >= math.ceil(q1 * n)].iloc[0])
+        t2 = int(sub["score_q"][cum >= math.ceil(q2 * n)].iloc[0])
+        groups.append(grp)
+        t1s.append(t1)
+        t2s.append(t2)
+    t1_ref = ray.put(build_hash_map(groups, t1s))
+    t2_ref = ray.put(build_hash_map(groups, t2s))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t1 = lookup(ray.get(t1_ref), batch[group_col])
+        t2 = lookup(ray.get(t2_ref), batch[group_col])
+        sq = batch["score_q"].to_numpy(zero_copy_only=False)
+        bucket = np.where(sq <= t1, "tail", np.where(sq <= t2, "middle", "head"))
+        return batch.append_column("bucket", pa.array(bucket.astype(object)))
+
+    return scored.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def unigram_logprob_sharded(docs_ds):

@@ -350,3 +350,49 @@ def test_compression_signals_layout_independent(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_ccnet_buckets_semantics(ray_session):
+    """Planted quality gradient: repeated common words land in 'head',
+    rare-token garbage in 'tail'; every group's bucket counts follow the
+    rank-quantile definition."""
+    from shaclapi_ray.pipelines.textstats import ccnet_buckets
+
+    texts = (
+        ["common words common words common words"] * 4   # high logprob
+        + ["common words mixed with zxq%d unique" % i for i in range(4)]
+        + ["zzqx%d wvut%d qqpl%d" % (i, i, i) for i in range(4)]  # rare
+    )
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(12), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 12),
+            }
+        )
+    ).repartition(3)
+    out = ccnet_buckets(ds).to_pandas().set_index("doc_id").sort_index()
+    assert (out.loc[0:3, "bucket"] == "head").all()
+    assert (out.loc[8:11, "bucket"] == "tail").all()
+    # layout independence: the raw float mean reproduces only to ~1 ulp
+    # across block layouts (polars group-sum chunking), which is exactly
+    # why score_q uses round-to-nearest — the DERIVED columns must be
+    # bit-identical even where the float wobbles
+    out1 = (
+        ccnet_buckets(ds.repartition(1))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out7 = (
+        ccnet_buckets(ds.repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ("doc_id", "lang", "n_tokens", "score_q", "bucket"):
+        assert (out1[col] == out7[col]).all(), col
+    assert np.allclose(out1["logprob"], out7["logprob"], rtol=1e-12)
