@@ -300,6 +300,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("inverted_index", lambda: inverted_index(docs).count(), rows=n_doc_rows)
     timed("unigram_logprob", lambda: unigram_logprob(docs).count(), rows=n_doc_rows)
 
+    from shaclapi_ray.pipelines.textstats import ccnet_buckets
+
+    timed("ccnet_buckets", lambda: ccnet_buckets(docs).count(), rows=n_doc_rows)
+
     from shaclapi_ray.pipelines.bpe import bpe_self_tokenize
     from shaclapi_ray.pipelines.classify import nb_self_classify
 
