@@ -939,13 +939,25 @@ def _q_doc_signals(sf_dir: str):
     return _sorted(_merge_docs(frames), ["doc_id"])
 
 
+CLEAN_LINES_KW = dict(require_terminal_punct=False, min_words=40)
+# fixture text carries no terminal punctuation, so the driver profile
+# exercises the min-words + brace + within-doc-dedup rules (the
+# punctuation rule is parity-tested separately in test_textstats_golden)
+
+
 def _q_clean_pii(sf_dir: str):
-    """normalize_text + pii_scan joined on doc_id."""
-    from shaclapi_ray.pipelines.textstats import normalize_text, pii_scan
+    """normalize_text + pii_scan + the C4 clean_lines pass, joined on
+    doc_id."""
+    from shaclapi_ray.pipelines.textstats import (
+        clean_lines,
+        normalize_text,
+        pii_scan,
+    )
 
     frames = [
         normalize_text(_docs(sf_dir)).to_pandas(),
         pii_scan(_docs(sf_dir)).to_pandas(),
+        clean_lines(_docs(sf_dir), **CLEAN_LINES_KW).to_pandas(),
     ]
     return _sorted(_merge_docs(frames), ["doc_id"])
 
@@ -1415,7 +1427,13 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             order="doc_id",
         ),
         "clean_pii": _join_sql(
-            [o.normalize_text_sql(), o.pii_scan_sql()], on="doc_id", order="doc_id"
+            [
+                o.normalize_text_sql(),
+                o.pii_scan_sql(),
+                o.clean_lines_sql(**CLEAN_LINES_KW),
+            ],
+            on="doc_id",
+            order="doc_id",
         ),
         "sample_corpus": _tagged_union_sql(
             [

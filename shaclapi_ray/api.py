@@ -211,6 +211,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "quality_signals": "shaclapi_ray.pipelines.textstats:quality_signals",
     "repetition_signals": "shaclapi_ray.pipelines.textstats:repetition_signals",
     "normalize_text": "shaclapi_ray.pipelines.textstats:normalize_text",
+    "clean_lines": "shaclapi_ray.pipelines.textstats:clean_lines",
     "pii_scan": "shaclapi_ray.pipelines.textstats:pii_scan",
     "fingerprint": "shaclapi_ray.pipelines.textstats:fingerprint",
     "rolling_fingerprint": "shaclapi_ray.pipelines.textstats:rolling_fingerprint",

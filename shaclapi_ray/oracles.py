@@ -488,6 +488,48 @@ FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id
 """
 
 
+def clean_lines_sql(
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    drop_brace_lines: bool = True,
+    dedup_lines: bool = True,
+) -> str:
+    """Mirror of pipelines.textstats.clean_lines (C4 line rules +
+    within-doc first-occurrence line dedup)."""
+    trim = "trim(l, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+    conds = [f"length(regexp_extract_all({trim}, '\\S+')) >= {min_words}"]
+    if require_terminal_punct:
+        conds.append(f"regexp_matches({trim}, '[.!?\"]$')")
+    if drop_brace_lines:
+        conds.append("NOT contains(l, '{')")
+    where = " AND ".join(conds)
+    occ_filter = "WHERE occ = 1" if dedup_lines else ""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l,
+         unnest(range(len(string_split(coalesce(text, ''), chr(10))))) AS idx
+  FROM documents
+),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id),
+keep AS (SELECT doc_id, idx, l FROM lines WHERE {where}),
+occ AS (
+  SELECT doc_id, idx, l,
+         row_number() OVER (PARTITION BY doc_id, l ORDER BY idx) AS occ
+  FROM keep
+),
+agg AS (
+  SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS clean_text,
+         count(*)::BIGINT AS n_kept_lines
+  FROM occ {occ_filter} GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept_lines, 0) AS n_kept_lines,
+       (t.n_lines - coalesce(a.n_kept_lines, 0)) AS n_dropped_lines
+FROM documents d JOIN totals t USING (doc_id)
+LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+
 def ccnet_buckets_sql(
     q1: float = 1.0 / 3.0, q2: float = 2.0 / 3.0, precision: int = 1000
 ) -> str:

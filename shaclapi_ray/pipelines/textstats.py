@@ -645,6 +645,84 @@ def chunk_text(docs_ds, chunk_chars: int = CHUNK_CHARS, overlap: int = CHUNK_OVE
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+TERMINAL_PUNCT_RE = r'[.!?"]$'  # applied to the trimmed line
+WS_STRIP = " \t\n\r\x0b\x0c"  # explicit so the SQL oracle trims identically
+
+
+def clean_lines(
+    docs_ds,
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    drop_brace_lines: bool = True,
+    dedup_lines: bool = True,
+):
+    """(doc_id, clean_text, n_kept_lines, n_dropped_lines): the C4
+    line-level cleaning pass (Raffel et al. 2020): keep only lines with
+    at least ``min_words`` whitespace tokens, (optionally) ending in
+    terminal punctuation (. ! ? \"), and not containing '{' (code/
+    template debris); ``dedup_lines`` additionally keeps only the FIRST
+    occurrence of each exact line within a document (C4 also removes
+    repeated boilerplate lines). One output row per input document;
+    kept lines re-join with newlines in original order.
+
+    Row-local (one streaming map_batches pass, no shuffle — the within-
+    doc dedup needs only the doc's own lines, which never straddle
+    batches); all rules are vectorized polars kernels mirrored exactly
+    by ``oracles.clean_lines_sql``."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            pl.col("text").fill_null("")
+        )
+        lines = (
+            df.with_columns(pl.col("text").str.split("\n").alias("l"))
+            .drop("text")
+            .explode("l")
+            .with_columns(pl.int_range(pl.len()).over("doc_id").alias("idx"))
+        )
+        trimmed = pl.col("l").str.strip_chars(WS_STRIP)
+        keep = trimmed.str.count_matches(TOKEN_RE) >= min_words
+        if require_terminal_punct:
+            keep = keep & trimmed.str.contains(TERMINAL_PUNCT_RE)
+        if drop_brace_lines:
+            keep = keep & ~pl.col("l").str.contains("{", literal=True)
+        kept = lines.filter(keep)
+        if dedup_lines:
+            kept = kept.filter(
+                pl.col("l").cum_count().over(["doc_id", "l"]) == 1
+            )
+        agg = (
+            kept.sort(["doc_id", "idx"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                pl.col("l").str.join("\n").alias("clean_text"),
+                pl.len().cast(pl.Int64).alias("n_kept_lines"),
+            )
+        )
+        totals = lines.group_by("doc_id").agg(
+            pl.len().cast(pl.Int64).alias("n_lines")
+        )
+        out = (
+            df.select("doc_id")
+            .join(totals, on="doc_id", how="left")
+            .join(agg, on="doc_id", how="left")
+            .with_columns(
+                pl.col("clean_text").fill_null(""),
+                pl.col("n_kept_lines").fill_null(0),
+            )
+            .with_columns(
+                (pl.col("n_lines") - pl.col("n_kept_lines")).alias(
+                    "n_dropped_lines"
+                )
+            )
+            .select("doc_id", "clean_text", "n_kept_lines", "n_dropped_lines")
+        )
+        return out.to_arrow()
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def compression_signals(docs_ds, level: int = 6):
     """(doc_id, n_bytes, n_compressed, compression_ratio): per-document
     zlib redundancy signal — the RefinedWeb/Gopher-family quality

@@ -396,3 +396,38 @@ def test_ccnet_buckets_semantics(ray_session):
     for col in ("doc_id", "lang", "n_tokens", "score_q", "bucket"):
         assert (out1[col] == out7[col]).all(), col
     assert np.allclose(out1["logprob"], out7["logprob"], rtol=1e-12)
+
+
+def test_clean_lines_c4_rules(ray_session):
+    """The C4 line pass on a planted doc: short lines, no-terminal-punct
+    lines, brace lines, and repeated boilerplate all drop; kept lines
+    preserve order and re-join with newlines."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.textstats import clean_lines
+
+    doc = "\n".join(
+        [
+            "This is a perfectly fine sentence with enough words.",  # keep
+            "too short.",                                             # <5 words
+            "No terminal punctuation in this line of text here",      # no punct
+            "function() { return 42; } has code braces in it today.", # brace
+            "Subscribe to our newsletter for updates every single day!",  # keep
+            "Subscribe to our newsletter for updates every single day!",  # dup
+            "  Trailing-space terminal punctuation also counts here.  ",  # keep
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([doc])})
+    )
+    out = clean_lines(ds).to_pandas().iloc[0]
+    kept = out["clean_text"].split("\n")
+    assert kept == [
+        "This is a perfectly fine sentence with enough words.",
+        "Subscribe to our newsletter for updates every single day!",
+        "  Trailing-space terminal punctuation also counts here.  ",
+    ]
+    assert out["n_kept_lines"] == 3 and out["n_dropped_lines"] == 4
+    # dedup off keeps the repeated boilerplate twice
+    out2 = clean_lines(ds, dedup_lines=False).to_pandas().iloc[0]
+    assert out2["n_kept_lines"] == 4
