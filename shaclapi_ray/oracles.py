@@ -493,6 +493,7 @@ def clean_lines_sql(
     require_terminal_punct: bool = True,
     drop_brace_lines: bool = True,
     dedup_lines: bool = True,
+    src: str = "documents",
 ) -> str:
     """Mirror of pipelines.textstats.clean_lines (C4 line rules +
     within-doc first-occurrence line dedup)."""
@@ -508,7 +509,7 @@ def clean_lines_sql(
 WITH lines AS (
   SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l,
          unnest(range(len(string_split(coalesce(text, ''), chr(10))))) AS idx
-  FROM documents
+  FROM {src}
 ),
 totals AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id),
 keep AS (SELECT doc_id, idx, l FROM lines WHERE {where}),
@@ -525,7 +526,7 @@ agg AS (
 SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
        coalesce(a.n_kept_lines, 0) AS n_kept_lines,
        (t.n_lines - coalesce(a.n_kept_lines, 0)) AS n_dropped_lines
-FROM documents d JOIN totals t USING (doc_id)
+FROM {src} d JOIN totals t USING (doc_id)
 LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
 """
 

@@ -75,18 +75,39 @@ def preprocess_corpus(
     decontam_n: int = N_GRAM,
     eval_mod: int = EVAL_MOD,
     eval_ds=None,
+    clean_lines_kw: dict | None = None,
     checkpoint_dir: str | None = None,
 ):
     """documents -> (doc_id, text, n_tokens): the cleaned, deduplicated,
     decontaminated training corpus (see module docstring for the five
-    stages and the scale notes)."""
+    stages and the scale notes).
+
+    ``clean_lines_kw`` enables an optional STAGE 0: the C4 line pass
+    (textstats.clean_lines) with those keyword arguments, run before the
+    quality filter — pass ``{}`` for the canonical C4 rules. Off by
+    default because the terminal-punctuation rule empties corpora whose
+    text carries no sentence punctuation (like the synthetic fixtures);
+    the composed oracle mirrors whatever config is passed."""
     from shaclapi_ray.pipelines.decontam import decontaminate
     from shaclapi_ray.pipelines.dedup import dedup_corpus, dedup_paragraphs
     from shaclapi_ray.pipelines.spans import remove_dup_spans
-    from shaclapi_ray.pipelines.textstats import quality_quantile_filter
+    from shaclapi_ray.pipelines.textstats import (
+        clean_lines,
+        quality_quantile_filter,
+    )
+
+    docs = docs_ds
+    if clean_lines_kw is not None:
+        # stage 0 rewrites text; carry the columns later stages consume
+        rest = [c for c in docs_ds.schema().names if c not in ("doc_id", "text")]
+        docs = clean_lines(docs, keep_cols=tuple(rest), **clean_lines_kw)
+        docs = docs.drop_columns(
+            ["n_kept_lines", "n_dropped_lines"]
+        ).rename_columns({"clean_text": "text"})
+        docs = _boundary(docs, checkpoint_dir, "s0_lines")
 
     docs = quality_quantile_filter(
-        docs_ds, q=q, group_col=group_col, return_docs=True
+        docs, q=q, group_col=group_col, return_docs=True
     )
     docs = _boundary(docs, checkpoint_dir, "s1_quality")
 
@@ -128,12 +149,14 @@ def preprocess_corpus_sql(
     span_min_docs: int = MIN_DUP_DOCS,
     decontam_n: int = N_GRAM,
     eval_mod: int = EVAL_MOD,
+    clean_lines_kw: dict | None = None,
 ) -> str:
     """The composed DuckDB oracle: each stage's existing SQL generator is
     aimed at the previous stage's CTE via its ``src`` parameter, so the
     chain's semantics are defined by exactly the SQL already validated
     per stage. Output (doc_id, pp_text, pp_n_tokens)."""
     from shaclapi_ray.oracles import (
+        clean_lines_sql,
         decontaminate_sql,
         dedup_corpus_sql,
         quantile_filter_sql,
@@ -141,10 +164,21 @@ def preprocess_corpus_sql(
     from shaclapi_ray.pipelines.dedup import dedup_paragraphs_sql
     from shaclapi_ray.pipelines.spans import remove_dup_spans_sql
 
+    base = "documents"
+    s0 = ""
+    if clean_lines_kw is not None:
+        s0 = f"""s0 AS (
+  SELECT c.doc_id, c.clean_text AS text, d.lang, d.source, d.n_chars
+  FROM ({clean_lines_sql(**clean_lines_kw)}) c
+  JOIN documents d USING (doc_id)
+),
+"""
+        base = "s0"
+
     return f"""
-WITH s1 AS (
-  SELECT d.* FROM documents d
-  JOIN ({quantile_filter_sql(q)}) f USING (doc_id)
+WITH {s0}s1 AS (
+  SELECT d.* FROM {base} d
+  JOIN ({quantile_filter_sql(q, src=base)}) f USING (doc_id)
 ),
 s2 AS ({dedup_corpus_sql(src="s1")}),
 s3 AS (

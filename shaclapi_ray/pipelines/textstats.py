@@ -655,6 +655,7 @@ def clean_lines(
     require_terminal_punct: bool = True,
     drop_brace_lines: bool = True,
     dedup_lines: bool = True,
+    keep_cols: tuple = (),
 ):
     """(doc_id, clean_text, n_kept_lines, n_dropped_lines): the C4
     line-level cleaning pass (Raffel et al. 2020): keep only lines with
@@ -672,11 +673,12 @@ def clean_lines(
     import polars as pl
 
     def fn(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
-            pl.col("text").fill_null("")
-        )
+        df = pl.from_arrow(
+            batch.select(["doc_id", "text", *keep_cols])
+        ).with_columns(pl.col("text").fill_null(""))
         lines = (
-            df.with_columns(pl.col("text").str.split("\n").alias("l"))
+            df.select("doc_id", "text")
+            .with_columns(pl.col("text").str.split("\n").alias("l"))
             .drop("text")
             .explode("l")
             .with_columns(pl.int_range(pl.len()).over("doc_id").alias("idx"))
@@ -704,7 +706,7 @@ def clean_lines(
             pl.len().cast(pl.Int64).alias("n_lines")
         )
         out = (
-            df.select("doc_id")
+            df.select("doc_id", *keep_cols)
             .join(totals, on="doc_id", how="left")
             .join(agg, on="doc_id", how="left")
             .with_columns(
@@ -716,7 +718,13 @@ def clean_lines(
                     "n_dropped_lines"
                 )
             )
-            .select("doc_id", "clean_text", "n_kept_lines", "n_dropped_lines")
+            .select(
+                "doc_id",
+                *keep_cols,
+                "clean_text",
+                "n_kept_lines",
+                "n_dropped_lines",
+            )
         )
         return out.to_arrow()
 

@@ -253,3 +253,54 @@ def test_checkpoint_rerun_idempotent(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_stage0_clean_lines_composition(tmp_path):
+    """Optional stage 0 (C4 line pass) composes: the line rules rewrite
+    text BEFORE quality/dedup, and the oracle mirrors the whole 6-stage
+    chain."""
+    import pyarrow.parquet as pq
+
+    boiler = "subscribe to our newsletter today"
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = []
+    for i in range(30):
+        # repeated boilerplate line + a distinct body line per doc
+        texts.append(boiler + "\n" + body + f" doc{i} " + "pad " * (i % 5))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 30),
+            "source": pa.array(["t"] * 30),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    kw = dict(require_terminal_punct=False, min_words=6)
+    out = (
+        preprocess_corpus(
+            ray.data.read_parquet(src).repartition(3), clean_lines_kw=kw
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the 5-word boilerplate line is gone from every surviving text
+    assert len(out) > 0
+    assert not out["text"].str.contains(boiler).any()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}')")
+    exp = (
+        con.execute(preprocess_corpus_sql(clean_lines_kw=kw))
+        .df()
+        .rename(columns={"pp_text": "text", "pp_n_tokens": "n_tokens"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n_tokens": "int64"}),
+        exp.astype({"n_tokens": "int64"}),
+        check_dtype=False,
+    )
