@@ -962,13 +962,29 @@ def _q_clean_pii(sf_dir: str):
     return _sorted(_merge_docs(frames), ["doc_id"])
 
 
+GOPHER_KW = dict(min_stop_hits=1)
+# the synthetic vocabulary carries only one of the eight Gopher stop
+# words, so the driver profile lowers that one threshold to keep the
+# composite verdict non-degenerate (the full default profile is
+# parity-tested in tests/test_textstats_golden.py)
+
+
 def _q_quality_repetition(sf_dir: str):
-    """quality_signals + repetition_signals joined on doc_id."""
-    from shaclapi_ray.pipelines.textstats import quality_signals, repetition_signals
+    """quality_signals + repetition_signals + the Gopher composite
+    quality rules, joined on doc_id."""
+    from shaclapi_ray.pipelines.textstats import (
+        gopher_rules,
+        quality_signals,
+        repetition_signals,
+    )
 
     frames = [
         quality_signals(_docs(sf_dir)).to_pandas(),
         repetition_signals(_docs(sf_dir)).to_pandas(),
+        # n_words duplicates repetition_signals' identical \S+ count
+        gopher_rules(_docs(sf_dir), **GOPHER_KW)
+        .to_pandas()
+        .drop(columns=["n_words"]),
     ]
     return _sorted(_merge_docs(frames), ["doc_id"])
 
@@ -1459,7 +1475,14 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             order="kind, doc_id",
         ),
         "quality_repetition": _join_sql(
-            [o.quality_signals_sql(), o.repetition_signals_sql()],
+            [
+                o.quality_signals_sql(),
+                o.repetition_signals_sql(),
+                "SELECT doc_id, mean_word_len, symbol_ratio, bullet_frac, "
+                "ellipsis_frac, alpha_frac, n_stop_hits, gopher_pass FROM ("
+                + o.gopher_rules_sql(**GOPHER_KW)
+                + ")",
+            ],
             on="doc_id",
             order="doc_id",
         ),

@@ -209,6 +209,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "token_count": "shaclapi_ray.pipelines.textstats:token_count",
     "lang_id": "shaclapi_ray.pipelines.textstats:lang_id",
     "quality_signals": "shaclapi_ray.pipelines.textstats:quality_signals",
+    "gopher_rules": "shaclapi_ray.pipelines.textstats:gopher_rules",
     "repetition_signals": "shaclapi_ray.pipelines.textstats:repetition_signals",
     "normalize_text": "shaclapi_ray.pipelines.textstats:normalize_text",
     "clean_lines": "shaclapi_ray.pipelines.textstats:clean_lines",

@@ -488,6 +488,75 @@ FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id
 """
 
 
+def gopher_rules_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """Mirror of pipelines.textstats.gopher_rules (Rae et al. 2021 Table
+    A1 rules; ratios rounded to 6 decimals before thresholding)."""
+    from shaclapi_ray.pipelines.textstats import GOPHER_STOPWORDS
+
+    stop_alt = "|".join(GOPHER_STOPWORDS)
+    trim = "trim(l, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+),
+doc AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS nchars,
+         length(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS sym
+  FROM base
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM base
+),
+lstat AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN regexp_matches({trim}, '^[-*•]') THEN 1 ELSE 0 END)::BIGINT AS n_bullet,
+         sum(CASE WHEN regexp_matches({trim}, '(\\.\\.\\.|…)$') THEN 1 ELSE 0 END)::BIGINT AS n_ellip
+  FROM lines GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM base
+),
+wstat AS (
+  SELECT doc_id,
+         sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+         count(DISTINCT CASE WHEN regexp_matches(w, '^({stop_alt})$') THEN w END)::BIGINT AS n_stop_hits
+  FROM words GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, d.n_words,
+         round(CASE WHEN d.n_words > 0 THEN d.nchars::DOUBLE / d.n_words ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN d.n_words > 0 THEN d.sym::DOUBLE / d.n_words ELSE 0.0 END, 6) AS symbol_ratio,
+         round(ls.n_bullet::DOUBLE / ls.n_lines, 6) AS bullet_frac,
+         round(ls.n_ellip::DOUBLE / ls.n_lines, 6) AS ellipsis_frac,
+         round(CASE WHEN d.n_words > 0 THEN coalesce(ws.n_alpha, 0)::DOUBLE / d.n_words ELSE 0.0 END, 6) AS alpha_frac,
+         coalesce(ws.n_stop_hits, 0)::BIGINT AS n_stop_hits
+  FROM doc d JOIN lstat ls USING (doc_id) LEFT JOIN wstat ws USING (doc_id)
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stop_hits,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= {min_mean_word_len} AND mean_word_len <= {max_mean_word_len}
+        AND symbol_ratio <= {max_symbol_ratio}
+        AND bullet_frac <= {max_bullet_frac}
+        AND ellipsis_frac <= {max_ellipsis_frac}
+        AND alpha_frac >= {min_alpha_frac}
+        AND n_stop_hits >= {min_stop_hits}) AS gopher_pass
+FROM sig ORDER BY doc_id
+"""
+
+
 def clean_lines_sql(
     min_words: int = 5,
     require_terminal_punct: bool = True,

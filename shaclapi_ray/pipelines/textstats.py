@@ -645,6 +645,147 @@ def chunk_text(docs_ds, chunk_chars: int = CHUNK_CHARS, overlap: int = CHUNK_OVE
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_rules(
+    docs_ds,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+):
+    """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop_hits, gopher_pass): the Gopher
+    document-quality rules (Rae et al. 2021, Table A1) as one composite
+    boolean filter plus every contributing signal:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+      (non-whitespace chars / words)
+    - '#'/'...' symbol-to-word ratio <= max_symbol_ratio
+    - fraction of lines starting with a bullet (- * •) <= max_bullet_frac
+    - fraction of lines ending with an ellipsis <= max_ellipsis_frac
+    - fraction of words containing an alphabetic char >= min_alpha_frac
+    - at least min_stop_hits DISTINCT Gopher stop words present
+
+    Ratios are rounded to 6 decimals BEFORE thresholding (the tfidf
+    precedent) so the float arithmetic hashes identically to the DuckDB
+    oracle. Row-local, one streaming pass, vectorized polars."""
+    import polars as pl
+
+    stop_alt = "|".join(GOPHER_STOPWORDS)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            pl.col("text").fill_null("")
+        )
+        t = pl.col("text")
+        nw = t.str.count_matches(TOKEN_RE).cast(pl.Int64)
+        out = df.with_columns(
+            nw.alias("n_words"),
+            t.str.replace_all(r"\s", "").str.len_chars().cast(pl.Int64).alias("_nchars"),
+            t.str.count_matches(r"#|\.\.\.").cast(pl.Int64).alias("_sym"),
+        )
+        lines = (
+            df.with_columns(t.str.split("\n").alias("l"))
+            .select("doc_id", "l")
+            .explode("l")
+            .with_columns(
+                pl.col("l")
+                .str.strip_chars(WS_STRIP)
+                .str.contains(r"^[-*•]")
+                .alias("b"),
+                pl.col("l")
+                .str.strip_chars(WS_STRIP)
+                .str.contains(r"(\.\.\.|…)$")
+                .alias("e"),
+            )
+            .group_by("doc_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("_nlines"),
+                pl.col("b").sum().cast(pl.Int64).alias("_nbullet"),
+                pl.col("e").sum().cast(pl.Int64).alias("_nellip"),
+            )
+        )
+        words = (
+            df.with_columns(t.str.extract_all(TOKEN_RE).alias("w"))
+            .select("doc_id", "w")
+            .explode("w")
+            .filter(pl.col("w").is_not_null())
+            .group_by("doc_id")
+            .agg(
+                pl.col("w")
+                .str.contains(r"[A-Za-z]")
+                .sum()
+                .cast(pl.Int64)
+                .alias("_nalpha"),
+                pl.col("w")
+                .filter(pl.col("w").str.contains(rf"^({stop_alt})$"))
+                .n_unique()
+                .cast(pl.Int64)
+                .alias("n_stop_hits"),
+            )
+        )
+        r6 = lambda e: (e * 1e6).round(0) / 1e6  # noqa: E731
+        out = (
+            out.join(lines, on="doc_id", how="left")
+            .join(words, on="doc_id", how="left")
+            .with_columns(
+                pl.col("_nalpha").fill_null(0),
+                pl.col("n_stop_hits").fill_null(0),
+            )
+            .with_columns(
+                r6(
+                    pl.when(nw > 0)
+                    .then(pl.col("_nchars") / nw)
+                    .otherwise(0.0)
+                ).alias("mean_word_len"),
+                r6(
+                    pl.when(nw > 0).then(pl.col("_sym") / nw).otherwise(0.0)
+                ).alias("symbol_ratio"),
+                r6(pl.col("_nbullet") / pl.col("_nlines")).alias("bullet_frac"),
+                r6(pl.col("_nellip") / pl.col("_nlines")).alias("ellipsis_frac"),
+                r6(
+                    pl.when(nw > 0)
+                    .then(pl.col("_nalpha") / nw)
+                    .otherwise(0.0)
+                ).alias("alpha_frac"),
+            )
+        )
+        out = out.with_columns(
+            (
+                (pl.col("n_words") >= min_words)
+                & (pl.col("n_words") <= max_words)
+                & (pl.col("mean_word_len") >= min_mean_word_len)
+                & (pl.col("mean_word_len") <= max_mean_word_len)
+                & (pl.col("symbol_ratio") <= max_symbol_ratio)
+                & (pl.col("bullet_frac") <= max_bullet_frac)
+                & (pl.col("ellipsis_frac") <= max_ellipsis_frac)
+                & (pl.col("alpha_frac") >= min_alpha_frac)
+                & (pl.col("n_stop_hits") >= min_stop_hits)
+            ).alias("gopher_pass")
+        )
+        return out.select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "symbol_ratio",
+            "bullet_frac",
+            "ellipsis_frac",
+            "alpha_frac",
+            "n_stop_hits",
+            "gopher_pass",
+        ).to_arrow()
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 TERMINAL_PUNCT_RE = r'[.!?"]$'  # applied to the trimmed line
 WS_STRIP = " \t\n\r\x0b\x0c"  # explicit so the SQL oracle trims identically
 

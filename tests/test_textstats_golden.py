@@ -431,3 +431,47 @@ def test_clean_lines_c4_rules(ray_session):
     # dedup off keeps the repeated boilerplate twice
     out2 = clean_lines(ds, dedup_lines=False).to_pandas().iloc[0]
     assert out2["n_kept_lines"] == 4
+
+
+def test_gopher_rules_planted(ray_session):
+    """Each Gopher rule fires on a planted violator; a natural-looking doc
+    passes the full default profile."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.textstats import gopher_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and that is fine. "
+        * 10
+    )  # 130 words, stopwords the/and/that, alphabetic, no symbols
+    too_short = "The dog and that cat."
+    symbols = ("# " * 60) + "the and that"
+    bullets = "\n".join("- the bullet line item here and that" for _ in range(10))
+    ellipses = "\n".join("the line trails off and that..." for _ in range(10))
+    numeric = ("42 7 99 " * 30) + "the and that"
+    no_stop = "word " * 80
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(
+                    [good, too_short, symbols, bullets, ellipses, numeric]
+                ),
+            }
+        )
+    )
+    out = gopher_rules(ds).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "gopher_pass"])
+    assert not out.loc[1:5, "gopher_pass"].any()
+    assert out.loc[2, "symbol_ratio"] > 0.1
+    assert out.loc[3, "bullet_frac"] == 1.0
+    assert out.loc[4, "ellipsis_frac"] == 1.0
+    assert out.loc[5, "alpha_frac"] < 0.8
+    # the no-stopword rule alone
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array([no_stop])}
+        )
+    )
+    o2 = gopher_rules(ds2).to_pandas().iloc[0]
+    assert o2["n_stop_hits"] == 0 and not o2["gopher_pass"]
