@@ -498,6 +498,7 @@ def gopher_rules_sql(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    src: str = "documents",
 ) -> str:
     """Mirror of pipelines.textstats.gopher_rules (Rae et al. 2021 Table
     A1 rules; ratios rounded to 6 decimals before thresholding)."""
@@ -507,7 +508,7 @@ def gopher_rules_sql(
     trim = "trim(l, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
     return f"""
 WITH base AS (
-  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  SELECT doc_id, coalesce(text, '') AS text FROM {src}
 ),
 doc AS (
   SELECT doc_id,

@@ -76,6 +76,7 @@ def preprocess_corpus(
     eval_mod: int = EVAL_MOD,
     eval_ds=None,
     clean_lines_kw: dict | None = None,
+    gopher_kw: dict | None = None,
     checkpoint_dir: str | None = None,
 ):
     """documents -> (doc_id, text, n_tokens): the cleaned, deduplicated,
@@ -86,13 +87,17 @@ def preprocess_corpus(
     (textstats.clean_lines) with those keyword arguments, run before the
     quality filter — pass ``{}`` for the canonical C4 rules. Off by
     default because the terminal-punctuation rule empties corpora whose
-    text carries no sentence punctuation (like the synthetic fixtures);
-    the composed oracle mirrors whatever config is passed."""
+    text carries no sentence punctuation (like the synthetic fixtures).
+    ``gopher_kw`` likewise enables an optional document-level Gopher
+    rules filter (textstats.gopher_rules, return_docs) after stage 0 —
+    pass ``{}`` for the Rae et al. 2021 defaults. The composed oracle
+    mirrors whatever configs are passed."""
     from shaclapi_ray.pipelines.decontam import decontaminate
     from shaclapi_ray.pipelines.dedup import dedup_corpus, dedup_paragraphs
     from shaclapi_ray.pipelines.spans import remove_dup_spans
     from shaclapi_ray.pipelines.textstats import (
         clean_lines,
+        gopher_rules,
         quality_quantile_filter,
     )
 
@@ -105,6 +110,11 @@ def preprocess_corpus(
             ["n_kept_lines", "n_dropped_lines"]
         ).rename_columns({"clean_text": "text"})
         docs = _boundary(docs, checkpoint_dir, "s0_lines")
+
+    if gopher_kw is not None:
+        # row-local filter — streams, no boundary needed before the next
+        # stage's own materialization
+        docs = gopher_rules(docs, return_docs=True, **gopher_kw)
 
     docs = quality_quantile_filter(
         docs, q=q, group_col=group_col, return_docs=True
@@ -150,6 +160,7 @@ def preprocess_corpus_sql(
     decontam_n: int = N_GRAM,
     eval_mod: int = EVAL_MOD,
     clean_lines_kw: dict | None = None,
+    gopher_kw: dict | None = None,
 ) -> str:
     """The composed DuckDB oracle: each stage's existing SQL generator is
     aimed at the previous stage's CTE via its ``src`` parameter, so the
@@ -159,24 +170,33 @@ def preprocess_corpus_sql(
         clean_lines_sql,
         decontaminate_sql,
         dedup_corpus_sql,
+        gopher_rules_sql,
         quantile_filter_sql,
     )
     from shaclapi_ray.pipelines.dedup import dedup_paragraphs_sql
     from shaclapi_ray.pipelines.spans import remove_dup_spans_sql
 
     base = "documents"
-    s0 = ""
+    pre = ""
     if clean_lines_kw is not None:
-        s0 = f"""s0 AS (
+        pre += f"""s0 AS (
   SELECT c.doc_id, c.clean_text AS text, d.lang, d.source, d.n_chars
   FROM ({clean_lines_sql(**clean_lines_kw)}) c
   JOIN documents d USING (doc_id)
 ),
 """
         base = "s0"
+    if gopher_kw is not None:
+        pre += f"""s0g AS (
+  SELECT d.* FROM {base} d
+  JOIN ({gopher_rules_sql(src=base, **gopher_kw)}) g USING (doc_id)
+  WHERE g.gopher_pass
+),
+"""
+        base = "s0g"
 
     return f"""
-WITH {s0}s1 AS (
+WITH {pre}s1 AS (
   SELECT d.* FROM {base} d
   JOIN ({quantile_filter_sql(q, src=base)}) f USING (doc_id)
 ),

@@ -659,6 +659,7 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    return_docs: bool = False,
 ):
     """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
     ellipsis_frac, alpha_frac, n_stop_hits, gopher_pass): the Gopher
@@ -676,7 +677,12 @@ def gopher_rules(
 
     Ratios are rounded to 6 decimals BEFORE thresholding (the tfidf
     precedent) so the float arithmetic hashes identically to the DuckDB
-    oracle. Row-local, one streaming pass, vectorized polars."""
+    oracle. Row-local, one streaming pass, vectorized polars.
+
+    ``return_docs=True`` returns the surviving FULL rows (every input
+    column, gopher_pass == false rows removed) instead of the signal
+    table — the rules are row-local so the filter happens inside the
+    same streaming pass."""
     import polars as pl
 
     stop_alt = "|".join(GOPHER_STOPWORDS)
@@ -771,6 +777,12 @@ def gopher_rules(
                 & (pl.col("n_stop_hits") >= min_stop_hits)
             ).alias("gopher_pass")
         )
+        if return_docs:
+            import numpy as np
+
+            passing = out.filter(pl.col("gopher_pass"))["doc_id"].to_numpy()
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(ids, passing)))
         return out.select(
             "doc_id",
             "n_words",

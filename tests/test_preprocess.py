@@ -304,3 +304,45 @@ def test_stage0_clean_lines_composition(tmp_path):
         exp.astype({"n_tokens": "int64"}),
         check_dtype=False,
     )
+
+
+def test_gopher_stage_composition(tmp_path):
+    """Optional Gopher doc filter composes with the rest of the chain and
+    the oracle mirrors it (fixture profile: min_stop_hits=0 since the
+    synthetic vocabulary lacks most Gopher stop words; min_words=60 makes
+    the word-count rule actually select)."""
+    kw = dict(min_stop_hits=0, min_words=60)
+    out = (
+        preprocess_corpus(_docs(), gopher_kw=kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    base = (
+        preprocess_corpus(_docs())
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert 0 < len(out) < len(base)  # the filter actually removed docs
+    exp = (
+        _oracle(preprocess_corpus_sql(gopher_kw=kw))
+        .rename(columns={"pp_text": "text", "pp_n_tokens": "n_tokens"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n_tokens": "int64"}),
+        exp.astype({"n_tokens": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_gopher_return_docs_matches_signals():
+    from shaclapi_ray.pipelines.textstats import gopher_rules
+
+    kw = dict(min_stop_hits=0, min_words=60)
+    sig = gopher_rules(_docs(), **kw).to_pandas()
+    kept = gopher_rules(_docs(), return_docs=True, **kw).to_pandas()
+    assert set(kept["doc_id"]) == set(sig.loc[sig["gopher_pass"], "doc_id"])
+    assert set(kept.columns) == set(_docs().schema().names)
