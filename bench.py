@@ -135,6 +135,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("quality_signals", lambda: quality_signals(docs).count(), rows=n_doc_rows)
     timed("lang_id", lambda: lang_id(docs).count(), rows=n_doc_rows)
 
+    from shaclapi_ray.pipelines.textstats import clean_lines, gopher_rules
+
+    timed(
+        "clean_lines",
+        lambda: clean_lines(docs, require_terminal_punct=False).count(),
+        rows=n_doc_rows,
+    )
+    timed("gopher_rules", lambda: gopher_rules(docs).count(), rows=n_doc_rows)
+
     emb = read_table_split(f"{sf_dir}/embeddings.parquet")
     timed("knn_bruteforce", lambda: knn_bruteforce(emb, list(range(8)), k=10).count(), rows=n_emb_rows)
 
