@@ -1412,21 +1412,20 @@ def ccnet_buckets(
 
     from shaclapi_ray.stages.hashset import build_hash_map, lookup
 
+    # ONE materialization of the narrow (doc_id, group, n_tokens, logprob)
+    # table feeds both the histogram pass and the assignment pass; the
+    # cheap integer quantization recomputes per batch in each.
     lp = unigram_logprob(docs_ds, keep_cols=(group_col,)).materialize()
 
-    def add_score(batch: pa.Table) -> pa.Table:
-        sq = np.rint(
+    def _score_q(batch: pa.Table) -> np.ndarray:
+        return np.rint(
             batch["logprob"].to_numpy(zero_copy_only=False) * precision
         ).astype(np.int64)
-        return batch.append_column("score_q", pa.array(sq))
-
-    scored = lp.map_batches(
-        add_score, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         df = (
-            pl.from_arrow(batch.select([group_col, "score_q"]))
+            pl.from_arrow(batch.select([group_col]))
+            .with_columns(pl.Series("score_q", _score_q(batch)))
             .group_by([group_col, "score_q"])
             .len()
         )
@@ -1440,7 +1439,7 @@ def ccnet_buckets(
         )
 
     hist = (
-        scored.map_batches(partial_counts, batch_format="pyarrow")
+        lp.map_batches(partial_counts, batch_format="pyarrow")
         .groupby([group_col, "score_q"])
         .sum("c")
         .to_pandas()  # |groups| x |distinct quantized scores| — tiny
@@ -1462,11 +1461,13 @@ def ccnet_buckets(
     def assign(batch: pa.Table) -> pa.Table:
         t1 = lookup(ray.get(t1_ref), batch[group_col])
         t2 = lookup(ray.get(t2_ref), batch[group_col])
-        sq = batch["score_q"].to_numpy(zero_copy_only=False)
+        sq = _score_q(batch)
         bucket = np.where(sq <= t1, "tail", np.where(sq <= t2, "middle", "head"))
-        return batch.append_column("bucket", pa.array(bucket.astype(object)))
+        return batch.append_column(
+            "score_q", pa.array(sq)
+        ).append_column("bucket", pa.array(bucket.astype(object)))
 
-    return scored.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return lp.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def unigram_logprob_sharded(docs_ds):
