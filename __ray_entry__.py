@@ -971,7 +971,9 @@ GOPHER_KW = dict(min_stop_hits=1)
 
 def _q_quality_repetition(sf_dir: str):
     """quality_signals + repetition_signals + the Gopher composite
-    quality rules, joined on doc_id."""
+    quality rules + the within-doc duplicated-n-gram fraction, joined
+    on doc_id."""
+    from shaclapi_ray.pipelines.spans import intra_dup_ngram
     from shaclapi_ray.pipelines.textstats import (
         gopher_rules,
         quality_signals,
@@ -985,6 +987,8 @@ def _q_quality_repetition(sf_dir: str):
         gopher_rules(_docs(sf_dir), **GOPHER_KW)
         .to_pandas()
         .drop(columns=["n_words"]),
+        # n_tokens duplicates quality_signals' count
+        intra_dup_ngram(_docs(sf_dir)).to_pandas().drop(columns=["n_tokens"]),
     ]
     return _sorted(_merge_docs(frames), ["doc_id"])
 
@@ -1481,6 +1485,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 "SELECT doc_id, mean_word_len, symbol_ratio, bullet_frac, "
                 "ellipsis_frac, alpha_frac, n_stop_hits, gopher_pass FROM ("
                 + o.gopher_rules_sql(**GOPHER_KW)
+                + ")",
+                "SELECT doc_id, dup_ngram_tokens, dup_ngram_frac FROM ("
+                + sp.intra_dup_ngram_sql()
                 + ")",
             ],
             on="doc_id",

@@ -234,6 +234,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "decontaminate": "shaclapi_ray.pipelines.decontam:decontaminate",
     "preprocess_corpus": "shaclapi_ray.pipelines.preprocess:preprocess_corpus",
     "dup_span_coverage": "shaclapi_ray.pipelines.spans:dup_span_coverage",
+    "intra_dup_ngram": "shaclapi_ray.pipelines.spans:intra_dup_ngram",
     "remove_dup_spans": "shaclapi_ray.pipelines.spans:remove_dup_spans",
     "pack_sequences": "shaclapi_ray.pipelines.spans:pack_sequences",
     # pages-table operators

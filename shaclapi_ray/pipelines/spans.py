@@ -353,6 +353,87 @@ def dup_span_coverage(
     return docs_ds.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def intra_dup_ngram(docs_ds, n: int = 3):
+    """(doc_id, n_tokens, dup_ngram_tokens, dup_ngram_frac): Gopher's
+    WITHIN-document duplicated-n-gram filter signal (Rae et al. 2021
+    §A1.1 "fraction of tokens in duplicated n-grams") — the intra-doc
+    counterpart of dup_span_coverage: an n-gram is duplicated iff it
+    occurs at least twice in the SAME document; the fraction is the
+    window-union of all duplicated-gram occurrences over the doc's
+    tokens (same union kernel, so overlapping windows never double
+    count).
+
+    Unlike the cross-document operator there is no global state at all:
+    duplicates are decided per doc, so this is ONE row-local streaming
+    map_batches pass — no broadcast, no shuffle, trivially scale-free."""
+    import polars as pl
+
+    def cover(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(
+            pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+        )
+        g = _gram_starts(batch, n)
+        cov = (
+            g.filter(pl.len().over(["doc_id", "gram"]) >= 2)
+            .with_columns(
+                pl.min_horizontal(
+                    pl.col("s").shift(-1).over("doc_id") - pl.col("s"),
+                    pl.lit(n, dtype=pl.Int64),
+                )
+                .fill_null(n)
+                .alias("c")
+            )
+            .group_by("doc_id")
+            .agg(pl.col("c").sum().alias("dup_ngram_tokens"))
+        )
+        out = (
+            pl.from_arrow(
+                pa.table({"doc_id": batch["doc_id"], "n_tokens": n_tokens})
+            )
+            .join(cov, on="doc_id", how="left")
+            .with_columns(
+                pl.col("dup_ngram_tokens").fill_null(0).cast(pl.Int64)
+            )
+            .with_columns(
+                pl.when(pl.col("n_tokens") == 0)
+                .then(pl.lit(0.0))
+                .otherwise(pl.col("dup_ngram_tokens") / pl.col("n_tokens"))
+                .alias("dup_ngram_frac")
+            )
+        )
+        return out.to_arrow()
+
+    return docs_ds.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def intra_dup_ngram_sql(n: int = 3) -> str:
+    """Mirror of intra_dup_ngram (duplicate = same gram >= 2 times in the
+    SAME document; window-union coverage like dup_span_coverage_sql)."""
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS t, unnest(range(len(l))) AS s FROM lists),
+grams AS (
+  SELECT doc_id, s,
+         string_agg(t, ' ') OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS w
+  FROM toks),
+fg AS (SELECT doc_id, s, gram FROM grams WHERE w = {n}),
+dup AS (SELECT doc_id, gram FROM fg GROUP BY doc_id, gram HAVING count(*) >= 2),
+hits AS (SELECT f.doc_id, f.s FROM fg f JOIN dup USING (doc_id, gram)),
+cov AS (
+  SELECT doc_id, least({n}, coalesce(nxt - s, {n})) AS c FROM (
+    SELECT doc_id, s, lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt FROM hits)),
+cov2 AS (SELECT doc_id, sum(c)::BIGINT AS dup_ngram_tokens FROM cov GROUP BY doc_id),
+nt AS (SELECT doc_id, len(l)::BIGINT AS n_tokens FROM lists)
+SELECT nt.doc_id, nt.n_tokens, coalesce(cov2.dup_ngram_tokens, 0)::BIGINT AS dup_ngram_tokens,
+       CASE WHEN nt.n_tokens = 0 THEN 0.0
+            ELSE coalesce(cov2.dup_ngram_tokens, 0) / nt.n_tokens END AS dup_ngram_frac
+FROM nt LEFT JOIN cov2 USING (doc_id) ORDER BY doc_id
+"""
+
+
 def remove_dup_spans(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
     """(doc_id, clean_text, n_tokens, n_removed): the Lee et al. 2021
     exact-substring-dedup REMOVAL — every token covered by at least one

@@ -368,3 +368,42 @@ def test_coverage_join_strategy_equals_broadcast(ray_session):
     )
     assert a.equals(b)
     assert a["n_dup_tokens"].sum() > 0  # the fixture does share grams
+
+
+def test_intra_dup_ngram_planted(ray_session):
+    """Within-doc duplicated 3-grams: a doc with a twice-repeated phrase
+    gets exactly the union of the duplicated windows; a no-repeat doc
+    gets 0; repeats appearing in DIFFERENT docs do not count."""
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.spans import intra_dup_ngram
+
+    phrase = "alpha beta gamma"
+    d0 = f"{phrase} one two three four {phrase}"   # 3-gram repeated twice
+    d1 = "all tokens here are fully distinct now"  # no repeats
+    d2 = phrase + " tail only once here"           # phrase once -> no intra dup
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array([d0, d1, d2]),
+            }
+        )
+    ).repartition(2)
+    out = intra_dup_ngram(ds, n=3).to_pandas().set_index("doc_id").sort_index()
+    # d0: both occurrences' windows cover 3 + 3 = 6 tokens (disjoint)
+    assert out.loc[0, "dup_ngram_tokens"] == 6
+    assert abs(out.loc[0, "dup_ngram_frac"] - 6 / 10) < 1e-12
+    assert out.loc[1, "dup_ngram_tokens"] == 0
+    assert out.loc[2, "dup_ngram_tokens"] == 0
+
+    # overlapping repeats union (not double count): "a a a a a" has
+    # 3-gram "a a a" at s=0,1,2 -> union covers all 5 tokens
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a a a a a"])}
+        )
+    )
+    o2 = intra_dup_ngram(ds2, n=3).to_pandas().iloc[0]
+    assert o2["dup_ngram_tokens"] == 5 and o2["dup_ngram_frac"] == 1.0
