@@ -1,7 +1,11 @@
 """End-to-end corpus preprocessing: the composed flagship pipeline a
-training-data user actually runs, chaining five already-oracled stages
+training-data user actually runs, chaining the already-oracled stages
 over the documents table:
 
+  0. (optional) C4 line pass      — textstats.clean_lines via
+                                    ``clean_lines_kw``
+  0g. (optional) Gopher doc filter — textstats.gopher_rules via
+                                    ``gopher_kw``
   1. quality filter   — keep docs above their language's exact q-quantile
                         token count (textstats.quality_quantile_filter,
                         return_docs=True)
