@@ -98,55 +98,79 @@ def exact_dedup(docs_ds, text_col: str = "text"):
 
 
 PARA_IDX_BITS = 20  # max 2^20 paragraphs per doc in the packed (doc, idx) key
+# winner lookup entries are 24 B (void16 hash + int64 key); above this the
+# broadcast object stops being "small side" — strategy='join' instead.
+PARA_BROADCAST_LIMIT = 50_000_000
 
 
-def dedup_paragraphs(docs_ds, sep: str = "\n\n", text_col: str = "text"):
-    """(doc_id, clean_text, n_kept, n_dropped): corpus-wide exact
-    PARAGRAPH dedup — a paragraph occurrence survives iff it is the first
-    occurrence of its exact text corpus-wide, ordered by (doc_id,
-    paragraph index). The CCNet-style boilerplate-removal operator
-    (repeated headers/footers/navigation vanish from every copy but the
-    first). One output row per input document (clean_text may be '').
-
-    Scale shape: pass 1 explodes only (h1, h2, key) — 128-bit paragraph
-    hash + key = doc_id * 2^20 + idx — so paragraph TEXT never enters the
-    exchange; the winner per distinct paragraph is one native
-    groupby().aggregate(Min); winners broadcast as a sorted 128-bit hash
-    array with aligned winner keys (same ceiling as the drop-set
-    broadcast: ~50M distinct paragraphs, the documented bucket-join
-    fallback shape of dedup_corpus applies above); pass 2 re-splits each
-    batch locally (docs never straddle batches) and reassembles kept
-    paragraphs per doc with one polars group_by."""
+def _split_paras(batch: pa.Table, sep: str, text_col: str):
+    """polars frame (doc_id, p, idx): every paragraph occurrence of the
+    batch, vectorized split + explode (null text -> one '' paragraph,
+    matching the SQL oracle's COALESCE(text, ''))."""
     import polars as pl
-    import ray as _ray
 
-    def _explode(batch: pa.Table) -> "pl.DataFrame":
-        col = batch[text_col]
-        s = pl.from_arrow(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-        ids = pl.from_arrow(
-            batch["doc_id"].combine_chunks()
-            if isinstance(batch["doc_id"], pa.ChunkedArray)
-            else batch["doc_id"]
+    col = batch[text_col]
+    s = pl.from_arrow(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    ids = pl.from_arrow(
+        batch["doc_id"].combine_chunks()
+        if isinstance(batch["doc_id"], pa.ChunkedArray)
+        else batch["doc_id"]
+    )
+    df = pl.DataFrame({"doc_id": ids, "t": s.fill_null("")})
+    df = df.with_columns(pl.col("t").str.split(sep).alias("p")).drop("t")
+    return df.with_columns(
+        pl.int_ranges(0, pl.col("p").list.len()).alias("idx")
+    ).explode(["p", "idx"])
+
+
+def _para_explode(batch: pa.Table, sep: str, text_col: str):
+    """_split_paras plus the 128-bit paragraph hash and the packed
+    first-occurrence key = doc_id * 2^PARA_IDX_BITS + idx."""
+    import polars as pl
+
+    return _split_paras(batch, sep, text_col).with_columns(
+        pl.col("p").hash(seed=17).alias("h1"),
+        pl.col("p").hash(seed=23).alias("h2"),
+        (
+            pl.col("doc_id").cast(pl.Int64) * (1 << PARA_IDX_BITS)
+            + pl.col("idx").cast(pl.Int64)
+        ).alias("key"),
+    )
+
+
+def _para_reassemble(df, keep, sep: str) -> pa.Table:
+    """Rebuild (doc_id, clean_text, n_kept, n_dropped) from an exploded
+    paragraph frame plus a boolean keep mask — shared by the broadcast
+    and partition-join paths so the reassembly is kernel-identical."""
+    import polars as pl
+
+    out = (
+        df.with_columns(pl.Series("keep", keep))
+        .sort(["doc_id", "idx"])
+        .group_by("doc_id", maintain_order=True)
+        .agg(
+            pl.col("p").filter(pl.col("keep")).str.join(sep).alias("clean_text"),
+            pl.col("keep").sum().cast(pl.Int64).alias("n_kept"),
+            (pl.col("keep").not_().sum()).cast(pl.Int64).alias("n_dropped"),
         )
-        df = pl.DataFrame({"doc_id": ids, "t": s.fill_null("")})
-        df = df.with_columns(pl.col("t").str.split(sep).alias("p")).drop("t")
-        df = df.with_columns(
-            pl.int_ranges(0, pl.col("p").list.len()).alias("idx")
-        ).explode(["p", "idx"])
-        return df.with_columns(
-            pl.col("p").hash(seed=17).alias("h1"),
-            pl.col("p").hash(seed=23).alias("h2"),
-            (
-                pl.col("doc_id").cast(pl.Int64) * (1 << PARA_IDX_BITS)
-                + pl.col("idx").cast(pl.Int64)
-            ).alias("key"),
-        )
+        .with_columns(pl.col("clean_text").fill_null(""))
+    )
+    return out.to_arrow()
+
+
+def _paragraph_winners_ds(docs_ds, sep: str, text_col: str):
+    """Distributed winner table (h1, h2, win): the minimum packed
+    (doc_id, idx) key per distinct paragraph, pre-aggregated per batch
+    then combined (auto driver-merge / Ray shuffle)."""
+    import polars as pl
+
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
 
     def pass1(batch: pa.Table) -> pa.Table:
         # pre-aggregate per batch: one (h1, h2, min key) row per distinct
         # in-batch paragraph, so the combine sees per-batch partials
         df = (
-            _explode(batch)
+            _para_explode(batch, sep, text_col)
             .group_by(["h1", "h2"])
             .agg(pl.col("key").min().alias("win"))
         )
@@ -158,55 +182,226 @@ def dedup_paragraphs(docs_ds, sep: str = "\n\n", text_col: str = "text"):
             }
         )
 
-    from shaclapi_ray.stages.aggregates import combine_partials_multi
-
-    winners = combine_partials_multi(
+    return combine_partials_multi(
         docs_ds.select_columns(["doc_id", text_col]).map_batches(
             pass1, batch_format="pyarrow", zero_copy_batch=True
         ),
         ["h1", "h2"],
         {"win": "min"},
     )
-    # broadcast: sorted 128-bit hash (void16) + aligned winner keys
+
+
+def paragraph_winner_lookup(docs_ds, sep: str = "\n\n", text_col: str = "text"):
+    """Broadcast form of the winner table: (sorted void16 hash array,
+    aligned winner keys). Loud ValueError above PARA_BROADCAST_LIMIT —
+    strategy='join' is the at-scale path. Exposed so preprocess_corpus
+    can build this and the exact-dedup drop set from ONE shared boundary
+    materialization."""
+    import ray as _ray
+
+    winners = _paragraph_winners_ds(docs_ds, sep, text_col)
     tables = [t for t in (_ray.get(r) for r in winners.to_arrow_refs()) if t.num_rows]
     if tables:
         wt = pa.concat_tables(tables)
+        if wt.num_rows > PARA_BROADCAST_LIMIT:
+            raise ValueError(
+                f"distinct-paragraph winner set has {wt.num_rows} entries "
+                f"(> {PARA_BROADCAST_LIMIT}); pass dedup_paragraphs(..., "
+                "strategy='join') (or preprocess_corpus dedup_strategy="
+                "'join') to resolve winners with a hash-partitioned join "
+                "at this scale"
+            )
         hv = np.empty((wt.num_rows, 2), dtype=np.int64)
         hv[:, 0] = wt["h1"].combine_chunks().to_numpy()
         hv[:, 1] = wt["h2"].combine_chunks().to_numpy()
         voids = np.ascontiguousarray(hv).view(np.dtype((np.void, 16))).ravel()
         order = np.argsort(voids, kind="stable")
-        lookup = (voids[order], wt["win"].combine_chunks().to_numpy()[order])
-    else:
-        lookup = (np.empty(0, dtype=np.dtype((np.void, 16))), np.empty(0, np.int64))
+        return (voids[order], wt["win"].combine_chunks().to_numpy()[order])
+    return (np.empty(0, dtype=np.dtype((np.void, 16))), np.empty(0, np.int64))
+
+
+def _paragraph_keep_mask(df, lookup) -> np.ndarray:
+    """keep[i] = occurrence i is the corpus-wide first occurrence of its
+    paragraph, by probing the broadcast winner lookup (np.searchsorted on
+    the void16 array — zero per-task hash builds)."""
+    sorted_h, win_keys = lookup
+    hv = np.empty((df.height, 2), dtype=np.int64)
+    hv[:, 0] = df["h1"].to_numpy().view(np.int64)
+    hv[:, 1] = df["h2"].to_numpy().view(np.int64)
+    voids = np.ascontiguousarray(hv).view(np.dtype((np.void, 16))).ravel()
+    keys = df["key"].to_numpy()
+    if sorted_h.size:
+        pos = np.searchsorted(sorted_h, voids)
+        pos = np.minimum(pos, sorted_h.size - 1)
+        return win_keys[pos] == keys  # first occurrence corpus-wide
+    return np.ones(df.height, dtype=bool)
+
+
+def _paragraphs_join(docs_ds, sep: str, text_col: str):
+    """Partition-join paragraph-dedup path (beyond PARA_BROADCAST_LIMIT):
+    the winner table stays a distributed Dataset; every paragraph
+    occurrence's narrow (h1, h2, key) row joins it hash-partitioned, the
+    LOSERS (key != win — proportional to duplicate occurrences, not the
+    corpus) collapse to one (doc_id, drop-idx-list) row per affected doc,
+    and the (doc_id, text) corpus rejoins those lists through exactly one
+    keyed exchange. Output-identical to the broadcast path (tested)."""
+    import polars as pl
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    def keep_all(batch: pa.Table) -> pa.Table:
+        df = _split_paras(batch, sep, text_col)
+        return _para_reassemble(df, np.ones(df.height, dtype=bool), sep)
+
+    winners_nb = drop_empty_blocks(_paragraph_winners_ds(docs_ds, sep, text_col))
+    if winners_nb is None:
+        return docs_ds.select_columns(["doc_id", text_col]).map_batches(
+            keep_all, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        df = _para_explode(batch, sep, text_col)
+        return pa.table(
+            {
+                "h1": pa.array(df["h1"].to_numpy().view(np.int64)),
+                "h2": pa.array(df["h2"].to_numpy().view(np.int64)),
+                "key": pa.array(df["key"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    occ = drop_empty_blocks(
+        docs_ds.select_columns(["doc_id", text_col]).map_batches(
+            occurrences, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    losers = (
+        occ.join(
+            winners_nb,
+            join_type="inner",
+            num_partitions=clamp_partitions(None),
+            on=("h1", "h2"),
+        ).filter(expr="key != win")
+        if occ is not None
+        else None
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(keys >> PARA_IDX_BITS, type=pa.int64()),
+                "idx": pa.array(keys & ((1 << PARA_IDX_BITS) - 1), type=pa.int64()),
+            }
+        )
+
+    def idx_list(t: pa.Table) -> pa.Table:
+        # packed int64 bytes, not list<int64>: Ray's hash-shuffle join
+        # rejects nested types in non-key fields
+        idxs = np.sort(t["idx"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "j_doc_id": pa.array([int(t["doc_id"][0].as_py())], pa.int64()),
+                "drop_idxs": pa.array([idxs.tobytes()], pa.binary()),
+            }
+        )
+
+    per_doc = (
+        drop_empty_blocks(
+            losers.map_batches(decode, batch_format="pyarrow")
+            .groupby("doc_id")
+            .map_groups(idx_list, batch_format="pyarrow")
+        )
+        if losers is not None
+        else None
+    )
+    if per_doc is None:
+        return docs_ds.select_columns(["doc_id", text_col]).map_batches(
+            keep_all, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    joined = docs_ds.select_columns(["doc_id", text_col]).join(
+        per_doc,
+        join_type="left_outer",
+        num_partitions=clamp_partitions(None),
+        on=("doc_id",),
+        right_on=("j_doc_id",),
+    )
+
+    def rebuild_joined(batch: pa.Table) -> pa.Table:
+        df = _split_paras(batch, sep, text_col)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = batch["drop_idxs"].to_pylist()
+        doc_col, idx_col = [], []
+        for i, raw in zip(ids, blobs):
+            if raw is not None:
+                arr = np.frombuffer(raw, dtype=np.int64)
+                doc_col.append(np.full(arr.size, i, dtype=np.int64))
+                idx_col.append(arr)
+        if doc_col:
+            dr = pl.DataFrame(
+                {
+                    "doc_id": np.concatenate(doc_col),
+                    "idx": np.concatenate(idx_col),
+                }
+            ).with_columns(pl.lit(True).alias("__drop"))
+            df = df.join(dr, on=["doc_id", "idx"], how="left")
+            keep = df["__drop"].is_null().to_numpy()
+            df = df.drop("__drop")
+        else:
+            keep = np.ones(df.height, dtype=bool)
+        return _para_reassemble(df, keep, sep)
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+
+
+def dedup_paragraphs(
+    docs_ds,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    strategy: str = "broadcast",
+    _winner_lookup=None,
+):
+    """(doc_id, clean_text, n_kept, n_dropped): corpus-wide exact
+    PARAGRAPH dedup — a paragraph occurrence survives iff it is the first
+    occurrence of its exact text corpus-wide, ordered by (doc_id,
+    paragraph index). The CCNet-style boilerplate-removal operator
+    (repeated headers/footers/navigation vanish from every copy but the
+    first). One output row per input document (clean_text may be '').
+
+    Scale shape: pass 1 explodes only (h1, h2, key) — 128-bit paragraph
+    hash + key = doc_id * 2^20 + idx — so paragraph TEXT never enters the
+    exchange; the winner per distinct paragraph is one native
+    groupby().aggregate(Min); winners broadcast as a sorted 128-bit hash
+    array with aligned winner keys (loud ValueError above
+    PARA_BROADCAST_LIMIT ~50M distinct paragraphs); pass 2 re-splits each
+    batch locally (docs never straddle batches) and reassembles kept
+    paragraphs per doc with one polars group_by.
+
+    ``strategy='join'`` is the beyond-ceiling path: winners stay a
+    distributed Dataset and resolve through hash-partitioned joins
+    (output-identical, tested — see ``_paragraphs_join``).
+    ``_winner_lookup`` lets preprocess_corpus inject a lookup built from
+    a shared boundary materialization (same tuple shape as
+    ``paragraph_winner_lookup``)."""
+    import ray as _ray
+
+    if strategy == "join":
+        return _paragraphs_join(docs_ds, sep, text_col)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown dedup_paragraphs strategy {strategy!r}")
+
+    lookup = (
+        _winner_lookup
+        if _winner_lookup is not None
+        else paragraph_winner_lookup(docs_ds, sep, text_col)
+    )
     lookup_ref = _ray.put(lookup)
 
     def rebuild(batch: pa.Table) -> pa.Table:
-        sorted_h, win_keys = _ray.get(lookup_ref)
-        df = _explode(batch)
-        hv = np.empty((df.height, 2), dtype=np.int64)
-        hv[:, 0] = df["h1"].to_numpy().view(np.int64)
-        hv[:, 1] = df["h2"].to_numpy().view(np.int64)
-        voids = np.ascontiguousarray(hv).view(np.dtype((np.void, 16))).ravel()
-        keys = df["key"].to_numpy()
-        if sorted_h.size:
-            pos = np.searchsorted(sorted_h, voids)
-            pos = np.minimum(pos, sorted_h.size - 1)
-            keep = win_keys[pos] == keys  # first occurrence corpus-wide
-        else:
-            keep = np.ones(df.height, dtype=bool)
-        out = (
-            df.with_columns(pl.Series("keep", keep))
-            .sort(["doc_id", "idx"])
-            .group_by("doc_id", maintain_order=True)
-            .agg(
-                pl.col("p").filter(pl.col("keep")).str.join(sep).alias("clean_text"),
-                pl.col("keep").sum().cast(pl.Int64).alias("n_kept"),
-                (pl.col("keep").not_().sum()).cast(pl.Int64).alias("n_dropped"),
-            )
-            .with_columns(pl.col("clean_text").fill_null(""))
-        )
-        return out.to_arrow()
+        df = _para_explode(batch, sep, text_col)
+        keep = _paragraph_keep_mask(df, _ray.get(lookup_ref))
+        return _para_reassemble(df, keep, sep)
 
     return docs_ds.select_columns(["doc_id", text_col]).map_batches(
         rebuild, batch_format="pyarrow", zero_copy_batch=True

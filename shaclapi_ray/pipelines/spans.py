@@ -125,8 +125,9 @@ def dup_gram_hashes(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
     if out.size > BROADCAST_LIMIT:
         raise ValueError(
             f"duplicated-gram set has {out.size} hashes (> {BROADCAST_LIMIT}); "
-            "pass dup_span_coverage(..., strategy='join') to resolve grams "
-            "against the dup set with a hash-partitioned join at this scale"
+            "pass strategy='join' (dup_span_coverage / remove_dup_spans / "
+            "preprocess_corpus dedup_strategy) to resolve grams against the "
+            "dup set with a hash-partitioned join at this scale"
         )
     return out
 
@@ -434,7 +435,192 @@ FROM nt LEFT JOIN cov2 USING (doc_id) ORDER BY doc_id
 """
 
 
-def remove_dup_spans(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
+def _strip_with_hits(df, hits, n: int) -> pa.Table:
+    """Shared removal kernel: given the batch's (doc_id, text) polars
+    frame and a polars frame of duplicated-window starts (doc_id, s),
+    drop every token covered by a window [s, s+n) and rebuild clean_text.
+    Coverage resolves to one +1/-1 delta prefix-sum over the batch's
+    exploded token frame — no per-doc or per-span Python loops. Used by
+    both the broadcast and the partition-join paths of
+    ``remove_dup_spans`` so the two are kernel-identical by construction."""
+    import polars as pl
+
+    toks = (
+        df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
+        .drop("text")
+        .explode("t")
+        .filter(pl.col("t").is_not_null())
+        .with_columns(pl.int_range(pl.len()).over("doc_id").alias("s"))
+    )
+    total = len(toks)
+    # per-doc token counts and global offsets (toks is doc-grouped in
+    # input order; doc_ids are unique per batch row)
+    sizes = toks.group_by("doc_id", maintain_order=True).agg(
+        pl.len().alias("n_tokens")
+    )
+    covered = np.zeros(total, dtype=np.int64)
+    if len(hits):
+        offs = sizes.with_columns(
+            (pl.col("n_tokens").cum_sum() - pl.col("n_tokens")).alias("off")
+        )
+        hits = hits.join(offs, on="doc_id", how="left")
+        base = hits["off"].to_numpy()
+        hs = hits["s"].to_numpy()
+        tlen = hits["n_tokens"].to_numpy()
+        start = base + hs
+        stop = base + np.minimum(hs + n, tlen)
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, start, 1)
+        np.add.at(delta, stop, -1)
+        covered = np.cumsum(delta[:-1])
+    kept = (
+        toks.with_columns(pl.Series("cov", covered > 0))
+        .filter(~pl.col("cov"))
+        .group_by("doc_id", maintain_order=True)
+        .agg(pl.col("t").str.join(" ").alias("clean_text"))
+    )
+    out = (
+        df.select("doc_id")
+        .join(sizes, on="doc_id", how="left")
+        .join(kept, on="doc_id", how="left")
+        .with_columns(
+            pl.col("n_tokens").fill_null(0).cast(pl.Int64),
+            pl.col("clean_text").fill_null(""),
+        )
+        .with_columns(
+            (
+                pl.col("n_tokens")
+                - pl.col("clean_text")
+                .str.extract_all(TOKEN_RE)
+                .list.len()
+                .cast(pl.Int64)
+            ).alias("n_removed")
+        )
+    )
+    return out.select("doc_id", "clean_text", "n_tokens", "n_removed").to_arrow()
+
+
+def _removal_join(docs_ds, n: int, min_docs: int):
+    """Partition-join removal path (the beyond-BROADCAST_LIMIT shape):
+    the dup-gram set stays a distributed Dataset; duplicated-window
+    starts resolve through a hash-partitioned join of the narrow
+    (doc_id, s, h) gram table, collapse to ONE (doc_id, starts-list) row
+    per hit document, and rejoin the (doc_id, text) corpus — text moves
+    through exactly one keyed exchange (the unavoidable co-location of
+    hit positions with text), everything else is 8-24 B/row narrow.
+    Output-identical to the broadcast path (tested)."""
+    import polars as pl
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    def no_hits(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        return _strip_with_hits(df, pl.DataFrame({"doc_id": [], "s": []}), n)
+
+    dup_nb = drop_empty_blocks(
+        dup_gram_hash_ds(docs_ds, n, min_docs).map_batches(
+            lambda t: t.rename_columns(["j_h"]), batch_format="pyarrow"
+        )
+    )
+    if dup_nb is None:
+        return docs_ds.map_batches(
+            no_hits, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def grams(batch: pa.Table) -> pa.Table:
+        g = _gram_starts(batch, n)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].to_arrow(),
+                "s": pa.array(g["s"].to_numpy(), pa.int64()),
+                "h": pa.array(
+                    hash_strings(g["gram"].to_arrow()).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def starts_list(t: pa.Table) -> pa.Table:
+        # packed int64 bytes, not list<int64>: Ray's hash-shuffle join
+        # rejects nested types in non-key fields
+        s = np.sort(t["s"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "j_doc_id": pa.array([int(t["doc_id"][0].as_py())], pa.int64()),
+                "starts": pa.array([s.tobytes()], pa.binary()),
+            }
+        )
+
+    hits = drop_empty_blocks(
+        docs_ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    hits = (
+        hits.join(
+            dup_nb,
+            join_type="inner",
+            num_partitions=clamp_partitions(None),
+            on=("h",),
+            right_on=("j_h",),
+        )
+        if hits is not None
+        else None
+    )
+    per_doc = (
+        drop_empty_blocks(
+            hits.groupby("doc_id").map_groups(starts_list, batch_format="pyarrow")
+        )
+        if hits is not None
+        else None
+    )
+    if per_doc is None:
+        return docs_ds.map_batches(
+            no_hits, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    joined = docs_ds.select_columns(["doc_id", "text"]).join(
+        per_doc,
+        join_type="left_outer",
+        num_partitions=clamp_partitions(None),
+        on=("doc_id",),
+        right_on=("j_doc_id",),
+    )
+
+    def strip_joined(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = batch["starts"].to_pylist()
+        doc_col, s_col = [], []
+        for i, raw in zip(ids, blobs):
+            if raw is not None:
+                arr = np.frombuffer(raw, dtype=np.int64)
+                doc_col.append(np.full(arr.size, i, dtype=np.int64))
+                s_col.append(arr)
+        st = (
+            pl.DataFrame(
+                {
+                    "doc_id": np.concatenate(doc_col),
+                    "s": np.concatenate(s_col),
+                }
+            )
+            if doc_col
+            else pl.DataFrame({"doc_id": [], "s": []})
+        )
+        return _strip_with_hits(df, st, n)
+
+    return joined.map_batches(strip_joined, batch_format="pyarrow")
+
+
+def remove_dup_spans(
+    docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS, strategy: str = "broadcast"
+):
     """(doc_id, clean_text, n_tokens, n_removed): the Lee et al. 2021
     exact-substring-dedup REMOVAL — every token covered by at least one
     cross-document duplicated n-gram window is dropped; the surviving
@@ -445,78 +631,36 @@ def remove_dup_spans(docs_ds, n: int = N_SPAN, min_docs: int = MIN_DUP_DOCS):
     coverage can be used to pre-estimate the cost of a removal pass.
 
     Scale shape: same as dup_span_coverage — the duplicated-gram hash set
-    is broadcast once (sorted uint64, 50M ceiling with the loud
-    partition-join fallback message), the corpus streams through one
-    map_batches pass, coverage intervals resolve to a vectorized
-    +1/-1 delta prefix-sum over the batch's exploded token frame (no
-    per-doc or per-span Python loops)."""
+    is broadcast once (sorted uint64, 50M ceiling with a loud error), the
+    corpus streams through one map_batches pass, coverage intervals
+    resolve to a vectorized +1/-1 delta prefix-sum over the batch's
+    exploded token frame (no per-doc or per-span Python loops).
+
+    ``strategy='join'`` is the beyond-BROADCAST_LIMIT path: the dup-gram
+    set stays a distributed Dataset, hit windows resolve through
+    hash-partitioned joins, and text moves through exactly one keyed
+    exchange (output-identical, tested — see ``_removal_join``)."""
+    import polars as pl
     import ray
+
+    if strategy == "join":
+        return _removal_join(docs_ds, n, min_docs)
 
     dup_ref = ray.put(dup_gram_hashes(docs_ds, n, min_docs))
 
     def strip(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
         sorted_h = ray.get(dup_ref)
         df = pl.from_arrow(batch.select(["doc_id", "text"]))
-        toks = (
-            df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
-            .drop("text")
-            .explode("t")
-            .filter(pl.col("t").is_not_null())
-            .with_columns(pl.int_range(pl.len()).over("doc_id").alias("s"))
-        )
-        total = len(toks)
-        # per-doc token counts and global offsets (toks is doc-grouped in
-        # input order; doc_ids are unique per batch row)
-        sizes = toks.group_by("doc_id", maintain_order=True).agg(
-            pl.len().alias("n_tokens")
-        )
-        covered = np.zeros(total, dtype=np.int64)
         g = _gram_starts(batch, n)
         if sorted_h.size and len(g):
             h = hash_strings(g["gram"].to_arrow())
             pos = np.minimum(np.searchsorted(sorted_h, h), sorted_h.size - 1)
-            hits = g.filter(pl.Series("hit", sorted_h[pos] == h))
-            if len(hits):
-                offs = sizes.with_columns(
-                    (pl.col("n_tokens").cum_sum() - pl.col("n_tokens")).alias("off")
-                )
-                hits = hits.join(offs, on="doc_id", how="left")
-                base = hits["off"].to_numpy()
-                hs = hits["s"].to_numpy()
-                tlen = hits["n_tokens"].to_numpy()
-                start = base + hs
-                stop = base + np.minimum(hs + n, tlen)
-                delta = np.zeros(total + 1, dtype=np.int64)
-                np.add.at(delta, start, 1)
-                np.add.at(delta, stop, -1)
-                covered = np.cumsum(delta[:-1])
-        kept = (
-            toks.with_columns(pl.Series("cov", covered > 0))
-            .filter(~pl.col("cov"))
-            .group_by("doc_id", maintain_order=True)
-            .agg(pl.col("t").str.join(" ").alias("clean_text"))
-        )
-        out = (
-            df.select("doc_id")
-            .join(sizes, on="doc_id", how="left")
-            .join(kept, on="doc_id", how="left")
-            .with_columns(
-                pl.col("n_tokens").fill_null(0).cast(pl.Int64),
-                pl.col("clean_text").fill_null(""),
+            hits = g.filter(pl.Series("hit", sorted_h[pos] == h)).select(
+                "doc_id", "s"
             )
-            .with_columns(
-                (
-                    pl.col("n_tokens")
-                    - pl.col("clean_text")
-                    .str.extract_all(TOKEN_RE)
-                    .list.len()
-                    .cast(pl.Int64)
-                ).alias("n_removed")
-            )
-        )
-        return out.select("doc_id", "clean_text", "n_tokens", "n_removed").to_arrow()
+        else:
+            hits = pl.DataFrame({"doc_id": [], "s": []})
+        return _strip_with_hits(df, hits, n)
 
     return docs_ds.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -336,3 +336,68 @@ def test_dedup_paragraphs_first_occurrence_wins(ray_session):
     assert out.clean_text[3] == "fresh tail"  # 'body one' seen in doc 1
     assert out.n_kept.tolist() == [2, 1, 0, 1]
     assert out.n_dropped.tolist() == [0, 2, 1, 1]
+
+
+def test_dedup_paragraphs_join_equals_broadcast(ray_session):
+    """The partition-join paragraph-dedup path must be output-identical
+    to the broadcast path (the beyond-PARA_BROADCAST_LIMIT scale form)."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.dedup import dedup_paragraphs
+
+    boiler = "COPYRIGHT FOOTER"
+    rows = [
+        {"doc_id": 0, "text": f"intro zero\n\n{boiler}"},
+        {"doc_id": 1, "text": f"{boiler}\n\nbody one\n\n{boiler}"},
+        {"doc_id": 2, "text": boiler},
+        {"doc_id": 3, "text": "body one\n\nfresh tail"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "unique paragraph only"},
+    ]
+    docs = ray.data.from_items(rows).repartition(3)
+    a = (
+        dedup_paragraphs(docs, strategy="broadcast")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup_paragraphs(docs, strategy="join")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert b["n_dropped"].sum() > 0
+
+
+def test_dedup_paragraphs_join_no_duplicates(ray_session):
+    """Join path with no repeated paragraphs: everything kept, identical
+    to broadcast."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.dedup import dedup_paragraphs
+
+    rows = [
+        {"doc_id": 0, "text": "one\n\ntwo"},
+        {"doc_id": 1, "text": "three\n\nfour"},
+    ]
+    docs = ray.data.from_items(rows).repartition(2)
+    a = dedup_paragraphs(docs, strategy="broadcast").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    b = dedup_paragraphs(docs, strategy="join").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert a.equals(b)
+    assert (b["n_dropped"] == 0).all()
+
+
+def test_dedup_paragraphs_broadcast_ceiling_is_loud(ray_session, monkeypatch):
+    """Above PARA_BROADCAST_LIMIT the winner broadcast must fail loudly
+    with a message pointing at strategy='join'."""
+    import pytest
+    import ray.data
+
+    import shaclapi_ray.pipelines.dedup as d
+
+    monkeypatch.setattr(d, "PARA_BROADCAST_LIMIT", 0)
+    docs = ray.data.from_items([{"doc_id": 0, "text": "a\n\nb"}])
+    with pytest.raises(ValueError, match="strategy='join'"):
+        d.dedup_paragraphs(docs).materialize()

@@ -407,3 +407,84 @@ def test_intra_dup_ngram_planted(ray_session):
     )
     o2 = intra_dup_ngram(ds2, n=3).to_pandas().iloc[0]
     assert o2["dup_ngram_tokens"] == 5 and o2["dup_ngram_frac"] == 1.0
+
+
+def test_remove_dup_spans_join_equals_broadcast(ray_session):
+    """The partition-join removal path must be output-identical to the
+    broadcast path (the beyond-50M-gram scale form): same clean_text,
+    token counts and removal counts for every doc, including empty docs
+    and docs with no duplicated spans."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shaclapi_ray.pipelines.spans import remove_dup_spans
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a different document with the quick brown fox jumps over words",
+        "totally unrelated content here nothing shared at all really",
+        "",
+        "the quick brown fox jumps over the lazy dog today exactly",
+        "short doc",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    a = (
+        remove_dup_spans(rd.from_arrow(tbl).repartition(3), strategy="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        remove_dup_spans(rd.from_arrow(tbl).repartition(3), strategy="join")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["n_removed"].sum() > 0  # the fixture does share spans
+
+
+def test_remove_dup_spans_join_no_duplicates(ray_session):
+    """Join path with an entirely dup-free corpus: nothing removed, every
+    doc's tokens re-joined unchanged (identical to broadcast)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shaclapi_ray.pipelines.spans import remove_dup_spans
+
+    texts = ["alpha beta gamma delta epsilon zeta", "one two three four five six", ""]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    a = (
+        remove_dup_spans(rd.from_arrow(tbl).repartition(2), strategy="broadcast")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        remove_dup_spans(rd.from_arrow(tbl).repartition(2), strategy="join")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (b["n_removed"] == 0).all()
+
+
+def test_dup_gram_broadcast_ceiling_is_loud(ray_session, monkeypatch):
+    """Above BROADCAST_LIMIT the broadcast build must fail with a message
+    pointing at strategy='join', never OOM silently."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    import shaclapi_ray.pipelines.spans as sp
+
+    monkeypatch.setattr(sp, "BROADCAST_LIMIT", 0)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c d e f", "a b c d e f"]),
+        }
+    )
+    with pytest.raises(ValueError, match="strategy='join'"):
+        sp.remove_dup_spans(rd.from_arrow(tbl)).materialize()
