@@ -750,9 +750,20 @@ class ValidationEngine:
     def _eval_drift(self, pages_drift, sid: str, c: DriftConstraint):
         """Per-host t-digest drift check -> partition-level verdict rows.
 
-        Partials are computed data-parallel (one serialized digest per
-        (batch, host)), merged on the driver (hosts are few), KS vs the
-        global merged digest. Returns a small in-memory events Dataset."""
+        Fully distributed merge (a web corpus has 10^6-10^7 hosts, so no
+        driver-side per-host loops):
+          1. partials: one serialized digest per (batch, host), computed
+             data-parallel;
+          2. per-host merge: groupby('host') + TDigest.merge_many (an
+             ORDER-INSENSITIVE n-way merge, so the shuffle's row order
+             inside a group cannot change the result);
+          3. global digest: per-host digests fold into 64 content-keyed
+             hash buckets (groupby('bucket') + merge_many), and only
+             those <=64 bucket digests merge on the driver — sorted by
+             bucket id, deterministic regardless of block layout;
+          4. verdicts: KS per host vs the broadcast global digest, one
+             streaming map_batches over the per-host digest table.
+        Returns the events Dataset."""
         use_length = c.use_length
         pattern = c.partition_regex
         column = c.column
@@ -789,38 +800,81 @@ class ValidationEngine:
                 }
             )
 
-        per_host: dict[str, TDigest] = {}
-        glob = TDigest()
+        from shaclapi_ray.stages.hashset import hash_strings
+
+        N_GLOBAL_BUCKETS = 64
+
+        def merge_host(t: pa.Table) -> pa.Table:
+            host = t["host"][0].as_py()
+            td = TDigest.merge_many(
+                TDigest.loads(raw) for raw in t["digest"].to_pylist()
+            )
+            bucket = int(hash_strings([host])[0] % N_GLOBAL_BUCKETS)
+            return pa.table(
+                {
+                    "host": pa.array([host], pa.string()),
+                    "digest": pa.array([td.to_bytes()], pa.binary()),
+                    "bucket": pa.array([bucket], pa.int64()),
+                }
+            )
+
+        def merge_bucket(t: pa.Table) -> pa.Table:
+            td = TDigest.merge_many(
+                TDigest.loads(raw) for raw in t["digest"].to_pylist()
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array([int(t["bucket"][0].as_py())], pa.int64()),
+                    "digest": pa.array([td.to_bytes()], pa.binary()),
+                }
+            )
+
         parts = pages_drift.map_batches(partial, batch_format="pyarrow")
-        for batch in parts.iter_batches(batch_format="pyarrow"):
-            for h, raw in zip(batch["host"].to_pylist(), batch["digest"].to_pylist()):
-                td = TDigest.loads(raw)
-                if h in per_host:
-                    per_host[h].merge(td)
-                else:
-                    per_host[h] = td
-                glob.merge(TDigest.loads(raw))
-        rows = {k: [] for k in EVENTS_SCHEMA.names}
-        for h in sorted(per_host):
-            ks = ks_statistic(per_host[h], glob)
-            ok = ks <= c.threshold
-            rows["url"].append(f"host:{h}")
-            rows["shape_id"].append(sid)
-            rows["kind"].append("verdict")
-            rows["valid"].append(ok)
-            rows["reason"].append(sid)
-            rows["constraint"].append(None)
-            rows["offending_value"].append(None)
-            if not ok:
+        per_host = (
+            parts.groupby("host")
+            .map_groups(merge_host, batch_format="pyarrow")
+            .materialize()
+        )
+        if per_host.count() == 0:
+            return ray.data.from_arrow(
+                pa.table({k: [] for k in EVENTS_SCHEMA.names}, schema=EVENTS_SCHEMA)
+            )
+        bucket_rows = (
+            per_host.groupby("bucket")
+            .map_groups(merge_bucket, batch_format="pyarrow")
+            .take_all()
+        )
+        glob = TDigest.merge_many(
+            TDigest.loads(r["digest"])
+            for r in sorted(bucket_rows, key=lambda r: r["bucket"])
+        )
+        glob_ref = ray.put(glob.to_bytes())
+        threshold, cname = c.threshold, c.name
+
+        def verdicts(t: pa.Table) -> pa.Table:
+            g = TDigest.loads(ray.get(glob_ref))
+            rows = {k: [] for k in EVENTS_SCHEMA.names}
+            for h, raw in zip(t["host"].to_pylist(), t["digest"].to_pylist()):
+                ks = ks_statistic(TDigest.loads(raw), g)
+                ok = ks <= threshold
                 rows["url"].append(f"host:{h}")
                 rows["shape_id"].append(sid)
-                rows["kind"].append("violation")
-                rows["valid"].append(False)
+                rows["kind"].append("verdict")
+                rows["valid"].append(ok)
                 rows["reason"].append(sid)
-                rows["constraint"].append(c.name)
-                rows["offending_value"].append(f"{ks:.4f}")
-        tbl = pa.table(rows, schema=EVENTS_SCHEMA)
-        return ray.data.from_arrow(tbl)
+                rows["constraint"].append(None)
+                rows["offending_value"].append(None)
+                if not ok:
+                    rows["url"].append(f"host:{h}")
+                    rows["shape_id"].append(sid)
+                    rows["kind"].append("violation")
+                    rows["valid"].append(False)
+                    rows["reason"].append(sid)
+                    rows["constraint"].append(cname)
+                    rows["offending_value"].append(f"{ks:.4f}")
+            return pa.table(rows, schema=EVENTS_SCHEMA)
+
+        return per_host.map_batches(verdicts, batch_format="pyarrow")
 
 
 def _filter_events_not_kind(events: ray.data.Dataset, kind: str) -> ray.data.Dataset:

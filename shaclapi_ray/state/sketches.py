@@ -264,6 +264,27 @@ class TDigest:
         td.weights = np.frombuffer(d["weights"], dtype=np.float64).copy()
         return td
 
+    @classmethod
+    def merge_many(cls, digests) -> "TDigest":
+        """ORDER-INSENSITIVE n-way merge: concatenate every input's
+        centroids, lexsort by (mean, weight), compress once. Unlike a
+        chain of pairwise ``merge`` calls (lossy compression after each
+        step, so the result depends on merge order), this is a pure
+        function of the input centroid MULTISET — the property the
+        distributed groupby('host') drift merge relies on, since rows
+        arrive at a group in shuffle-dependent order."""
+        digests = list(digests)
+        if not digests:
+            return cls()
+        td = cls(compression=digests[0].compression)
+        means = np.concatenate([d.means for d in digests])
+        weights = np.concatenate([d.weights for d in digests])
+        order = np.lexsort((weights, means))
+        td.means = means[order]
+        td.weights = weights[order]
+        td._compress()
+        return td
+
 
 def ks_statistic(a: TDigest, b: TDigest, n_points: int = 256) -> float:
     """Approximate two-sample KS statistic from two digests' CDFs."""
