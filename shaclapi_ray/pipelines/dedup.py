@@ -435,6 +435,101 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 DROPSET_BROADCAST_LIMIT = 50_000_000  # sorted int64 ids, 8 B each => <=400 MB
 
 
+def exact_drop_ds(docs_ds, text_col: str = "text"):
+    """The exact-dedup DROP set as a Dataset[(doc_id)] — ids of every
+    non-canonical row (same 128-bit content key and min-doc_id-wins rule
+    as exact_dedup), or None when the corpus has no duplicates at all.
+    Proportional to the number of DUPLICATES, not the corpus. Exposed so
+    preprocess_corpus can build this and the paragraph winner set from
+    ONE shared boundary materialization."""
+    import polars as pl
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(
+            batch[text_col].combine_chunks()
+            if isinstance(batch[text_col], pa.ChunkedArray)
+            else batch[text_col]
+        ).fill_null("")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h1": pa.array(s.hash(seed=17).to_numpy().view(np.int64)),
+                "h2": pa.array(s.hash(seed=23).to_numpy().view(np.int64)),
+            }
+        )
+
+    hashed = docs_ds.map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def group_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["h1", "h2"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "h1": g["h1"],
+                "h2": g["h2"],
+                "keep_id": pc.cast(g["doc_id_min"], pa.int64()),
+                "n_dups": pc.cast(g["doc_id_count"], pa.int64()),
+            }
+        )
+
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    agg = combine_partials_multi(
+        hashed.map_batches(
+            group_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["h1", "h2"],
+        {"keep_id": "min", "n_dups": "sum"},
+    )
+    dup_groups = agg.filter(
+        expr="n_dups > 1"
+    )  # small: only groups that actually have duplicates
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    dup_nb = drop_empty_blocks(dup_groups)
+    if dup_nb is None:
+        return None  # no duplicates at all
+    hashed_nb = drop_empty_blocks(hashed)
+    members = hashed_nb.join(
+        dup_nb,
+        join_type="inner",
+        num_partitions=clamp_partitions(None),
+        on=("h1", "h2"),
+    )
+    return members.filter(expr="doc_id != keep_id").select_columns(["doc_id"])
+
+
+def collect_sorted_drop_ids(drops) -> np.ndarray:
+    """Materialize a drops Dataset to the sorted int64 id array the
+    broadcast filter probes (np.searchsorted). Loud ValueError above
+    DROPSET_BROADCAST_LIMIT — the anti-join path is the at-scale form."""
+    import ray
+
+    drops = drops.materialize()
+    n_drops = drops.count()
+    if n_drops > DROPSET_BROADCAST_LIMIT:
+        raise ValueError(
+            f"drop set has {n_drops} ids (> {DROPSET_BROADCAST_LIMIT}); use "
+            "the hash-partitioned anti-join path (dedup_corpus handles this "
+            "automatically; preprocess_corpus: pass dedup_strategy='join')"
+        )
+    if n_drops == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(
+        np.concatenate(
+            [
+                t["doc_id"].to_numpy(zero_copy_only=False)
+                for r in drops.to_arrow_refs()
+                if (t := ray.get(r)).num_rows
+            ]
+        )
+    )
+
+
 def dedup_corpus(
     docs_ds,
     strategy: str = "exact",
@@ -460,69 +555,13 @@ def dedup_corpus(
     per-task build) below DROPSET_BROADCAST_LIMIT and falls back to a
     hash-partitioned anti-join above it. The wide documents table is
     never shuffled on the broadcast path."""
-    import polars as pl
     import ray
     import ray.data
 
     if strategy == "exact":
-
-        def add_hash(batch: pa.Table) -> pa.Table:
-            s = pl.from_arrow(
-                batch[text_col].combine_chunks()
-                if isinstance(batch[text_col], pa.ChunkedArray)
-                else batch[text_col]
-            ).fill_null("")
-            return pa.table(
-                {
-                    "doc_id": batch["doc_id"],
-                    "h1": pa.array(s.hash(seed=17).to_numpy().view(np.int64)),
-                    "h2": pa.array(s.hash(seed=23).to_numpy().view(np.int64)),
-                }
-            )
-
-        hashed = docs_ds.map_batches(
-            add_hash, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
-
-        def group_partial(t: pa.Table) -> pa.Table:
-            g = t.group_by(["h1", "h2"]).aggregate(
-                [("doc_id", "min"), ("doc_id", "count")]
-            )
-            return pa.table(
-                {
-                    "h1": g["h1"],
-                    "h2": g["h2"],
-                    "keep_id": pc.cast(g["doc_id_min"], pa.int64()),
-                    "n_dups": pc.cast(g["doc_id_count"], pa.int64()),
-                }
-            )
-
-        from shaclapi_ray.stages.aggregates import combine_partials_multi
-
-        agg = combine_partials_multi(
-            hashed.map_batches(
-                group_partial, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            ["h1", "h2"],
-            {"keep_id": "min", "n_dups": "sum"},
-        )
-        dup_groups = agg.filter(
-            expr="n_dups > 1"
-        )  # small: only groups that actually have duplicates
-        from shaclapi_ray.stages.joins import drop_empty_blocks
-        from shaclapi_ray.stages.referential import clamp_partitions
-
-        dup_nb = drop_empty_blocks(dup_groups)
-        if dup_nb is None:
+        drops = exact_drop_ds(docs_ds, text_col)
+        if drops is None:
             return docs_ds  # no duplicates at all
-        hashed_nb = drop_empty_blocks(hashed)
-        members = hashed_nb.join(
-            dup_nb,
-            join_type="inner",
-            num_partitions=clamp_partitions(None),
-            on=("h1", "h2"),
-        )
-        drops = members.filter(expr="doc_id != keep_id").select_columns(["doc_id"])
     elif strategy == "minhash":
         clusters = minhash_lsh_clusters(docs_ds)
         drops = clusters.filter(expr="doc_id != cluster_id").select_columns(

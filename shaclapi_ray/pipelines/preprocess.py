@@ -31,11 +31,19 @@ exchange/broadcast disciplines apply unchanged). Stage BOUNDARIES are
 materialization points — stages 2-5 are multi-pass algorithms (each
 builds a global winner/dup/blocklist state, then streams the corpus
 against it), so without a boundary each pass would re-execute the entire
-upstream chain (2^k blowup). With ``checkpoint_dir`` set, each boundary
-is written as partitioned parquet and re-read — the resume/retry unit for
-a 100 TB run (pair with resumable.ResumableMapJob to shard the input);
-without it, boundaries materialize in the Ray object store (fine up to
-memory+spill, the single-job default).
+upstream chain (2^k blowup). On the default broadcast path stages 2+3
+SHARE one boundary: the exact-dedup drop set and the paragraph winner set
+are both built from the s1 blocks and applied in one fused map_batches
+pass (see preprocess_corpus's docstring for the equivalence argument).
+With ``checkpoint_dir`` set, each boundary is written as partitioned
+parquet and re-read — the within-run retry/materialization unit; pass
+``resume=True`` to also make it the CROSS-RUN resume unit (stages whose
+dir carries a completion marker are read back, not recomputed — stale if
+inputs/parameters changed, so use a fresh dir per configuration). Without
+checkpoint_dir, boundaries materialize in the Ray object store (fine up
+to memory+spill, the single-job default). ``dedup_strategy='join'``
+switches stages 2-4 to their hash-partitioned-join forms for corpora
+whose dup/winner state exceeds the broadcast ceilings.
 
 The reference has no corpus-preprocessing surface; this composes the
 training-data operators the brief makes first-class.
@@ -50,10 +58,23 @@ from shaclapi_ray.pipelines.decontam import EVAL_MOD, N_GRAM
 from shaclapi_ray.pipelines.spans import MIN_DUP_DOCS, N_SPAN, TOKEN_RE
 
 
-def _boundary(ds, checkpoint_dir: str | None, stage: str):
-    """Stage boundary: parquet checkpoint (resumable) or object-store
-    materialization (single-job). Either way downstream multi-pass
-    stages re-read blocks instead of re-executing the upstream chain."""
+_DONE_MARKER = "_PREPROCESS_STAGE_DONE"
+
+
+def _boundary(ds, checkpoint_dir: str | None, stage: str, resume: bool = False):
+    """Stage boundary: parquet checkpoint or object-store materialization
+    (single-job). Either way downstream multi-pass stages re-read blocks
+    instead of re-executing the upstream chain — the within-run
+    retry/materialization unit.
+
+    With ``resume=True`` a stage dir carrying the completion marker is
+    read back instead of recomputed, making checkpoint_dir a CROSS-RUN
+    resume unit for a 100 TB run. Resume trusts the marker: rerunning
+    with different inputs or parameters into the same checkpoint_dir
+    returns the stale stage output — use a fresh dir per configuration.
+    Default (resume=False) keeps the idempotent-overwrite semantics: the
+    stage dir is removed and rewritten, so a rerun never appends a
+    second copy of every file."""
     if checkpoint_dir:
         import os
         import shutil
@@ -61,10 +82,23 @@ def _boundary(ds, checkpoint_dir: str | None, stage: str):
         import ray.data
 
         out = os.path.join(checkpoint_dir, stage)
-        # idempotent overwrite: a rerun into the same checkpoint_dir must
-        # not APPEND a second copy of every stage file
+        marker = os.path.join(out, _DONE_MARKER)
+        if resume and os.path.exists(marker):
+            return ray.data.read_parquet(out)
         shutil.rmtree(out, ignore_errors=True)
         ds.write_parquet(out)
+        if not os.path.isdir(out):
+            # an all-rows-filtered stage writes zero files; pin the empty
+            # result (with schema) so the boundary read and the marker hold
+            import pyarrow.parquet as _pq
+
+            os.makedirs(out, exist_ok=True)
+            _pq.write_table(
+                ds.schema().base_schema.empty_table(),
+                os.path.join(out, "empty-0.parquet"),
+            )
+        with open(marker, "w") as f:
+            f.write("done")
         return ray.data.read_parquet(out)
     return ds.materialize()
 
@@ -82,6 +116,8 @@ def preprocess_corpus(
     clean_lines_kw: dict | None = None,
     gopher_kw: dict | None = None,
     checkpoint_dir: str | None = None,
+    dedup_strategy: str = "broadcast",
+    resume: bool = False,
 ):
     """documents -> (doc_id, text, n_tokens): the cleaned, deduplicated,
     decontaminated training corpus (see module docstring for the five
@@ -95,15 +131,47 @@ def preprocess_corpus(
     ``gopher_kw`` likewise enables an optional document-level Gopher
     rules filter (textstats.gopher_rules, return_docs) after stage 0 —
     pass ``{}`` for the Rae et al. 2021 defaults. The composed oracle
-    mirrors whatever configs are passed."""
+    mirrors whatever configs are passed.
+
+    ``dedup_strategy``: 'broadcast' (default) FUSES stages 2+3 — the
+    exact-dedup drop set and the paragraph winner set are both built by
+    streaming the SAME s1 boundary blocks (paragraph winners over the
+    pre-dedup corpus provably equal winners over the deduped corpus: an
+    exactly-dropped doc's keeper has identical text, hence the same
+    paragraphs at the same indices under a smaller doc_id, so the min
+    key always lands in a keeper), then ONE fused map_batches pass drops
+    duplicate docs and rebuilds paragraphs — saving a full corpus
+    materialize+scan cycle. 'join' is the beyond-broadcast-ceiling path:
+    staged dedup_corpus / dedup_paragraphs(strategy='join') /
+    remove_dup_spans(strategy='join'), every global state a
+    hash-partitioned Dataset (output-identical, tested).
+
+    ``resume=True`` (with ``checkpoint_dir``) skips any stage whose
+    checkpoint dir carries a completion marker — the cross-run resume
+    unit; see ``_boundary`` for the staleness caveat."""
+    import numpy as np
+    import ray
+
     from shaclapi_ray.pipelines.decontam import decontaminate
-    from shaclapi_ray.pipelines.dedup import dedup_corpus, dedup_paragraphs
+    from shaclapi_ray.pipelines.dedup import (
+        _para_explode,
+        _para_reassemble,
+        _paragraph_keep_mask,
+        collect_sorted_drop_ids,
+        dedup_corpus,
+        dedup_paragraphs,
+        exact_drop_ds,
+        paragraph_winner_lookup,
+    )
     from shaclapi_ray.pipelines.spans import remove_dup_spans
     from shaclapi_ray.pipelines.textstats import (
         clean_lines,
         gopher_rules,
         quality_quantile_filter,
     )
+
+    if dedup_strategy not in ("broadcast", "join"):
+        raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
 
     docs = docs_ds
     if clean_lines_kw is not None:
@@ -113,7 +181,7 @@ def preprocess_corpus(
         docs = docs.drop_columns(
             ["n_kept_lines", "n_dropped_lines"]
         ).rename_columns({"clean_text": "text"})
-        docs = _boundary(docs, checkpoint_dir, "s0_lines")
+        docs = _boundary(docs, checkpoint_dir, "s0_lines", resume)
 
     if gopher_kw is not None:
         # row-local filter — streams, no boundary needed before the next
@@ -123,20 +191,56 @@ def preprocess_corpus(
     docs = quality_quantile_filter(
         docs, q=q, group_col=group_col, return_docs=True
     )
-    docs = _boundary(docs, checkpoint_dir, "s1_quality")
+    docs = _boundary(docs, checkpoint_dir, "s1_quality", resume)
 
-    docs = dedup_corpus(docs, strategy="exact")
-    docs = _boundary(docs, checkpoint_dir, "s2_dedup")
+    if dedup_strategy == "broadcast":
+        # fused stages 2+3: both global states stream the s1 blocks; one
+        # map_batches pass applies the drop filter AND the paragraph
+        # rebuild (no intermediate corpus materialization between them)
+        drops = exact_drop_ds(docs)
+        drop_ids = (
+            collect_sorted_drop_ids(drops)
+            if drops is not None
+            else np.empty(0, dtype=np.int64)
+        )
+        drop_ref = ray.put(drop_ids)
+        lookup_ref = ray.put(paragraph_winner_lookup(docs, sep))
 
-    docs = dedup_paragraphs(docs, sep=sep).select_columns(
+        def drop_then_rebuild(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            if d.size:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(d, ids)
+                hit = (pos < d.size) & (
+                    d[np.clip(pos, 0, max(0, d.size - 1))] == ids
+                )
+                batch = batch.filter(pa.array(~hit))
+            df = _para_explode(batch, sep, "text")
+            keep = _paragraph_keep_mask(df, ray.get(lookup_ref))
+            out = _para_reassemble(df, keep, sep)
+            return out.select(["doc_id", "clean_text"]).rename_columns(
+                ["doc_id", "text"]
+            )
+
+        docs = docs.select_columns(["doc_id", "text"]).map_batches(
+            drop_then_rebuild, batch_format="pyarrow", zero_copy_batch=True
+        )
+        docs = _boundary(docs, checkpoint_dir, "s3_paragraphs", resume)
+    else:
+        docs = dedup_corpus(docs, strategy="exact")
+        docs = _boundary(docs, checkpoint_dir, "s2_dedup", resume)
+
+        docs = dedup_paragraphs(docs, sep=sep, strategy="join").select_columns(
+            ["doc_id", "clean_text"]
+        ).rename_columns({"clean_text": "text"})
+        docs = _boundary(docs, checkpoint_dir, "s3_paragraphs", resume)
+
+    docs = remove_dup_spans(
+        docs, n=span_n, min_docs=span_min_docs, strategy=dedup_strategy
+    ).select_columns(
         ["doc_id", "clean_text"]
     ).rename_columns({"clean_text": "text"})
-    docs = _boundary(docs, checkpoint_dir, "s3_paragraphs")
-
-    docs = remove_dup_spans(docs, n=span_n, min_docs=span_min_docs).select_columns(
-        ["doc_id", "clean_text"]
-    ).rename_columns({"clean_text": "text"})
-    docs = _boundary(docs, checkpoint_dir, "s4_spans")
+    docs = _boundary(docs, checkpoint_dir, "s4_spans", resume)
 
     docs = decontaminate(
         docs, eval_ds=eval_ds, n=decontam_n, eval_mod=eval_mod, drop=True

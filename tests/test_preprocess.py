@@ -64,9 +64,12 @@ def test_checkpoint_mode_identical(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(base, ck, check_dtype=False)
-    # every stage boundary landed on disk (the resume/retry units)
+    # every stage boundary landed on disk (the resume/retry units);
+    # stages 2+3 share one boundary on the broadcast path, so there is
+    # no separate s2_dedup dir
     names = {p.name for p in tmp_path.iterdir()}
-    assert {"s1_quality", "s2_dedup", "s3_paragraphs", "s4_spans"} <= names
+    assert {"s1_quality", "s3_paragraphs", "s4_spans"} <= names
+    assert "s2_dedup" not in names
 
 
 def test_quantile_return_docs_matches_id_filter():
@@ -346,3 +349,59 @@ def test_gopher_return_docs_matches_signals():
     kept = gopher_rules(_docs(), return_docs=True, **kw).to_pandas()
     assert set(kept["doc_id"]) == set(sig.loc[sig["gopher_pass"], "doc_id"])
     assert set(kept.columns) == set(_docs().schema().names)
+
+
+def test_join_strategy_equals_broadcast(tmp_path):
+    """dedup_strategy='join' (every global state a hash-partitioned
+    Dataset — the beyond-broadcast-ceiling form) must produce the exact
+    corpus the fused broadcast path produces."""
+    a = (
+        preprocess_corpus(_docs(), dedup_strategy="broadcast")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        preprocess_corpus(_docs(), dedup_strategy="join")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the join path writes the staged s2 boundary when checkpointing
+    c = (
+        preprocess_corpus(
+            _docs(), dedup_strategy="join", checkpoint_dir=str(tmp_path)
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, c, check_dtype=False)
+    names = {p.name for p in tmp_path.iterdir()}
+    assert {"s1_quality", "s2_dedup", "s3_paragraphs", "s4_spans"} <= names
+
+
+def test_checkpoint_resume_skips_completed_stages(tmp_path):
+    """resume=True: a stage dir carrying the completion marker is read
+    back instead of recomputed — proven by rerunning over a DIFFERENT
+    input corpus and still getting the first run's (checkpointed)
+    output. Without resume, the rerun recomputes from the new input."""
+    import ray.data
+
+    a = (
+        preprocess_corpus(_docs(), checkpoint_dir=str(tmp_path))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    other = ray.data.from_items(
+        [{"doc_id": 900 + i,
+          "text": f"totally new corpus row {i} w{i} x{i} y{i} z{i}"
+          + " pad" * i,
+          "lang": "en"} for i in range(8)]
+    )
+    resumed = (
+        preprocess_corpus(other, checkpoint_dir=str(tmp_path), resume=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # every stage was checkpoint-complete, so the new input never ran
+    pd.testing.assert_frame_equal(a, resumed, check_dtype=False)
+    fresh = (
+        preprocess_corpus(other, checkpoint_dir=str(tmp_path))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert set(fresh.doc_id) <= set(900 + i for i in range(8))
+    assert len(fresh) > 0
