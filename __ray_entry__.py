@@ -653,14 +653,17 @@ def _q_knn_bruteforce(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    """Approximate ANN, both compressed paths, kind-tagged union:
+    """Approximate ANN, every compressed path, kind-tagged union:
     kind='ivf' — bucket-partitioned IVF probe (I/O-pruned);
     kind='pq' — product-quantized ADC search (pipelines/pq.py, 32×
-    smaller codes). Both deterministic -> one golden pins the pair."""
+    smaller codes);
+    kind='ivfpq' — the combined IVF-PQ index probe (pipelines/pq.py:
+    bucket pruning AND uint8 codes, the FAISS-IVFADC 100-TB layout).
+    All deterministic -> one golden pins the triple."""
     import pandas as pd
 
     from shaclapi_ray.pipelines.knn import knn_ivf
-    from shaclapi_ray.pipelines.pq import pq_search
+    from shaclapi_ray.pipelines.pq import knn_ivf_pq, pq_search
 
     ivf = knn_ivf(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K)
     if hasattr(ivf, "to_pandas"):
@@ -670,8 +673,19 @@ def _q_knn_ivf(sf_dir: str):
     if hasattr(pq, "to_pandas"):
         pq = pq.to_pandas()
     pq.insert(0, "kind", "pq")
+    ivfpq = knn_ivf_pq(
+        _emb(sf_dir),
+        KNN_QUERY_IDS,
+        k=KNN_K,
+        m=8,
+        index_dir=f"/tmp/shaclapi_ray_ivfpq_entry/{_sf_name(sf_dir)}",
+    )
+    if hasattr(ivfpq, "to_pandas"):
+        ivfpq = ivfpq.to_pandas()
+    ivfpq.insert(0, "kind", "ivfpq")
     return _sorted(
-        pd.concat([ivf, pq], ignore_index=True), ["kind", "query_id", "rank"]
+        pd.concat([ivf, pq, ivfpq], ignore_index=True),
+        ["kind", "query_id", "rank"],
     )
 
 
