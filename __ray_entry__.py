@@ -922,13 +922,49 @@ BPE_MERGES = 100
 
 
 def _bpe_part(sf_dir: str):
-    """(doc_id, bpe_tokens): corpus-trained BPE piece counts — the
-    golden-backed part of doc_signals (iterative merge training is not
-    SQL-expressible; semantic correctness in tests/test_bpe.py)."""
-    from shaclapi_ray.pipelines.bpe import bpe_token_count, train_bpe
+    """(doc_id, bpe_tokens, bpe_ids_fp): corpus-trained BPE piece counts
+    PLUS a crc32 fingerprint of each doc's actual token-ID sequence
+    (pipelines/bpe.py tokenize_corpus) — the golden-backed part of
+    doc_signals (iterative merge training is not SQL-expressible;
+    semantic correctness in tests/test_bpe.py, including
+    ids-decode-to-pieces equality and pack_token_sequences
+    end-to-end)."""
+    import pyarrow as _pa
+
+    from shaclapi_ray.pipelines.bpe import (
+        _flatten_id_lists,
+        tokenize_corpus,
+        train_bpe,
+    )
 
     merges = train_bpe(_docs(sf_dir), n_merges=BPE_MERGES)
-    return _sorted(bpe_token_count(_docs(sf_dir), merges), ["doc_id"])
+
+    def fingerprint(batch):
+        import zlib
+
+        import numpy as np
+
+        lens, flat = _flatten_id_lists(batch["token_ids"])
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        fps = np.array(
+            [
+                zlib.crc32(flat[offs[i] : offs[i + 1]].tobytes())
+                for i in range(batch.num_rows)
+            ],
+            dtype=np.int64,
+        )
+        return _pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bpe_tokens": batch["n_bpe_tokens"],
+                "bpe_ids_fp": _pa.array(fps),
+            }
+        )
+
+    toks = tokenize_corpus(_docs(sf_dir), merges).map_batches(
+        fingerprint, batch_format="pyarrow"
+    )
+    return _sorted(toks, ["doc_id"])
 
 
 def _q_doc_signals(sf_dir: str):
@@ -1561,7 +1597,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 o.lang_id_sql(),
                 o.fingerprint_sql(),
                 o.nb_classify_sql(),
-                "SELECT doc_id, bpe_tokens FROM "
+                "SELECT doc_id, bpe_tokens, bpe_ids_fp FROM "
                 f"read_parquet('{golden_path(sf_dir, 'doc_signals_bpe')}')",
             ],
             on="doc_id",

@@ -97,3 +97,114 @@ def test_sample_fraction_training():
     m7 = train_bpe(_docs(texts).repartition(7), n_merges=3, sample_fraction=0.5)
     assert m1 == m7
     assert m1[0] == ("e", "s")
+
+
+def _tok_docs():
+    import pyarrow as pa
+    import ray.data
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "cats and dogs and mats",
+        "",
+        "unseen zebra",
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(2)
+
+
+def test_tokenize_corpus_ids_match_pieces(ray_session):
+    """The emitted id sequence per doc decodes (via the vocab) to exactly
+    the concatenation of apply_bpe over the doc's words in order, and
+    n_bpe_tokens agrees with bpe_token_count."""
+    from shaclapi_ray.pipelines.bpe import (
+        apply_bpe,
+        bpe_token_count,
+        bpe_vocab,
+        tokenize_corpus,
+        train_bpe,
+    )
+
+    docs = _tok_docs()
+    merges = train_bpe(docs, n_merges=30)
+    vocab = bpe_vocab(docs, merges)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    out = tokenize_corpus(docs, merges).to_pandas().set_index("doc_id").sort_index()
+    counts = (
+        bpe_token_count(docs, merges).to_pandas().set_index("doc_id").sort_index()
+    )
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the dog sat on the log",
+        2: "cats and dogs and mats",
+        3: "",
+        4: "unseen zebra",
+    }
+    for did, text in texts.items():
+        ids = list(out.loc[did, "token_ids"])
+        expected = [p for w in text.split() for p in apply_bpe(w, ranks)]
+        assert [vocab[i] for i in ids] == expected
+        assert out.loc[did, "n_bpe_tokens"] == len(expected)
+        assert counts.loc[did, "bpe_tokens"] == len(expected)
+
+
+def test_tokenize_corpus_layout_invariant(ray_session):
+    from shaclapi_ray.pipelines.bpe import tokenize_corpus, train_bpe
+
+    docs = _tok_docs()
+    merges = train_bpe(docs, n_merges=30)
+    a = tokenize_corpus(docs, merges).to_pandas().sort_values("doc_id")
+    b = (
+        tokenize_corpus(_tok_docs().repartition(5), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert [list(x) for x in a["token_ids"]] == [list(x) for x in b["token_ids"]]
+
+
+def test_pack_token_sequences_end_to_end(ray_session):
+    """tokenize_corpus -> pack_token_sequences: per shard the packed
+    stream is exactly the doc_id-ordered concatenation of that shard's
+    id sequences, chopped every `budget` ids with a ragged tail; shard
+    assignment matches spans.pack_sequences' Knuth hash."""
+    import numpy as np
+
+    from shaclapi_ray.pipelines.bpe import pack_token_sequences, tokenize_corpus, train_bpe
+    from shaclapi_ray.pipelines.spans import KNUTH
+
+    docs = _tok_docs()
+    merges = train_bpe(docs, n_merges=30)
+    toks = tokenize_corpus(docs, merges).materialize()
+    budget, n_shards, seed = 7, 3, 0
+    packed = (
+        pack_token_sequences(toks, budget=budget, n_shards=n_shards, seed=seed)
+        .to_pandas()
+        .sort_values(["shard", "seq"])
+    )
+    tdf = toks.to_pandas().sort_values("doc_id")
+    tdf["shard"] = ((tdf["doc_id"] + seed) * KNUTH) % (1 << 32) % n_shards
+    for shard, grp in tdf.groupby("shard"):
+        expect = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in grp["token_ids"]]
+        ) if len(grp) else np.empty(0, np.int64)
+        got_rows = packed[packed["shard"] == shard]
+        got = (
+            np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in got_rows["token_ids"]]
+            )
+            if len(got_rows)
+            else np.empty(0, np.int64)
+        )
+        assert np.array_equal(got, expect)
+        if len(got_rows):
+            sizes = [len(x) for x in got_rows["token_ids"]]
+            assert all(s == budget for s in sizes[:-1])
+            assert 0 < sizes[-1] <= budget
+            assert (got_rows["n_tokens"] == sizes).all()
