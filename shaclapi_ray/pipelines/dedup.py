@@ -1267,6 +1267,50 @@ def _kgram_void_set(text: str, k: int) -> np.ndarray:
     return np.unique(np.ascontiguousarray(win).view(vt).ravel())
 
 
+def _kgram_sets_batch(
+    ids: np.ndarray, txts_obj: np.ndarray, k: int
+) -> dict[int, np.ndarray]:
+    """One sorted exact k-gram void set per unique doc, built for the
+    WHOLE batch in one vectorized pass: every text lands in a single
+    numpy UTF-32 matrix (one C conversion), windows + boundary masking +
+    the per-doc dedupe all run as global array ops (one np.unique + one
+    lexsort) — no per-doc encode/window/unique calls. Same exact
+    codepoint-set semantics as _kgram_void_set (property-tested equal)."""
+    vt = np.dtype((np.void, 4 * k))
+    n = len(ids)
+    if n == 0:
+        return {}
+    lens = np.fromiter(
+        (len(t) if t is not None else 0 for t in txts_obj), dtype=np.int64, count=n
+    )
+    u = np.array(
+        ["" if t is None else t for t in txts_obj], dtype=np.str_
+    )
+    width = u.dtype.itemsize // 4
+    empty = np.empty(0, dtype=vt)
+    if width < k:
+        return {int(i): empty for i in ids}
+    cp = u.view(np.uint32).reshape(n, width)
+    win = np.lib.stride_tricks.sliding_window_view(cp, k, axis=1)
+    voids = np.ascontiguousarray(win).view(vt).reshape(n, width - k + 1)
+    valid = np.arange(width - k + 1)[None, :] < np.maximum(lens - k + 1, 0)[:, None]
+    rows, cols = np.nonzero(valid)
+    if rows.size == 0:
+        return {int(i): empty for i in ids}
+    flat = voids[rows, cols]
+    uniq_vals, inv = np.unique(flat, return_inverse=True)
+    order = np.lexsort((inv, rows))
+    r, v = rows[order], inv[order]
+    keep = np.ones(r.size, dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+    r, v = r[keep], v[keep]
+    starts = np.searchsorted(r, np.arange(n))
+    ends = np.searchsorted(r, np.arange(n) + 1)
+    # inv ascending within a row => uniq_vals[v] ascending (np.unique
+    # returns sorted values), so each slice is intersect1d-ready
+    return {int(ids[i]): uniq_vals[v[starts[i] : ends[i]]] for i in range(n)}
+
+
 def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwargs):
     """(a, b, inter_size, union_size): exact char-k-gram Jaccard for every
     LSH candidate pair with Jaccard >= threshold. Integer set sizes keep
@@ -1371,12 +1415,18 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5, **lsh_kwarg
         # no Python set building in the pair loop
         a_ids = batch["a"].combine_chunks().to_numpy(zero_copy_only=False)
         b_ids = batch["b"].combine_chunks().to_numpy(zero_copy_only=False)
-        ta, tb = batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
-        sets: dict[int, np.ndarray] = {}
-        for ids, txts in ((a_ids, ta), (b_ids, tb)):
-            for i, t in zip(ids, txts):
-                if int(i) not in sets:
-                    sets[int(i)] = _kgram_void_set(t or "", k)
+        ids_all = np.concatenate([a_ids, b_ids])
+        texts_all = pa.concat_arrays(
+            [
+                batch["text_a"].combine_chunks(),
+                batch["text_b"].combine_chunks(),
+            ]
+        )
+        uniq_ids, first_idx = np.unique(ids_all, return_index=True)
+        txts_obj = texts_all.take(pa.array(first_idx)).to_numpy(
+            zero_copy_only=False
+        )
+        sets = _kgram_sets_batch(uniq_ids, txts_obj, k)
         n = len(a_ids)
         av = np.empty(n, dtype=np.int64)
         bv = np.empty(n, dtype=np.int64)

@@ -401,3 +401,29 @@ def test_dedup_paragraphs_broadcast_ceiling_is_loud(ray_session, monkeypatch):
     docs = ray.data.from_items([{"doc_id": 0, "text": "a\n\nb"}])
     with pytest.raises(ValueError, match="strategy='join'"):
         d.dedup_paragraphs(docs).materialize()
+
+
+def test_kgram_sets_batch_equals_single():
+    """The batch-vectorized gram-set builder must be element-identical to
+    the per-text kernel on every edge (empty, short, unicode, repeated
+    grams, None)."""
+    import numpy as np
+
+    from shaclapi_ray.pipelines.dedup import _kgram_sets_batch, _kgram_void_set
+
+    texts = [
+        "abcdefg",
+        "",
+        "abc",
+        "ababababab",
+        "δelta ünïcode ΔΔΔ text",
+        None,
+        "aaaaa",
+        "short",
+    ]
+    ids = np.arange(len(texts), dtype=np.int64)
+    for k in (2, 5, 7):
+        got = _kgram_sets_batch(ids, np.array(texts, dtype=object), k)
+        for i, t in enumerate(texts):
+            exp = _kgram_void_set(t or "", k)
+            assert np.array_equal(got[int(i)], exp), (k, i, t)
