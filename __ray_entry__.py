@@ -1235,8 +1235,11 @@ def _q_transform_media(sf_dir: str):
     out = pd.concat([part1, part2], ignore_index=True)
     out["idx"] = out["idx"].astype("int64")
     out["value"] = out["value"].astype("int64")
+    # 'value' makes the sort key TOTAL: many frame rows share a null/empty
+    # url + idx, and a [url, kind, idx]-only sort left their tie order
+    # layout-dependent (an order-sensitive golden compare could flake)
     return out.sort_values(
-        ["url", "kind", "idx"], na_position="first", kind="mergesort"
+        ["url", "kind", "idx", "value"], na_position="first", kind="mergesort"
     ).reset_index(drop=True)
 
 
@@ -1351,7 +1354,7 @@ GOLDEN_QUERIES: dict[str, list[str]] = {
     "dedup_corpus_minhash": ["kind", "doc_id"],
     "embedding_neardup_lsh": ["kind", "a", "b"],
     "knn_ivf": ["kind", "query_id", "rank"],
-    "transform_media": ["url", "kind", "idx"],
+    "transform_media": ["url", "kind", "idx", "value"],
 }
 
 

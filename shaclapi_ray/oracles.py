@@ -611,7 +611,7 @@ def ccnet_buckets_sql(
 WITH lp AS ({unigram_logprob_sql()}),
 wl AS (
   SELECT lp.doc_id, d.lang, lp.n_tokens, lp.logprob,
-         CAST(round(lp.logprob * {precision}, 0) AS BIGINT) AS score_q
+         CAST(floor(lp.logprob * {precision} + 0.5) AS BIGINT) AS score_q
   FROM lp JOIN documents d USING (doc_id)
 ),
 ranked AS (
@@ -622,11 +622,11 @@ ranked AS (
 ),
 t1 AS (
   SELECT lang, min(score_q) AS t FROM ranked
-  WHERE rn = CAST(ceil({q1} * n) AS BIGINT) GROUP BY lang
+  WHERE rn = CAST(ceil(CAST({q1!r} AS DOUBLE) * n) AS BIGINT) GROUP BY lang
 ),
 t2 AS (
   SELECT lang, min(score_q) AS t FROM ranked
-  WHERE rn = CAST(ceil({q2} * n) AS BIGINT) GROUP BY lang
+  WHERE rn = CAST(ceil(CAST({q2!r} AS DOUBLE) * n) AS BIGINT) GROUP BY lang
 )
 SELECT wl.doc_id, wl.lang, wl.n_tokens, wl.logprob, wl.score_q,
        CASE WHEN wl.score_q <= t1.t THEN 'tail'

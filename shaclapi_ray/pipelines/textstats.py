@@ -891,7 +891,12 @@ def compression_signals(docs_ds, level: int = 6):
     natural prose, so a HIGH ratio (n_bytes / n_compressed) marks
     low-entropy documents and a ratio near 1 marks natural or
     high-entropy text. ``level`` is the zlib level (6 = the stdlib
-    default; the signal is deterministic for a fixed level).
+    default; the signal is deterministic for a fixed level AND a fixed
+    zlib BUILD — compressed sizes differ between madler zlib and zlib-ng,
+    common in conda/distro pythons, so the pinned golden is only valid on
+    the zlib build that generated it; the golden test asserts
+    ``zlib.ZLIB_RUNTIME_VERSION`` so a mismatch fails loudly with the
+    real cause instead of a bogus value diff).
 
     Empty/null documents get ratio 0.0 (n_bytes = 0), keeping them
     distinguishable from incompressible text (~1.0). One streaming
@@ -1393,16 +1398,22 @@ def ccnet_buckets(
 
     Exactness discipline: the quantiles are EXACT rank quantiles (the
     ceil(q*n)-th smallest), computed over the INTEGER-quantized score
-    ``score_q = round(logprob * precision)`` so the per-group
+    ``score_q = floor(logprob * precision + 0.5)`` so the per-group
     distribution is a small (group, score_q) histogram — the same
     pre-aggregate → tiny driver cumsum → broadcast-thresholds shape as
     quality_quantile_filter; no corpus-sized group ever materializes and
     the whole operator (scores, thresholds, buckets) is mirrored by
-    ``oracles.ccnet_buckets_sql``. Round-to-NEAREST (not floor) is
-    deliberate: float group means reproduce only to ~1 ulp across block
-    layouts/engines, and nearest-int absorbs that noise (a flip needs
-    the true value within ~1e-12 of an exact .5 — which log means do
-    not produce), where floor flips at every integer boundary."""
+    ``oracles.ccnet_buckets_sql``. Rounding to NEAREST (not plain floor
+    of the raw product) is deliberate: float group means reproduce only
+    to ~1 ulp across block layouts/engines, and nearest-int absorbs that
+    noise (a flip needs the true value within ~1e-12 of a half-integer
+    boundary — which log means do not produce), where plain floor flips
+    at every integer boundary. The formula is the LITERAL SAME
+    floor(x*p + 0.5) float64 expression in numpy and in the SQL oracle
+    (and q reaches SQL as a DOUBLE cast), so the two sides cannot
+    diverge even at exact .5 / integer boundaries — np.rint (half to
+    even) vs DuckDB round() (half away from zero) used to differ
+    there."""
     import math
 
     import numpy as np
@@ -1418,8 +1429,9 @@ def ccnet_buckets(
     lp = unigram_logprob(docs_ds, keep_cols=(group_col,)).materialize()
 
     def _score_q(batch: pa.Table) -> np.ndarray:
-        return np.rint(
-            batch["logprob"].to_numpy(zero_copy_only=False) * precision
+        # floor(x*p + 0.5): the literal same expression as the SQL oracle
+        return np.floor(
+            batch["logprob"].to_numpy(zero_copy_only=False) * precision + 0.5
         ).astype(np.int64)
 
     def partial_counts(batch: pa.Table) -> pa.Table:

@@ -475,3 +475,19 @@ def test_gopher_rules_planted(ray_session):
     )
     o2 = gopher_rules(ds2).to_pandas().iloc[0]
     assert o2["n_stop_hits"] == 0 and not o2["gopher_pass"]
+
+
+def test_zlib_build_matches_golden_generator():
+    """The rolling_fingerprint golden pins zlib-compressed sizes, which
+    differ between zlib BUILDS (madler zlib vs zlib-ng) — if this fails,
+    the runtime links a different zlib than the golden generator and the
+    compression goldens must be regenerated (tools/gen_goldens.py); a
+    value diff in those goldens without this failing means a real bug."""
+    import zlib
+
+    with open("/root/repo/fixtures/goldens/ZLIB_VERSION.txt") as f:
+        expected = f.read().strip()
+    assert zlib.ZLIB_RUNTIME_VERSION == expected, (
+        f"zlib build mismatch: runtime {zlib.ZLIB_RUNTIME_VERSION} vs "
+        f"golden generator {expected} — regenerate the compression goldens"
+    )

@@ -44,6 +44,14 @@ def main(sf_dirs: list[str]) -> None:
     import __ray_entry__ as entry
 
     qs = entry.queries()
+    # compression goldens depend on the zlib BUILD (madler vs zlib-ng
+    # compress to different sizes); record the generator's build so the
+    # golden tests can fail loudly with the real cause on a mismatch
+    import zlib
+
+    os.makedirs(entry.GOLDEN_DIR, exist_ok=True)
+    with open(os.path.join(entry.GOLDEN_DIR, "ZLIB_VERSION.txt"), "w") as f:
+        f.write(zlib.ZLIB_RUNTIME_VERSION)
     for sf_dir in sf_dirs:
         out_dir = os.path.join(entry.GOLDEN_DIR, entry._sf_name(sf_dir))
         os.makedirs(out_dir, exist_ok=True)
