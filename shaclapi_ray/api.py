@@ -31,7 +31,11 @@ from shaclapi_ray.shapes.ir import Shape, load_schema_dir
 
 _ALIASES = {
     # camelCase -> snake_case, mirroring the reference's dual spellings
+    # (the FULL alias matrix of /root/reference/shaclapi/config.py:5-331;
+    # keys the recast gives no semantics are still accepted + normalized
+    # so a reference config dict round-trips without KeyErrors)
     "schemaDir": "schema_dir",
+    "schema_directory": "schema_dir",
     "targetShape": "target_shape",
     "rowFilter": "row_filter",
     "pruneShapeNetwork": "prune_shape_network",
@@ -46,6 +50,19 @@ _ALIASES = {
     "saltK": "salt_k",
     "bloomPrefilter": "bloom_prefilter",
     "pagesDir": "pages_dir",
+    # reference camelCase aliases (config.py get-with-alias properties)
+    "outputDirectory": "output_directory",
+    "shapeFormat": "schema_format",
+    "shape_format": "schema_format",
+    "workInParallel": "work_in_parallel",
+    "useSelectiveQueries": "use_selective_queries",
+    "ORDERBYinQueries": "order_by_in_queries",
+    "maxSplit": "max_split_size",
+    "traversalStrategy": "traversal_strategy",
+    "outputs": "save_outputs",
+    # the recast's data source is a parquet pages dir, not a SPARQL
+    # endpoint; accept the reference's key as its direct analog
+    "external_endpoint": "pages_dir",
 }
 
 _DEFAULTS = {
@@ -69,13 +86,75 @@ _DEFAULTS = {
     # /root/reference/shaclapi/config.py:185-189; unknown names raise
     # NotImplementedError at run time, as there)
     "backend": "auto",
+    # reference option surface (config.py defaults), with the recast's
+    # semantic mapping where one exists (see _job_config):
+    "config": None,  # JSON config file; direct options override it
+    "output_directory": "./output/",  # stats land here when write_stats
+    "schema_format": "SHACL",  # JSON | SHACL (loader auto-detects both)
+    "work_in_parallel": True,  # False -> num_partitions=1
+    "use_selective_queries": True,  # -> JobConfig.scan_pushdown
+    "order_by_in_queries": False,  # outputs are deterministically sorted
+    "max_split_size": None,  # ≙ maxSplit -> JobConfig.batch_size
+    "traversal_strategy": "DFS",  # node order is heuristic-driven here
+    "heuristic": "TARGET IN BIG",  # -> JobConfig.stats_order
+    "start_with_target_shape": True,  # target-first order (always on)
+    "start_shape_for_validation": None,
+    "merge_old_target_query": True,
+    "memory_size": None,  # Ray object store governs memory in the recast
+    "test_identifier": None,
+    "run_in_serial": False,  # -> num_partitions=1
+    "reasoning": True,
+    "use_pipes": False,  # IPC knob; Ray object store replaces pipes
+    "collect_all_validation_results": False,  # events carry all results
+    "save_outputs": False,
+    "query": None,  # SPARQL target query; the recast analog is row_filter
+    "query_extension_per_target_shape": None,
 }
+
+_BOOL_KEYS = {
+    "prune_shape_network",
+    "remove_constraints",
+    "replace_target_query",
+    "write_stats",
+    "bloom_prefilter",
+    "work_in_parallel",
+    "use_selective_queries",
+    "order_by_in_queries",
+    "start_with_target_shape",
+    "merge_old_target_query",
+    "run_in_serial",
+    "reasoning",
+    "use_pipes",
+    "collect_all_validation_results",
+    "save_outputs",
+}
+
+
+def _entry_to_bool(v: Any) -> bool:
+    """≙ config.Config.entry_to_bool: the reference accepts 'true'/'false'
+    strings (HTTP form values) for every boolean option."""
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "1", "yes", "t")
+    return bool(v)
 
 
 def _norm_config(config: dict[str, Any]) -> dict[str, Any]:
     out = dict(_DEFAULTS)
-    for k, v in config.items():
-        out[_ALIASES.get(k, k)] = v
+    layered = dict(config)
+    # ≙ reference 'config' option: a JSON file of options, with the
+    # directly-passed options overriding it (config.py:98-107)
+    cfg_path = layered.get("config")
+    if cfg_path:
+        import json
+
+        with open(cfg_path) as f:
+            file_opts = json.load(f)
+        merged = dict(file_opts)
+        merged.update(layered)
+        layered = merged
+    for k, v in layered.items():
+        key = _ALIASES.get(k, k)
+        out[key] = _entry_to_bool(v) if key in _BOOL_KEYS else v
     # invariant checks (≙ /root/reference/shaclapi/config.py:39-45)
     if out["remove_constraints"] and not out["prune_shape_network"]:
         raise ValueError("remove_constraints requires prune_shape_network")
@@ -93,6 +172,7 @@ def _shapes(cfg: dict[str, Any]) -> list[Shape]:
 
 
 def _job_config(cfg: dict[str, Any]) -> JobConfig:
+    serial = cfg["run_in_serial"] or not cfg["work_in_parallel"]
     return JobConfig(
         target_shape=cfg["target_shape"],
         row_filter=cfg["row_filter"],
@@ -106,6 +186,17 @@ def _job_config(cfg: dict[str, Any]) -> JobConfig:
         salt_k=cfg["salt_k"],
         bloom_prefilter=cfg["bloom_prefilter"],
         backend=cfg["backend"],
+        # reference-option semantic mappings:
+        # useSelectiveQueries ≙ push the target filter into the read
+        scan_pushdown=cfg["use_selective_queries"],
+        # maxSplit ≙ result page size -> per-batch row cap
+        batch_size=(
+            int(cfg["max_split_size"]) if cfg["max_split_size"] else None
+        ),
+        # 'TARGET IN BIG' ≙ the stats-driven node-order heuristic
+        stats_order=cfg["heuristic"] == "TARGET IN BIG",
+        # workInParallel=False / run_in_serial ≙ one partition
+        num_partitions=1 if serial else JobConfig.num_partitions,
     )
 
 
@@ -135,8 +226,15 @@ def run_job(config: dict[str, Any]) -> dict[str, Any]:
         - res.timings.get("pass_a_s", 0.0)
         - res.timings.get("pass_b_s", 0.0),
     }
-    if cfg["write_stats"] and cfg["stats_out_file"]:
-        _write_stats_csv(cfg["stats_out_file"], stats)
+    if cfg["write_stats"]:
+        # ≙ reference outputDirectory: stats default into it when no
+        # explicit stats file is given (statsCalculation.py:156-170)
+        stats_file = cfg["stats_out_file"]
+        if not stats_file and cfg["output_directory"]:
+            os.makedirs(cfg["output_directory"], exist_ok=True)
+            stats_file = os.path.join(cfg["output_directory"], "stats.csv")
+        if stats_file:
+            _write_stats_csv(stats_file, stats)
     return {"result": result, "stats": stats, "order": res.order}
 
 

@@ -239,3 +239,120 @@ def test_run_pipeline_registry_resolves():
     for name, path in api.PIPELINE_REGISTRY.items():
         mod, func = path.split(":")
         assert callable(getattr(importlib.import_module(mod), func)), name
+
+
+def test_reference_alias_matrix_normalizes():
+    """Every camelCase/snake alias pair from the reference's config
+    surface (/root/reference/shaclapi/config.py:5-331) must land on the
+    same normalized key, with reference-style 'true'/'false' strings
+    coerced for boolean options."""
+    pairs = [
+        ({"schemaDir": "x"}, "schema_dir", "x"),
+        ({"schema_directory": "x"}, "schema_dir", "x"),
+        ({"targetShape": "S"}, "target_shape", "S"),
+        ({"target_shape": "S"}, "target_shape", "S"),
+        ({"outputDirectory": "/tmp/o"}, "output_directory", "/tmp/o"),
+        ({"output_directory": "/tmp/o"}, "output_directory", "/tmp/o"),
+        ({"shapeFormat": "JSON"}, "schema_format", "JSON"),
+        ({"shape_format": "JSON"}, "schema_format", "JSON"),
+        ({"schema_format": "JSON"}, "schema_format", "JSON"),
+        ({"workInParallel": "false"}, "work_in_parallel", False),
+        ({"work_in_parallel": True}, "work_in_parallel", True),
+        ({"useSelectiveQueries": "true"}, "use_selective_queries", True),
+        ({"use_selective_queries": False}, "use_selective_queries", False),
+        ({"ORDERBYinQueries": "true"}, "order_by_in_queries", True),
+        ({"order_by_in_queries": False}, "order_by_in_queries", False),
+        ({"maxSplit": 128}, "max_split_size", 128),
+        ({"traversalStrategy": "BFS"}, "traversal_strategy", "BFS"),
+        ({"traversal_strategy": "DFS"}, "traversal_strategy", "DFS"),
+        ({"outputs": "true"}, "save_outputs", True),
+        ({"external_endpoint": "/data/pages"}, "pages_dir", "/data/pages"),
+        ({"heuristic": "TARGET IN BIG"}, "heuristic", "TARGET IN BIG"),
+        ({"start_with_target_shape": "false"}, "start_with_target_shape", False),
+        ({"merge_old_target_query": "false"}, "merge_old_target_query", False),
+        ({"run_in_serial": "true"}, "run_in_serial", True),
+        ({"reasoning": "false"}, "reasoning", False),
+        ({"use_pipes": "true"}, "use_pipes", True),
+        (
+            {"collect_all_validation_results": "true"},
+            "collect_all_validation_results",
+            True,
+        ),
+        ({"test_identifier": "t1"}, "test_identifier", "t1"),
+        ({"memory_size": 5}, "memory_size", 5),
+        ({"query": "SELECT * WHERE {}"}, "query", "SELECT * WHERE {}"),
+        (
+            {"query_extension_per_target_shape": {"S": "?x"}},
+            "query_extension_per_target_shape",
+            {"S": "?x"},
+        ),
+        ({"start_shape_for_validation": "S"}, "start_shape_for_validation", "S"),
+    ]
+    for given, key, expected in pairs:
+        cfg = api._norm_config({"schema_dir": SCHEMAS, **given})
+        assert cfg[key] == expected, (given, key, cfg[key])
+
+
+def test_reference_option_semantics_map_to_job_config():
+    """The reference options with a recast semantic get wired into
+    JobConfig: useSelectiveQueries -> scan_pushdown, maxSplit ->
+    batch_size, heuristic -> stats_order, workInParallel/run_in_serial
+    -> num_partitions=1."""
+    base = {"schema_dir": SCHEMAS}
+    jc = api._job_config(api._norm_config({**base, "useSelectiveQueries": "false"}))
+    assert jc.scan_pushdown is False
+    jc = api._job_config(api._norm_config({**base, "maxSplit": 64}))
+    assert jc.batch_size == 64
+    jc = api._job_config(api._norm_config({**base, "heuristic": "random"}))
+    assert jc.stats_order is False
+    jc = api._job_config(api._norm_config(base))
+    assert jc.stats_order is True and jc.batch_size is None
+    jc = api._job_config(api._norm_config({**base, "workInParallel": "false"}))
+    assert jc.num_partitions == 1
+    jc = api._job_config(api._norm_config({**base, "run_in_serial": True}))
+    assert jc.num_partitions == 1
+
+
+def test_config_file_layering(tmp_path):
+    """≙ the reference 'config' option: a JSON options file is loaded and
+    the directly-passed options override it (config.py:98-107)."""
+    import json
+
+    p = tmp_path / "opts.json"
+    p.write_text(
+        json.dumps(
+            {
+                "schemaDir": SCHEMAS,
+                "targetShape": "FromFile",
+                "maxSplit": 32,
+            }
+        )
+    )
+    cfg = api._norm_config({"config": str(p), "targetShape": "Direct"})
+    assert cfg["schema_dir"] == SCHEMAS  # from file
+    assert cfg["max_split_size"] == 32  # from file
+    assert cfg["target_shape"] == "Direct"  # direct overrides file
+
+
+def test_run_job_alias_config_end_to_end(ray_session, small_pages_dir, tmp_path):
+    """A reference-style all-camelCase config dict must run end to end
+    and write stats into outputDirectory when no explicit stats file is
+    given."""
+    out = api.run_job(
+        {
+            "schemaDir": SCHEMAS_REDUCED,
+            "external_endpoint": small_pages_dir,
+            "targetShape": "UrlShape",
+            "useSelectiveQueries": "true",
+            "maxSplit": 256,
+            "writeStats": "true",
+            "outputDirectory": str(tmp_path / "out"),
+        }
+    )
+    assert set(out["result"]) == {
+        "validTargets",
+        "invalidTargets",
+        "advancedValid",
+        "advancedInvalid",
+    }
+    assert (tmp_path / "out" / "stats.csv").exists()

@@ -1,0 +1,47 @@
+"""Degeneracy guard for the driver-slot fixture profiles (CLAUDE.md
+invariant): CLEAN_LINES_KW / GOPHER_KW are tuned to the SYNTHETIC fixture
+so the driver checks stay NON-DEGENERATE — the rules must actually fire
+on some docs and pass others. A well-meaning 'fix back to the paper
+defaults' (terminal-punct rule on, min_stop_hits=2) silently turns the
+slots into empty or all-pass tables, and the driver hash would still be
+green; this test fails fast instead."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    from shaclapi_ray.io import read_table_split
+
+    return read_table_split(f"{SF}/documents.parquet")
+
+
+def test_clean_lines_profile_not_degenerate(ray_session):
+    from __ray_entry__ import CLEAN_LINES_KW
+    from shaclapi_ray.pipelines.textstats import clean_lines
+
+    out = clean_lines(_docs(), **CLEAN_LINES_KW).to_pandas()
+    kept = int(out["n_kept_lines"].sum())
+    dropped = int(out["n_dropped_lines"].sum())
+    assert kept > 0, (
+        "CLEAN_LINES_KW keeps zero lines on the fixture — the driver slot "
+        "is degenerate (did someone re-enable require_terminal_punct? the "
+        "fixture text has no sentence punctuation)"
+    )
+    assert dropped > 0, (
+        "CLEAN_LINES_KW drops zero lines on the fixture — the line rules "
+        "never fire, the slot is a pass-through"
+    )
+
+
+def test_gopher_profile_not_degenerate(ray_session):
+    from __ray_entry__ import GOPHER_KW
+    from shaclapi_ray.pipelines.textstats import gopher_rules
+
+    out = gopher_rules(_docs(), **GOPHER_KW).to_pandas()
+    n_pass = int(out["gopher_pass"].sum())
+    assert 0 < n_pass < len(out), (
+        f"GOPHER_KW verdict is degenerate on the fixture "
+        f"({n_pass}/{len(out)} pass) — did someone raise min_stop_hits "
+        "back to the paper default? the fixture vocabulary carries one "
+        "Gopher stop word"
+    )
