@@ -330,6 +330,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_doc_rows,
     )
 
+    from shaclapi_ray.pipelines.bpe import (
+        pack_token_sequences,
+        tokenize_corpus,
+        train_bpe,
+    )
+
+    _merges = train_bpe(docs, n_merges=100)
+
+    def _tok_pack():
+        toks = tokenize_corpus(docs, _merges).materialize()
+        return pack_token_sequences(toks, budget=512).count()
+
+    timed(
+        "tokenize_pack_ids",
+        _tok_pack,
+        rows=n_doc_rows,
+    )
+
     from shaclapi_ray.pipelines.dedup import dedup_incremental, persist_dedup_state
     from shaclapi_ray.pipelines.mixing import mix_corpora, shuffle_corpus, split_corpus
 

@@ -231,7 +231,7 @@ class CheckpointedValidation:
             h = HyperLogLog(p=14)
             h.add_array(batch["url"])
             t = TDigest()
-            t.add_array(pc.utf8_length(batch["text"]).to_pylist())
+            t.add_array(pc.utf8_length(batch["text"]))
             # host-frequency CMS: the checkpointed skew monitor — on
             # resume (or mid-run) it tells the referential planner which
             # hosts are heavy enough to need salting, without any exchange

@@ -14,7 +14,6 @@ Xgjoin.py:24-26); sketches are the scale path the north rule adds
 
 from __future__ import annotations
 
-import hashlib
 import math
 import pickle
 
@@ -22,15 +21,23 @@ import numpy as np
 import pyarrow as pa
 
 
-def _hash64_array(values: list[str | None]) -> np.ndarray:
-    """Deterministic 64-bit hashes (blake2b) of strings; None -> hash of b''."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        h = hashlib.blake2b(
-            v.encode() if isinstance(v, str) else b"", digest_size=8
-        ).digest()
-        out[i] = int.from_bytes(h, "little")
-    return out
+def _hash64_array(values) -> np.ndarray:
+    """Deterministic, process-stable 64-bit hashes of a string column —
+    vectorized (polars xxhash, the same kernel as stages/hashset): the
+    per-row blake2b loop this replaces was the one Python-per-row cost
+    inside every HLL/Bloom/CMS add on the fused checkpoint path. None
+    hashes like '' (the old None -> b'' rule preserved). Estimates are
+    hash-dependent, so the HLL/CMS goldens were regenerated with this
+    kernel in the same commit."""
+    import polars as pl
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        s = pl.from_arrow(values)
+    else:
+        s = pl.Series(list(values), dtype=pl.String)
+    return s.fill_null("").hash(seed=41).to_numpy().astype(np.uint64)
 
 
 def _column_values(col) -> list:
@@ -64,7 +71,7 @@ class BloomFilter:
     def from_bytes(cls, raw: bytes, m: int, k: int) -> "BloomFilter":
         return cls(m=m, k=k, bits=np.frombuffer(raw, dtype=np.uint8).copy())
 
-    def _positions(self, values: list) -> np.ndarray:
+    def _positions(self, values) -> np.ndarray:
         h = _hash64_array(values)
         h1 = h & np.uint64(0xFFFFFFFF)
         h2 = h >> np.uint64(32)
@@ -73,17 +80,15 @@ class BloomFilter:
         return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
 
     def add_array(self, col) -> None:
-        values = _column_values(col)
-        if not values:
+        if len(col) == 0:
             return
-        pos = self._positions(values).ravel()
+        pos = self._positions(col).ravel()
         np.bitwise_or.at(self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
 
     def contains_array(self, col) -> np.ndarray:
-        values = _column_values(col)
-        if not values:
+        if len(col) == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(values)
+        pos = self._positions(col)
         bitvals = (self.bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
         return bitvals.all(axis=1)
 
@@ -118,10 +123,9 @@ class HyperLogLog:
         )
 
     def add_array(self, col) -> None:
-        values = _column_values(col)
-        if not values:
+        if len(col) == 0:
             return
-        h = _hash64_array(values)
+        h = _hash64_array(col)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)
         # rank = leading zeros of remaining 64-p bits, +1
@@ -183,9 +187,22 @@ class TDigest:
         self.weights = np.zeros(0, dtype=np.float64)
 
     def add_array(self, values) -> None:
-        arr = np.asarray(
-            [v for v in _column_values(values) if v is not None], dtype=np.float64
-        )
+        # numeric Arrow/numpy input stays vectorized (the fused
+        # checkpoint pass feeds utf8_length columns here per batch);
+        # generic iterables fall back to the row filter
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array):
+            arr = values.drop_null().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+        elif isinstance(values, np.ndarray):
+            arr = values.astype(np.float64)
+        else:
+            arr = np.asarray(
+                [v for v in _column_values(values) if v is not None],
+                dtype=np.float64,
+            )
         if arr.size == 0:
             return
         self.means = np.concatenate([self.means, arr])
