@@ -318,13 +318,19 @@ SPLIT_SEED = 2
 BLOCKED_HOSTS = ["host3.example.org", "spam.example.net"]
 
 
+DSIR_K = 150
+
+
 def _q_sample_corpus(sf_dir: str):
-    """Uniform + stratified samplers + weighted corpus MIX as a
-    kind-tagged union (the stratified sampler rebalances languages; the
-    mix runs Pile-style source weighting — a full 'en' pass plus
-    fractional passes; all three full code paths run)."""
+    """Uniform + stratified samplers + weighted corpus MIX + DSIR
+    Gumbel-top-k importance resample as a kind-tagged union (the
+    stratified sampler rebalances languages; the mix runs Pile-style
+    source weighting — a full 'en' pass plus fractional passes; the
+    DSIR part selects the DSIR_K docs most like the lang='en' target
+    distribution; all four full code paths run)."""
     import pandas as pd
 
+    from shaclapi_ray.pipelines.dsir import dsir_resample
     from shaclapi_ray.pipelines.mixing import MIX_COL, mix_corpora
     from shaclapi_ray.pipelines.textstats import sample_corpus, sample_stratified
 
@@ -344,7 +350,11 @@ def _q_sample_corpus(sf_dir: str):
 
     sp = split_corpus(_docs(sf_dir), SPLIT_FRACTIONS, seed=SPLIT_SEED).to_pandas()
     sp.insert(0, "kind", "split:" + sp.pop("split"))
-    return _sorted(pd.concat([u, s, m, sp], ignore_index=True), ["kind", "doc_id"])
+    d = dsir_resample(_docs(sf_dir), k=DSIR_K)
+    d.insert(0, "kind", "dsir")
+    return _sorted(
+        pd.concat([u, s, m, sp, d], ignore_index=True), ["kind", "doc_id"]
+    )
 
 
 def _q_pii_scan(sf_dir: str):
@@ -971,19 +981,24 @@ def _q_doc_signals(sf_dir: str):
     """token_count + lang_id + fingerprint + Naive-Bayes classifier
     (self-trained on the lang column — the learned counterpart of the
     stopword heuristic) + corpus-trained BPE piece counts (golden part)
+    + DSIR hashed-n-gram importance log-weights (full SQL oracle)
     joined on doc_id (each is a row-wise map over documents; doc_id is
     unique)."""
     from shaclapi_ray.pipelines.classify import nb_classify, train_nb
+    from shaclapi_ray.pipelines.dsir import dsir_scores
     from shaclapi_ray.pipelines.textstats import fingerprint, lang_id, token_count
 
     docs = _docs(sf_dir)
     nb = nb_classify(_docs(sf_dir), train_nb(_docs(sf_dir))).to_pandas()
     nb = nb.rename(columns={"pred": "nb_pred", "score": "nb_score"})
+    ds = dsir_scores(_docs(sf_dir)).to_pandas()
+    ds = ds.rename(columns={"n_grams": "dsir_grams"})
     frames = [
         token_count(docs).to_pandas(),
         lang_id(_docs(sf_dir)).to_pandas(),
         fingerprint(_docs(sf_dir)).to_pandas(),
         nb,
+        ds,
         _bpe_part(sf_dir),
     ]
     return _sorted(_merge_docs(frames), ["doc_id"])
@@ -1375,6 +1390,21 @@ def _golden_sql(sf_dir: str, name: str, order_cols: list[str]) -> str:
     )
 
 
+def _dsir_part_sql() -> str:
+    from shaclapi_ray.pipelines.dsir import dsir_scores_sql
+
+    return (
+        "SELECT doc_id, n_grams AS dsir_grams, dsir_logratio FROM "
+        f"({dsir_scores_sql()})"
+    )
+
+
+def _dsir_resample_part_sql() -> str:
+    from shaclapi_ray.pipelines.dsir import dsir_resample_sql
+
+    return dsir_resample_sql(DSIR_K)
+
+
 def _tagged_union_sql(parts: list[tuple[str, str]], tag_col: str, order: str) -> str:
     body = "\nUNION ALL\n".join(
         f"SELECT '{tag}' AS {tag_col}, * FROM ({sql})" for tag, sql in parts
@@ -1495,6 +1525,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 o.lang_id_sql(),
                 o.fingerprint_sql(),
                 o.nb_classify_sql(),
+                _dsir_part_sql(),
             ],
             on="doc_id",
             order="doc_id",
@@ -1527,7 +1558,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 for name, sql in o.split_corpus_parts(
                     SPLIT_FRACTIONS, seed=SPLIT_SEED
                 )
-            ],
+            ]
+            + [("dsir", _dsir_resample_part_sql())],
             tag_col="kind",
             order="kind, doc_id",
         ),
@@ -1593,13 +1625,14 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     if os.path.exists(golden_path(sf_dir, "media_features_feat")):
         out["media_features"] = media_features_sql
     if os.path.exists(golden_path(sf_dir, "doc_signals_bpe")):
-        # mixed slot: 4 SQL parts + the golden-backed BPE piece counts
+        # mixed slot: 5 SQL parts + the golden-backed BPE piece counts
         out["doc_signals"] = _join_sql(
             [
                 o.token_count_sql(),
                 o.lang_id_sql(),
                 o.fingerprint_sql(),
                 o.nb_classify_sql(),
+                _dsir_part_sql(),
                 "SELECT doc_id, bpe_tokens, bpe_ids_fp FROM "
                 f"read_parquet('{golden_path(sf_dir, 'doc_signals_bpe')}')",
             ],

@@ -348,6 +348,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_doc_rows,
     )
 
+    from shaclapi_ray.pipelines.dsir import dsir_resample
+
+    timed(
+        "dsir_resample",
+        lambda: len(dsir_resample(docs, k=max(1, n_doc_rows // 10))),
+        rows=n_doc_rows,
+    )
+
     from shaclapi_ray.pipelines.dedup import dedup_incremental, persist_dedup_state
     from shaclapi_ray.pipelines.mixing import mix_corpora, shuffle_corpus, split_corpus
 

@@ -1,0 +1,356 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) over hashed n-gram features.
+
+Selects training documents that look like a TARGET distribution: both
+the target subset and the raw corpus are reduced to counts over
+``n_buckets`` hashed unigram+bigram features, each document gets the
+importance log-weight
+
+    log w(doc) = sum over grams g of  [ ln p_target(bucket(g))
+                                        - ln p_raw(bucket(g)) ]
+
+with Laplace-smoothed bucket probabilities, and resampling is
+Gumbel-top-k over ``log w`` — the without-replacement sampler the paper
+uses, made deterministic here by deriving the Gumbel noise from an
+md5 hash of the doc id (same trick as ``textstats.sample_corpus``'s
+Knuth hash: reproducible across runs, cluster sizes and block layouts).
+
+Scale design (the reason DSIR fits a 100-TB corpus when a full LM
+filter doesn't):
+- Pass 1 is ONE streaming count pass: each task pre-aggregates its
+  batch's grams to at most ``n_buckets`` (bucket, c_target, c_raw)
+  partial rows (pre-aggregate-then-combine discipline,
+  `stages.aggregates.combine_partials_multi`), so the exchange is
+  bucket-bounded — independent of corpus size. No vocabulary is ever
+  materialized; the hash IS the feature map.
+- The learned state is a dense float64 log-ratio vector of
+  ``n_buckets`` entries (32 KiB at the default 4096) broadcast once
+  via ``ray.put`` — zero per-task setup, no ceiling to guard.
+- Pass 2 streams: explode grams, one vectorized ``lr[bucket]`` gather,
+  per-doc polars sum. Gram hashing uses `stages.md5kernel.md5_low64`
+  (DuckDB's C++ md5 over the Arrow column), bit-identical to the SQL
+  oracle's ``md5_number_lower``.
+- Resampling is per-block top-k then one tiny final sort over the
+  <= k * n_blocks survivors — never a full corpus sort.
+
+Reference analog: none (`/root/reference` has no data-selection
+surface); this extends the engine's training-data operator family
+(SURVEY.md "beyond the reference" axis) next to `mixing.mix_corpora`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+DSIR_BUCKETS_DEFAULT = 4096
+_GUMBEL_MOD = 1 << 53  # exactly representable in float64
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _gram_frame(batch: pa.Table, extra_cols: tuple = ()):
+    """Polars (doc_id, [*extra_cols,] g) frame of the batch's unigram +
+    bigram features; document token order preserved (bigrams are built
+    with a within-doc shift, so a doc's tokens must not straddle
+    batches — they can't: one row is one document)."""
+    import polars as pl
+
+    df = (
+        pl.from_arrow(batch.select(["doc_id", *extra_cols, "text"]))
+        .with_columns(
+            pl.col("text").fill_null("").str.extract_all(r"\S+").alias("toks")
+        )
+        .select("doc_id", *extra_cols, "toks")
+    )
+    ex = df.explode("toks").drop_nulls("toks")
+    uni = ex.select("doc_id", *extra_cols, pl.col("toks").alias("g"))
+    big = (
+        ex.with_columns(pl.col("toks").shift(-1).over("doc_id").alias("nxt"))
+        .drop_nulls("nxt")
+        .select(
+            "doc_id", *extra_cols, (pl.col("toks") + " " + pl.col("nxt")).alias("g")
+        )
+    )
+    return pl.concat([uni, big])
+
+
+def _bucket_ids(grams, n_buckets: int) -> np.ndarray:
+    """int64 bucket per gram string — md5_number_lower(g) % n_buckets,
+    bit-identical to the DuckDB oracle expression."""
+    from shaclapi_ray.stages.md5kernel import md5_low64
+
+    if len(grams) == 0:
+        return np.empty(0, dtype=np.int64)
+    return (md5_low64(grams.to_arrow()) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def dsir_logratio_vector(
+    docs_ds,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+) -> np.ndarray:
+    """Pass 1: the dense (n_buckets,) importance log-ratio vector
+    ln p_target[b] - ln p_raw[b], Laplace(+1)-smoothed. The target
+    subset is ``coalesce(target_col, '') == target_value``."""
+    import polars as pl
+
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams = _gram_frame(batch, extra_cols=("__is_t",))
+        if grams.height == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], type=pa.int64()),
+                    "c_t": pa.array([], type=pa.int64()),
+                    "c_r": pa.array([], type=pa.int64()),
+                }
+            )
+        b = _bucket_ids(grams["g"], n_buckets)
+        out = (
+            grams.select("__is_t")
+            .with_columns(pl.Series("b", b))
+            .group_by("b")
+            .agg(
+                pl.col("__is_t").sum().cast(pl.Int64).alias("c_t"),
+                pl.len().cast(pl.Int64).alias("c_r"),
+            )
+            .select("b", "c_t", "c_r")
+        )
+        return out.to_arrow()
+
+    def add_flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flag = pc.equal(
+            pc.coalesce(batch[target_col].cast(pa.string()), ""), target_value
+        )
+        return batch.select(["doc_id", "text"]).append_column(
+            "__is_t", flag.combine_chunks() if isinstance(flag, pa.ChunkedArray) else flag
+        )
+
+    partials = docs_ds.map_batches(
+        add_flag, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = combine_partials_multi(partials, ["b"], ["c_t", "c_r"], "auto")
+
+    ct = np.zeros(n_buckets, dtype=np.float64)
+    cr = np.zeros(n_buckets, dtype=np.float64)
+    for t in counts.iter_batches(batch_format="pyarrow"):
+        bb = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ct[bb] += t["c_t"].to_numpy(zero_copy_only=False)
+        cr[bb] += t["c_r"].to_numpy(zero_copy_only=False)
+    tt, tr = float(ct.sum()), float(cr.sum())
+    return np.log((ct + 1.0) / (tt + n_buckets)) - np.log(
+        (cr + 1.0) / (tr + n_buckets)
+    )
+
+
+def dsir_scores(
+    docs_ds,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    keep_cols: tuple = (),
+    logratio: np.ndarray | None = None,
+):
+    """(doc_id, [*keep_cols,] n_grams, dsir_logratio) per document —
+    the summed hashed-n-gram importance log-weight; 0.0 for empty
+    documents. ``logratio`` short-circuits pass 1 (resample reuses it)."""
+    import polars as pl
+
+    lr = (
+        logratio
+        if logratio is not None
+        else dsir_logratio_vector(docs_ds, target_col, target_value, n_buckets)
+    )
+    lr_ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vec = ray.get(lr_ref)
+        grams = _gram_frame(batch)
+        if grams.height:
+            b = _bucket_ids(grams["g"], n_buckets)
+            per_doc = (
+                grams.select("doc_id")
+                .with_columns(pl.Series("v", vec[b]))
+                .group_by("doc_id")
+                .agg(
+                    pl.len().cast(pl.Int64).alias("n_grams"),
+                    pl.col("v").sum().alias("dsir_logratio"),
+                )
+            )
+        else:
+            per_doc = pl.DataFrame(
+                {
+                    "doc_id": pl.Series([], dtype=pl.Int64),
+                    "n_grams": pl.Series([], dtype=pl.Int64),
+                    "dsir_logratio": pl.Series([], dtype=pl.Float64),
+                }
+            )
+        out = (
+            pl.from_arrow(batch.select(["doc_id", *keep_cols]))
+            .join(per_doc, on="doc_id", how="left")
+            .with_columns(
+                pl.col("n_grams").fill_null(0),
+                pl.col("dsir_logratio").fill_null(0.0),
+            )
+            .select("doc_id", *keep_cols, "n_grams", "dsir_logratio")
+        )
+        return out.to_arrow()
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gumbel_keys(doc_ids: pa.Array, logratio: np.ndarray, seed: int) -> np.ndarray:
+    """dsir_logratio + Gumbel(md5(doc_id ':' seed)) — the deterministic
+    Gumbel-top-k key; identical to the SQL oracle expression."""
+    import pyarrow.compute as pc
+
+    from shaclapi_ray.stages.md5kernel import md5_low64
+
+    salted = pc.binary_join_element_wise(
+        pc.cast(doc_ids, pa.string()), f":{seed}", ""
+    )
+    u = (
+        (md5_low64(salted) % np.uint64(_GUMBEL_MOD)).astype(np.float64) + 0.5
+    ) / float(_GUMBEL_MOD)
+    return logratio + -np.log(-np.log(u))
+
+
+def dsir_resample(
+    docs_ds,
+    k: int,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    seed: int = 0,
+):
+    """Gumbel-top-k importance resample: the k documents with the
+    largest ``dsir_logratio + Gumbel(hash(doc_id))`` keys (ties broken
+    by doc_id), returned with the full document columns. Per-block
+    top-k prune first, then one small sort over <= k * n_blocks
+    survivors — the corpus itself is never globally sorted."""
+    scored = dsir_scores(
+        docs_ds,
+        target_col,
+        target_value,
+        n_buckets,
+        keep_cols=tuple(c for c in DOC_COLS if c != "doc_id"),
+    )
+
+    def keyed_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__key", pa.array([], type=pa.float64()))
+        key = _gumbel_keys(
+            batch["doc_id"].combine_chunks()
+            if isinstance(batch["doc_id"], pa.ChunkedArray)
+            else batch["doc_id"],
+            batch["dsir_logratio"].to_numpy(zero_copy_only=False),
+            seed,
+        )
+        t = batch.append_column("__key", pa.array(key, type=pa.float64()))
+        if t.num_rows <= k:
+            return t
+        order = np.lexsort(
+            (t["doc_id"].to_numpy(zero_copy_only=False), -key)
+        )[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    pruned = scored.map_batches(
+        keyed_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    top = (
+        pruned.to_pandas()
+        .sort_values(["__key", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+    )
+    return top[DOC_COLS].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def _grams_cte(target_col: str, target_value: str, src: str) -> str:
+    return f"""
+base AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks,
+         (coalesce({target_col}, '') = '{target_value}') AS is_t
+  FROM {src}
+),
+grams AS (
+  SELECT doc_id, unnest(toks) AS g, is_t FROM base
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g,
+         is_t
+  FROM base
+)"""
+
+
+def dsir_scores_sql(
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    src: str = "documents",
+) -> str:
+    """Mirror of dsir_scores: identical md5 bucketing, Laplace
+    smoothing and per-doc log-ratio sum in DuckDB."""
+    b = n_buckets
+    return f"""
+WITH {_grams_cte(target_col, target_value, src)},
+gb AS (
+  SELECT doc_id, (md5_number_lower(g) % {b})::BIGINT AS b, is_t FROM grams
+),
+cnt AS (
+  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS c_t,
+         count(*)::DOUBLE AS c_r
+  FROM gb GROUP BY b
+),
+tot AS (SELECT sum(c_t) AS tt, sum(c_r) AS tr FROM cnt),
+lr AS (
+  SELECT b, ln((c_t + 1.0) / (tt + {b})) - ln((c_r + 1.0) / (tr + {b})) AS v
+  FROM cnt, tot
+),
+doc AS (
+  SELECT gb.doc_id, count(*)::BIGINT AS n_grams, sum(lr.v) AS dsir_logratio
+  FROM gb JOIN lr USING (b) GROUP BY gb.doc_id
+)
+SELECT d.doc_id, coalesce(doc.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(doc.dsir_logratio, 0.0) AS dsir_logratio
+FROM {src} d LEFT JOIN doc USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def dsir_resample_sql(
+    k: int,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    seed: int = 0,
+    src: str = "documents",
+) -> str:
+    """Mirror of dsir_resample: same Gumbel key from md5(doc_id ':'
+    seed), top-k by (key DESC, doc_id)."""
+    u = (
+        f"((md5_number_lower(d.doc_id::VARCHAR || ':{seed}') % {_GUMBEL_MOD})::DOUBLE"
+        f" + 0.5) / {float(_GUMBEL_MOD)}"
+    )
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+         sc.dsir_logratio + -ln(-ln({u})) AS key
+  FROM {src} d
+  JOIN ({dsir_scores_sql(target_col, target_value, n_buckets, src)}) sc
+    USING (doc_id)
+  ORDER BY key DESC, d.doc_id
+  LIMIT {k}
+)
+"""

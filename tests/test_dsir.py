@@ -1,0 +1,162 @@
+"""DSIR importance resampling (pipelines/dsir.py): hand-checked scores,
+selection behavior, determinism and layout independence. SQL parity for
+the driver slots (doc_signals join part, sample_corpus kind='dsir') is
+covered by test_oracle_parity."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _doc(doc_id, text, lang="en"):
+    return {
+        "doc_id": doc_id,
+        "text": text,
+        "lang": lang,
+        "source": "s",
+        "n_chars": len(text or ""),
+    }
+
+
+def test_scores_match_hand_computation(ray_session):
+    """Tiny corpus: recompute the Laplace-smoothed bucket log-ratios
+    directly from md5 buckets and compare."""
+    from shaclapi_ray.pipelines.dsir import dsir_scores
+    from shaclapi_ray.stages.md5kernel import md5_low64
+
+    rows = [
+        _doc(1, "aa bb", "en"),
+        _doc(2, "cc dd cc", "de"),
+        _doc(3, "aa cc", "en"),
+    ]
+    B = 64
+    out = (
+        dsir_scores(_ds(rows), n_buckets=B)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def grams(text):
+        toks = text.split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        # NB: np.uint64 % python-int silently promotes to float64 and
+        # loses low bits — modulo must stay in uint64
+        return int(md5_low64(pa.array([g]))[0] % np.uint64(B))
+
+    ct = np.zeros(B)
+    cr = np.zeros(B)
+    for r in rows:
+        for g in grams(r["text"]):
+            b = bucket(g)
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    lr = np.log((ct + 1) / (ct.sum() + B)) - np.log((cr + 1) / (cr.sum() + B))
+    for i, r in enumerate(rows):
+        gs = grams(r["text"])
+        want = sum(lr[bucket(g)] for g in gs)
+        assert out.loc[i, "n_grams"] == len(gs)
+        assert math.isclose(
+            out.loc[i, "dsir_logratio"], want, rel_tol=1e-9, abs_tol=1e-12
+        )
+
+
+def test_target_like_docs_score_higher(ray_session):
+    """Docs built from target-only vocabulary outscore docs from
+    non-target vocabulary."""
+    from shaclapi_ray.pipelines.dsir import dsir_scores
+
+    rows = [_doc(i, "alpha beta gamma", "en") for i in range(10)]
+    rows += [_doc(100 + i, "zeta omega psi", "de") for i in range(10)]
+    rows.append(_doc(500, "alpha beta gamma", "xx"))  # target-like text
+    rows.append(_doc(501, "zeta omega psi", "xx"))  # non-target-like
+    out = dsir_scores(_ds(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[500, "dsir_logratio"] > out.loc[501, "dsir_logratio"]
+
+
+def test_empty_doc_scores_zero(ray_session):
+    from shaclapi_ray.pipelines.dsir import dsir_scores
+
+    rows = [_doc(1, "aa bb"), _doc(2, ""), _doc(3, None)]
+    out = dsir_scores(_ds(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[2, "n_grams"] == 0 and out.loc[2, "dsir_logratio"] == 0.0
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dsir_logratio"] == 0.0
+
+
+def test_layout_independence(ray_session):
+    """Scores and the resampled set are identical across block layouts
+    (hash-derived Gumbel noise, not RNG state)."""
+    from shaclapi_ray.pipelines.dsir import dsir_resample, dsir_scores
+
+    rows = [
+        _doc(i, f"tok{i % 7} tok{i % 3} tok{i % 5}", "en" if i % 2 else "de")
+        for i in range(60)
+    ]
+    a = dsir_scores(_ds(rows)).to_pandas().sort_values("doc_id")
+    b = (
+        dsir_scores(_ds(rows).repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+    ra = dsir_resample(_ds(rows), k=10)
+    rb = dsir_resample(_ds(rows).repartition(7), k=10)
+    assert list(ra.doc_id) == list(rb.doc_id)
+
+
+def test_resample_k_and_seed(ray_session):
+    from shaclapi_ray.pipelines.dsir import dsir_resample
+
+    rows = [
+        _doc(i, f"w{i % 11} w{i % 4}", "en" if i % 3 else "de") for i in range(50)
+    ]
+    a = dsir_resample(_ds(rows), k=12, seed=0)
+    assert len(a) == 12
+    assert list(a.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    b = dsir_resample(_ds(rows), k=12, seed=1)
+    assert set(a.doc_id) != set(b.doc_id)  # seed moves the Gumbel noise
+    c = dsir_resample(_ds(rows), k=12, seed=0)
+    assert list(a.doc_id) == list(c.doc_id)
+
+
+def test_resample_prefers_target_like(ray_session):
+    """With well-separated vocabularies, the resample overwhelmingly
+    picks target-like documents."""
+    from shaclapi_ray.pipelines.dsir import dsir_resample
+
+    rows = [
+        _doc(i, "alpha beta gamma delta", "en") for i in range(30)
+    ] + [_doc(100 + i, "zeta omega psi chi", "de") for i in range(30)]
+    out = dsir_resample(_ds(rows), k=20)
+    frac_target_like = (out.doc_id < 100).mean()
+    assert frac_target_like >= 0.9
+
+
+def test_driver_slot_nondegenerate(ray_session):
+    """The sample_corpus dsir part must select a strict subset (neither
+    empty nor the whole fixture) and the doc_signals scores must vary —
+    guards the fixture profile the driver checks."""
+    import __ray_entry__ as e
+    from shaclapi_ray.pipelines.dsir import dsir_resample, dsir_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = e._docs(sf)
+    n = docs.count()
+    sel = dsir_resample(docs, k=e.DSIR_K)
+    assert 0 < len(sel) < n
+    sc = dsir_scores(e._docs(sf)).to_pandas()
+    assert sc.dsir_logratio.nunique() > 10
