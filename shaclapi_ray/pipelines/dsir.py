@@ -87,18 +87,62 @@ def _bucket_ids(grams, n_buckets: int) -> np.ndarray:
     return (md5_low64(grams.to_arrow()) % np.uint64(n_buckets)).astype(np.int64)
 
 
+def _bucket_counts(ds, n_buckets: int) -> np.ndarray:
+    """Dense (n_buckets,) gram counts of a corpus — one streaming
+    bucket-bounded count pass (<= n_buckets partial rows per task)."""
+    import polars as pl
+
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams = _gram_frame(batch)
+        if grams.height == 0:
+            return pa.table(
+                {"b": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+            )
+        b = _bucket_ids(grams["g"], n_buckets)
+        out = (
+            pl.DataFrame({"b": b})
+            .group_by("b")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        return out.to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = combine_partials_multi(partials, ["b"], ["c"], "auto")
+    out = np.zeros(n_buckets, dtype=np.float64)
+    for t in counts.iter_batches(batch_format="pyarrow"):
+        bb = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out[bb] += t["c"].to_numpy(zero_copy_only=False)
+    return out
+
+
 def dsir_logratio_vector(
     docs_ds,
     target_col: str = "lang",
     target_value: str = "en",
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    target_ds=None,
 ) -> np.ndarray:
     """Pass 1: the dense (n_buckets,) importance log-ratio vector
-    ln p_target[b] - ln p_raw[b], Laplace(+1)-smoothed. The target
-    subset is ``coalesce(target_col, '') == target_value``."""
+    ln p_target[b] - ln p_raw[b], Laplace(+1)-smoothed. The target is
+    either the subset ``coalesce(target_col, '') == target_value`` of
+    the corpus itself, or — the paper's actual setup — a SEPARATE
+    ``target_ds`` corpus (any dataset with doc_id + text columns, e.g.
+    a curated high-quality set); with ``target_ds`` the raw counts
+    come from ``docs_ds`` alone and the target counts from one extra
+    bucket-bounded pass over ``target_ds``."""
     import polars as pl
 
     from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    if target_ds is not None:
+        ct = _bucket_counts(target_ds, n_buckets)
+        cr = _bucket_counts(docs_ds, n_buckets)
+        tt, tr = float(ct.sum()), float(cr.sum())
+        return np.log((ct + 1.0) / (tt + n_buckets)) - np.log(
+            (cr + 1.0) / (tr + n_buckets)
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         grams = _gram_frame(batch, extra_cols=("__is_t",))
@@ -157,16 +201,21 @@ def dsir_scores(
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
     keep_cols: tuple = (),
     logratio: np.ndarray | None = None,
+    target_ds=None,
 ):
     """(doc_id, [*keep_cols,] n_grams, dsir_logratio) per document —
     the summed hashed-n-gram importance log-weight; 0.0 for empty
-    documents. ``logratio`` short-circuits pass 1 (resample reuses it)."""
+    documents. ``logratio`` short-circuits pass 1 (resample reuses
+    it); ``target_ds`` uses a separate corpus as the target
+    distribution (see dsir_logratio_vector)."""
     import polars as pl
 
     lr = (
         logratio
         if logratio is not None
-        else dsir_logratio_vector(docs_ds, target_col, target_value, n_buckets)
+        else dsir_logratio_vector(
+            docs_ds, target_col, target_value, n_buckets, target_ds=target_ds
+        )
     )
     lr_ref = ray.put(lr)
 
@@ -229,6 +278,7 @@ def dsir_resample(
     target_value: str = "en",
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
     seed: int = 0,
+    target_ds=None,
 ):
     """Gumbel-top-k importance resample: the k documents with the
     largest ``dsir_logratio + Gumbel(hash(doc_id))`` keys (ties broken
@@ -241,6 +291,7 @@ def dsir_resample(
         target_value,
         n_buckets,
         keep_cols=tuple(c for c in DOC_COLS if c != "doc_id"),
+        target_ds=target_ds,
     )
 
     def keyed_topk(batch: pa.Table) -> pa.Table:

@@ -160,3 +160,29 @@ def test_driver_slot_nondegenerate(ray_session):
     assert 0 < len(sel) < n
     sc = dsir_scores(e._docs(sf)).to_pandas()
     assert sc.dsir_logratio.nunique() > 10
+
+
+def test_separate_target_corpus(ray_session):
+    """target_ds= mode (the paper's setup): using the en-subset AS the
+    target corpus must reproduce the column-filter scores exactly."""
+    from shaclapi_ray.pipelines.dsir import dsir_scores
+
+    rows = [
+        _doc(i, f"w{i % 9} w{i % 4} w{i % 6}", "en" if i % 2 else "de")
+        for i in range(40)
+    ]
+    full = _ds(rows)
+    target = _ds([r for r in rows if r["lang"] == "en"])
+    a = (
+        dsir_scores(full, target_col="lang", target_value="en")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dsir_scores(full, target_ds=target)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
