@@ -443,12 +443,26 @@ def _q_inverted_index(sf_dir: str):
 def _q_unigram_logprob(sf_dir: str):
     """unigram_logprob + CCNet head/middle/tail bucketing (ccnet_buckets
     runs the full unigram scorer inside, then per-lang exact quantile
-    cuts — one slot exercises both, all columns SQL-mirrored)."""
-    from shaclapi_ray.pipelines.textstats import ccnet_buckets
+    cuts) + the interpolated-bigram LM score (one step up the CCNet
+    n-gram family) — one slot exercises all three, all columns
+    SQL-mirrored."""
+    from shaclapi_ray.pipelines.textstats import bigram_logprob, ccnet_buckets
 
     out = ccnet_buckets(_docs(sf_dir)).to_pandas()
+    bg = bigram_logprob(_docs(sf_dir)).to_pandas()[["doc_id", "bigram_logprob"]]
+    out = out.merge(bg, on="doc_id", how="left")
     return _sorted(
-        out[["doc_id", "lang", "n_tokens", "logprob", "score_q", "bucket"]],
+        out[
+            [
+                "doc_id",
+                "lang",
+                "n_tokens",
+                "logprob",
+                "bigram_logprob",
+                "score_q",
+                "bucket",
+            ]
+        ],
         ["doc_id"],
     )
 
@@ -1582,7 +1596,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "top_docs_per_lang": o.top_docs_per_group_sql(3),
         "decontaminate": o.decontaminate_sql(),
         "inverted_index": o.inverted_index_sql(MIN_DF),
-        "unigram_logprob": o.ccnet_buckets_sql(),
+        "unigram_logprob": _join_sql(
+            [
+                o.ccnet_buckets_sql(),
+                "SELECT doc_id, bigram_logprob FROM "
+                f"({o.bigram_logprob_sql()})",
+            ],
+            on="doc_id",
+            order="doc_id",
+        ),
         "tfidf_top_terms": o.tfidf_top_terms_sql(TFIDF_K, MIN_DF),
         "rebalance_corpus": o.rebalance_corpus_sql(),
         "chunk_text": o.chunk_text_sql(200, 50),

@@ -356,6 +356,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_doc_rows,
     )
 
+    from shaclapi_ray.pipelines.textstats import bigram_logprob
+
+    timed(
+        "bigram_logprob",
+        lambda: bigram_logprob(docs).count(),
+        rows=n_doc_rows,
+    )
+
     from shaclapi_ray.pipelines.dedup import dedup_incremental, persist_dedup_state
     from shaclapi_ray.pipelines.mixing import mix_corpora, shuffle_corpus, split_corpus
 

@@ -488,6 +488,55 @@ FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id
 """
 
 
+def bigram_logprob_sql(lam: float | None = None, src: str = "documents") -> str:
+    """Mirror of pipelines.textstats.bigram_logprob: interpolated-bigram
+    mean log-probability — position 1 scores ln(c1/T), later positions
+    ln(lam*c2/c1_prev + (1-lam)*c1/T), averaged over all positions."""
+    if lam is None:
+        from shaclapi_ray.pipelines.textstats import BIGRAM_LAMBDA
+
+        lam = BIGRAM_LAMBDA
+    l, m = repr(float(lam)), repr(1.0 - float(lam))
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks FROM {src}
+),
+uni AS (SELECT doc_id, unnest(toks) AS w FROM base),
+c1 AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM c1),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> {{'u': toks[i], 'w': toks[i+1]}})) AS pr
+  FROM base
+),
+c2 AS (
+  SELECT pr.u AS u, pr.w AS w, count(*)::DOUBLE AS c FROM big GROUP BY pr.u, pr.w
+),
+t1 AS (
+  SELECT f.doc_id, ln(c1.c / tot.t) AS v
+  FROM (SELECT doc_id, toks[1] AS w FROM base WHERE len(toks) >= 1) f
+  JOIN c1 USING (w), tot
+),
+t2 AS (
+  SELECT big.doc_id,
+         ln({l} * c2.c / cu.c + {m} * cw.c / tot.t) AS v
+  FROM big
+  JOIN c2 ON big.pr.u = c2.u AND big.pr.w = c2.w
+  JOIN c1 cu ON big.pr.u = cu.w
+  JOIN c1 cw ON big.pr.w = cw.w, tot
+),
+sc AS (
+  SELECT doc_id, avg(v) AS bigram_logprob
+  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(regexp_extract_all(coalesce(d.text, ''), '\\S+'))::BIGINT AS n_tokens,
+       coalesce(sc.bigram_logprob, 0.0) AS bigram_logprob
+FROM {src} d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def gopher_rules_sql(
     min_words: int = 50,
     max_words: int = 100_000,

@@ -1319,6 +1319,162 @@ def unigram_logprob(docs_ds, keep_cols: tuple = ()):
     return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+BIGRAM_LAMBDA = 0.7
+
+
+def bigram_logprob(docs_ds, lam: float = BIGRAM_LAMBDA, keep_cols: tuple = ()):
+    """(doc_id, [*keep_cols,] n_tokens, bigram_logprob): mean natural-log
+    INTERPOLATED-BIGRAM probability of each document — the next step up
+    from ``unigram_logprob`` toward CCNet's n-gram LM quality filter
+    (Wenzek et al. 2020 use a 5-gram KenLM; a Jelinek-Mercer-interpolated
+    bigram over the corpus's own statistics keeps the operator exact and
+    self-contained). Position 1 scores ln(c1(w1)/T); positions i >= 2
+    score ln(lam * c2(w_{i-1}, w_i)/c1(w_{i-1}) + (1-lam) * c1(w_i)/T);
+    the document score is the mean over all n positions; 0.0 for empty
+    documents. Low scores mark token sequences the corpus itself finds
+    improbable (shuffled/garbage text that unigram statistics can't see).
+
+    Scale design mirrors unigram_logprob: TWO pre-aggregated count
+    combines (unigram ∝ vocab, bigram ∝ distinct adjacent pairs — each
+    batch emits at most its distinct-gram partial rows), both tables
+    broadcast once via ray.put as sorted-hash numpy maps
+    (stages/hashset — zero per-task build) under VOCAB_BROADCAST_LIMIT
+    with a loud ceiling error; the sharded fallback shape is exactly
+    ``unigram_logprob_sharded``'s token-hash-partitioned join, applied
+    per gram table. Scoring streams: one exploded-token frame per
+    batch, the previous token via a within-doc shift (a doc never
+    straddles batches — one row is one document), three vectorized
+    hash-map lookups, one per-doc polars mean."""
+    import numpy as np
+    import polars as pl
+
+    import ray as _ray
+
+    from shaclapi_ray.stages.aggregates import combine_partials
+    from shaclapi_ray.stages.hashset import build_hash_map, lookup
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        counts = (
+            _explode_tokens(batch, [])
+            .group_by("t")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return counts.rename({"t": "token"}).to_arrow()
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, ["doc_id"])
+        pairs = (
+            ex.with_columns(pl.col("t").shift(1).over("doc_id").alias("prev"))
+            .drop_nulls("prev")
+            .select((pl.col("prev") + " " + pl.col("t")).alias("pair"))
+            .group_by("pair")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return pairs.to_arrow()
+
+    c1 = combine_partials(
+        docs_ds.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "token",
+        "cnt",
+        "tf",
+        "auto",
+    )
+    c2 = combine_partials(
+        docs_ds.map_batches(big_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "pair",
+        "cnt",
+        "tf",
+        "auto",
+    )
+
+    def _collect(tbl, key: str, what: str):
+        keys_chunks, cnt_chunks = [], []
+        for b in tbl.iter_batches(batch_format="pyarrow"):
+            col = b[key]
+            keys_chunks.append(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+            cnt_chunks.append(b["tf"].to_numpy(zero_copy_only=False))
+        n = sum(len(c) for c in keys_chunks)
+        if n > VOCAB_BROADCAST_LIMIT:
+            raise ValueError(
+                f"{what} table has {n} entries (> {VOCAB_BROADCAST_LIMIT}); "
+                "shard it with the unigram_logprob_sharded token-hash-"
+                "partitioned join pattern at this scale"
+            )
+        keys = (
+            pa.concat_arrays(keys_chunks)
+            if keys_chunks
+            else pa.array([], type=pa.string())
+        )
+        counts = (
+            np.concatenate(cnt_chunks) if cnt_chunks else np.empty(0, dtype=np.int64)
+        )
+        return build_hash_map(keys, counts), counts
+
+    hm1, uni_counts = _collect(c1, "token", "unigram")
+    hm2, _ = _collect(c2, "pair", "bigram")
+    total = float(uni_counts.sum()) if uni_counts.size else 1.0
+    maps_ref = _ray.put((hm1, hm2))
+
+    def score(batch: pa.Table) -> pa.Table:
+        m1, m2 = _ray.get(maps_ref)
+        ex = _explode_tokens(batch, ["doc_id"])
+        if len(ex):
+            ex = ex.with_columns(pl.col("t").shift(1).over("doc_id").alias("prev"))
+            c_cur = lookup(m1, ex["t"].to_arrow(), default=0)
+            if not (c_cur > 0).all():
+                raise ValueError(
+                    "token absent from the unigram table: the scored "
+                    "corpus diverged from the one the statistics were "
+                    "built on"
+                )
+            first = ex["prev"].is_null().to_numpy()
+            prev_filled = ex["prev"].fill_null("")
+            c_prev = lookup(m1, prev_filled.to_arrow(), default=1)
+            pair = (prev_filled + " " + ex["t"]).to_arrow()
+            c_pair = lookup(m2, pair, default=0)
+            cur = c_cur.astype(np.float64)
+            v = np.where(
+                first,
+                np.log(cur / total),
+                np.log(
+                    lam * c_pair.astype(np.float64)
+                    / np.maximum(c_prev.astype(np.float64), 1.0)
+                    + (1.0 - lam) * cur / total
+                ),
+            )
+            per_doc = (
+                ex.select("doc_id")
+                .with_columns(pl.Series("v", v))
+                .group_by("doc_id")
+                .agg(
+                    pl.len().cast(pl.Int64).alias("n_tokens"),
+                    pl.col("v").mean().alias("bigram_logprob"),
+                )
+            )
+        else:
+            per_doc = pl.DataFrame(
+                {
+                    "doc_id": pl.Series([], dtype=pl.Int64),
+                    "n_tokens": pl.Series([], dtype=pl.Int64),
+                    "bigram_logprob": pl.Series([], dtype=pl.Float64),
+                }
+            )
+        out = (
+            pl.from_arrow(batch.select(["doc_id", *keep_cols]))
+            .join(per_doc, on="doc_id", how="left")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("bigram_logprob").fill_null(0.0),
+            )
+            .select("doc_id", *keep_cols, "n_tokens", "bigram_logprob")
+        )
+        return out.to_arrow()
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def write_inverted_index(
     docs_ds,
     index_dir: str,
