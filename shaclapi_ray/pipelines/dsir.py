@@ -279,48 +279,70 @@ def dsir_resample(
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
     seed: int = 0,
     target_ds=None,
+    materialize: bool = True,
 ):
     """Gumbel-top-k importance resample: the k documents with the
     largest ``dsir_logratio + Gumbel(hash(doc_id))`` keys (ties broken
-    by doc_id), returned with the full document columns. Per-block
-    top-k prune first, then one small sort over <= k * n_blocks
-    survivors — the corpus itself is never globally sorted."""
+    by doc_id), returned with the full document columns. Selection runs
+    entirely over the NARROW (doc_id, key) projection — per-block top-k
+    prune, one small driver sort over <= k * n_blocks 16-byte rows —
+    then the corpus streams once through a broadcast sorted-int64 id
+    filter (np.searchsorted, zero per-task build): document text never
+    reaches the driver and is never globally sorted.
+    ``materialize=False`` returns the selected docs as a streaming
+    Dataset instead of a driver DataFrame — the form to use when k
+    itself is corpus-scale."""
     scored = dsir_scores(
-        docs_ds,
-        target_col,
-        target_value,
-        n_buckets,
-        keep_cols=tuple(c for c in DOC_COLS if c != "doc_id"),
-        target_ds=target_ds,
+        docs_ds, target_col, target_value, n_buckets, target_ds=target_ds
     )
 
     def keyed_topk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("__key", pa.array([], type=pa.float64()))
-        key = _gumbel_keys(
+        ids = (
             batch["doc_id"].combine_chunks()
             if isinstance(batch["doc_id"], pa.ChunkedArray)
-            else batch["doc_id"],
-            batch["dsir_logratio"].to_numpy(zero_copy_only=False),
-            seed,
+            else batch["doc_id"]
         )
-        t = batch.append_column("__key", pa.array(key, type=pa.float64()))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "__key": pa.array([], type=pa.float64()),
+                }
+            )
+        key = _gumbel_keys(
+            ids, batch["dsir_logratio"].to_numpy(zero_copy_only=False), seed
+        )
+        t = pa.table({"doc_id": ids, "__key": pa.array(key, type=pa.float64())})
         if t.num_rows <= k:
             return t
-        order = np.lexsort(
-            (t["doc_id"].to_numpy(zero_copy_only=False), -key)
-        )[:k]
+        order = np.lexsort((t["doc_id"].to_numpy(zero_copy_only=False), -key))[:k]
         return t.take(pa.array(np.sort(order)))
 
     pruned = scored.map_batches(
         keyed_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    top = pruned.sort_values(
+        ["__key", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    sel = np.sort(top["doc_id"].to_numpy().astype(np.int64))
+    sel_ref = ray.put(sel)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ray.get(sel_ref)
+        pos = np.searchsorted(s, ids)
+        pos = np.minimum(pos, max(s.size - 1, 0))
+        mask = s[pos] == ids if s.size else np.zeros(len(ids), dtype=bool)
+        return batch.select(DOC_COLS).filter(pa.array(mask))
+
+    kept = docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    if not materialize:
+        return kept
+    return (
+        kept.to_pandas()
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
     )
-    top = (
-        pruned.to_pandas()
-        .sort_values(["__key", "doc_id"], ascending=[False, True], kind="mergesort")
-        .head(k)
-    )
-    return top[DOC_COLS].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
