@@ -319,7 +319,9 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "doc_frequency": "shaclapi_ray.pipelines.textstats:doc_frequency",
     "tfidf_top_terms": "shaclapi_ray.pipelines.textstats:tfidf_top_terms",
     "unigram_logprob": "shaclapi_ray.pipelines.textstats:unigram_logprob",
+    "bigram_logprob": "shaclapi_ray.pipelines.textstats:bigram_logprob",
     "ccnet_buckets": "shaclapi_ray.pipelines.textstats:ccnet_buckets",
+    "dsir_scores": "shaclapi_ray.pipelines.dsir:dsir_scores",
     "bpe_tokenize": "shaclapi_ray.pipelines.bpe:bpe_self_tokenize",
     "rebalance_corpus": "shaclapi_ray.pipelines.textstats:rebalance_corpus",
     "sample_corpus": "shaclapi_ray.pipelines.textstats:sample_corpus",
