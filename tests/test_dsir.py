@@ -186,3 +186,20 @@ def test_separate_target_corpus(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_resample_dataset_mode(ray_session):
+    """materialize=False returns a streaming Dataset with the same
+    selected rows as the driver DataFrame."""
+    from shaclapi_ray.pipelines.dsir import dsir_resample
+
+    rows = [
+        _doc(i, f"w{i % 11} w{i % 4}", "en" if i % 3 else "de") for i in range(50)
+    ]
+    a = dsir_resample(_ds(rows), k=12, seed=0)
+    b = dsir_resample(_ds(rows), k=12, seed=0, materialize=False)
+    import ray as _ray
+
+    assert isinstance(b, _ray.data.Dataset)
+    bd = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, bd)
