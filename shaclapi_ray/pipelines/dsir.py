@@ -333,7 +333,10 @@ def dsir_resample(
         pos = np.searchsorted(s, ids)
         pos = np.minimum(pos, max(s.size - 1, 0))
         mask = s[pos] == ids if s.size else np.zeros(len(ids), dtype=bool)
-        return batch.select(DOC_COLS).filter(pa.array(mask))
+        # selection is a pure filter: the input schema passes through
+        # (the documents table keeps its DOC_COLS; a reduced corpus —
+        # e.g. the preprocess flagship's (doc_id, text) — keeps its own)
+        return batch.filter(pa.array(mask))
 
     kept = docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     if not materialize:
@@ -350,8 +353,13 @@ def dsir_resample(
 # ---------------------------------------------------------------------------
 
 
-def _grams_cte(target_col: str, target_value: str, src: str) -> str:
-    return f"""
+def _grams_cte(target_col: str, target_value: str, src: str, target_src) -> str:
+    """grams CTE: single-corpus mode flags target rows via the column
+    filter; two-corpus mode (``target_src``) counts the raw corpus with
+    is_t=false and unions the target corpus's grams with is_t=true —
+    mirroring dsir_logratio_vector's target_ds path."""
+    if target_src is None:
+        return f"""
 base AS (
   SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks,
          (coalesce({target_col}, '') = '{target_value}') AS is_t
@@ -366,6 +374,26 @@ grams AS (
          is_t
   FROM base
 )"""
+    return f"""
+base AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks,
+         FALSE AS is_t, TRUE AS is_raw
+  FROM {src}
+  UNION ALL
+  SELECT -1 - row_number() OVER () AS doc_id,
+         regexp_extract_all(coalesce(text, ''), '\\S+') AS toks,
+         TRUE AS is_t, FALSE AS is_raw
+  FROM {target_src}
+),
+grams AS (
+  SELECT doc_id, unnest(toks) AS g, is_t, is_raw FROM base
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g,
+         is_t, is_raw
+  FROM base
+)"""
 
 
 def dsir_scores_sql(
@@ -373,12 +401,43 @@ def dsir_scores_sql(
     target_value: str = "en",
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
     src: str = "documents",
+    target_src: str | None = None,
 ) -> str:
     """Mirror of dsir_scores: identical md5 bucketing, Laplace
-    smoothing and per-doc log-ratio sum in DuckDB."""
+    smoothing and per-doc log-ratio sum in DuckDB. ``target_src``
+    switches to the two-corpus mode (raw counts from ``src``, target
+    counts from ``target_src`` — dsir_scores(target_ds=...)); in that
+    mode c_r counts only raw-corpus grams and scoring covers only raw
+    docs (synthetic negative doc_ids keep target rows out of the
+    output)."""
     b = n_buckets
+    if target_src is not None:
+        return f"""
+WITH {_grams_cte(target_col, target_value, src, target_src)},
+gb AS (
+  SELECT doc_id, (md5_number_lower(g) % {b})::BIGINT AS b, is_t, is_raw
+  FROM grams
+),
+cnt AS (
+  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS c_t,
+         sum(CASE WHEN is_raw THEN 1 ELSE 0 END)::DOUBLE AS c_r
+  FROM gb GROUP BY b
+),
+tot AS (SELECT sum(c_t) AS tt, sum(c_r) AS tr FROM cnt),
+lr AS (
+  SELECT b, ln((c_t + 1.0) / (tt + {b})) - ln((c_r + 1.0) / (tr + {b})) AS v
+  FROM cnt, tot
+),
+doc AS (
+  SELECT gb.doc_id, count(*)::BIGINT AS n_grams, sum(lr.v) AS dsir_logratio
+  FROM gb JOIN lr USING (b) WHERE gb.is_raw GROUP BY gb.doc_id
+)
+SELECT d.doc_id, coalesce(doc.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(doc.dsir_logratio, 0.0) AS dsir_logratio
+FROM {src} d LEFT JOIN doc USING (doc_id) ORDER BY d.doc_id
+"""
     return f"""
-WITH {_grams_cte(target_col, target_value, src)},
+WITH {_grams_cte(target_col, target_value, src, None)},
 gb AS (
   SELECT doc_id, (md5_number_lower(g) % {b})::BIGINT AS b, is_t FROM grams
 ),
@@ -409,19 +468,25 @@ def dsir_resample_sql(
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
     seed: int = 0,
     src: str = "documents",
+    target_src: str | None = None,
+    cols: tuple = ("doc_id", "text", "lang", "source", "n_chars"),
 ) -> str:
     """Mirror of dsir_resample: same Gumbel key from md5(doc_id ':'
-    seed), top-k by (key DESC, doc_id)."""
+    seed), top-k by (key DESC, doc_id). ``cols`` names the pass-through
+    projection (the input schema — reduced corpora carry fewer
+    columns); ``target_src`` mirrors dsir_resample(target_ds=...)."""
     u = (
         f"((md5_number_lower(d.doc_id::VARCHAR || ':{seed}') % {_GUMBEL_MOD})::DOUBLE"
         f" + 0.5) / {float(_GUMBEL_MOD)}"
     )
+    proj = ", ".join(cols)
+    dproj = ", ".join(f"d.{c}" for c in cols)
     return f"""
-SELECT doc_id, text, lang, source, n_chars FROM (
-  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+SELECT {proj} FROM (
+  SELECT {dproj},
          sc.dsir_logratio + -ln(-ln({u})) AS key
   FROM {src} d
-  JOIN ({dsir_scores_sql(target_col, target_value, n_buckets, src)}) sc
+  JOIN ({dsir_scores_sql(target_col, target_value, n_buckets, src, target_src)}) sc
     USING (doc_id)
   ORDER BY key DESC, d.doc_id
   LIMIT {k}

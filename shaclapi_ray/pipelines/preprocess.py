@@ -19,6 +19,10 @@ over the documents table:
                         (spans.remove_dup_spans)
   5. decontamination  — drop documents sharing any word n-gram with the
                         eval set (decontam.decontaminate, drop=True)
+  6. (optional) DSIR selection — Gumbel-top-k importance resample of
+                        the cleaned corpus against a target
+                        distribution (dsir.dsir_resample via
+                        ``dsir_kw``)
 
 Output: (doc_id, text, n_tokens) — the final training corpus rows, fully
 deterministic, with a COMPOSED DuckDB oracle (``preprocess_corpus_sql``)
@@ -118,6 +122,7 @@ def preprocess_corpus(
     checkpoint_dir: str | None = None,
     dedup_strategy: str = "broadcast",
     resume: bool = False,
+    dsir_kw: dict | None = None,
 ):
     """documents -> (doc_id, text, n_tokens): the cleaned, deduplicated,
     decontaminated training corpus (see module docstring for the five
@@ -148,7 +153,16 @@ def preprocess_corpus(
 
     ``resume=True`` (with ``checkpoint_dir``) skips any stage whose
     checkpoint dir carries a completion marker — the cross-run resume
-    unit; see ``_boundary`` for the staleness caveat."""
+    unit; see ``_boundary`` for the staleness caveat.
+
+    ``dsir_kw`` enables an optional STAGE 6: DSIR importance
+    resampling (pipelines/dsir.dsir_resample) over the decontaminated
+    corpus — the FineWeb/DSIR-style final data-selection cap. Pass the
+    dsir_resample kwargs (``k`` required; the cleaned corpus carries
+    only (doc_id, text), so the target is normally a separate
+    ``target_ds`` — e.g. the raw documents filtered to a language).
+    Off by default; the composed oracle mirrors the configuration via
+    ``preprocess_corpus_sql(dsir_kw=...)``."""
     import numpy as np
     import ray
 
@@ -246,6 +260,14 @@ def preprocess_corpus(
         docs, eval_ds=eval_ds, n=decontam_n, eval_mod=eval_mod, drop=True
     )
 
+    if dsir_kw is not None:
+        from shaclapi_ray.pipelines.dsir import dsir_resample
+
+        # dsir is multi-pass (count, score, filter) — boundary first so
+        # the decontaminated corpus isn't recomputed per pass
+        docs = _boundary(docs, checkpoint_dir, "s5_decontam", resume)
+        docs = dsir_resample(docs, materialize=False, **dsir_kw)
+
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -269,11 +291,17 @@ def preprocess_corpus_sql(
     eval_mod: int = EVAL_MOD,
     clean_lines_kw: dict | None = None,
     gopher_kw: dict | None = None,
+    dsir_kw: dict | None = None,
 ) -> str:
     """The composed DuckDB oracle: each stage's existing SQL generator is
     aimed at the previous stage's CTE via its ``src`` parameter, so the
     chain's semantics are defined by exactly the SQL already validated
-    per stage. Output (doc_id, pp_text, pp_n_tokens)."""
+    per stage. Output (doc_id, pp_text, pp_n_tokens).
+
+    ``dsir_kw`` mirrors the optional stage-6 selection: the
+    dsir_resample_sql kwargs with ``target_src`` a SQL subquery string
+    for the target corpus (e.g. "(SELECT * FROM documents WHERE
+    lang = 'en')") — aimed at the decontaminated-chain CTE via src=."""
     from shaclapi_ray.oracles import (
         clean_lines_sql,
         decontaminate_sql,
@@ -303,8 +331,7 @@ def preprocess_corpus_sql(
 """
         base = "s0g"
 
-    return f"""
-WITH {pre}s1 AS (
+    chain = f"""{pre}s1 AS (
   SELECT d.* FROM {base} d
   JOIN ({quantile_filter_sql(q, src=base)}) f USING (doc_id)
 ),
@@ -317,7 +344,24 @@ s4 AS (
   SELECT doc_id, clean_text AS text
   FROM ({remove_dup_spans_sql(span_n, span_min_docs, src="s3")})
 ),
-dec AS ({decontaminate_sql(decontam_n, eval_mod, src="s4")})
+dec AS ({decontaminate_sql(decontam_n, eval_mod, src="s4")})"""
+
+    if dsir_kw is not None:
+        from shaclapi_ray.pipelines.dsir import dsir_resample_sql
+
+        sel = dsir_resample_sql(src="s5", cols=("doc_id", "text"), **dsir_kw)
+        return f"""
+WITH {chain},
+s5 AS (
+  SELECT s4.doc_id, s4.text FROM s4 JOIN dec USING (doc_id)
+  WHERE NOT dec.contaminated
+)
+SELECT doc_id, text AS pp_text,
+       length(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS pp_n_tokens
+FROM ({sel}) ORDER BY doc_id"""
+
+    return f"""
+WITH {chain}
 SELECT s4.doc_id, s4.text AS pp_text,
        length(regexp_extract_all(s4.text, '{TOKEN_RE}'))::BIGINT AS pp_n_tokens
 FROM s4 JOIN dec USING (doc_id)

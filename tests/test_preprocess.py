@@ -405,3 +405,41 @@ def test_checkpoint_resume_skips_completed_stages(tmp_path):
     )
     assert set(fresh.doc_id) <= set(900 + i for i in range(8))
     assert len(fresh) > 0
+
+
+def test_dsir_stage_composed_parity():
+    """Optional stage 6 (DSIR selection against a target corpus) —
+    composed chain value-identical to the SQL oracle, and a strict
+    subset of the dsir-off output."""
+    import pyarrow.compute as pc
+
+    from shaclapi_ray.pipelines.preprocess import (
+        preprocess_corpus,
+        preprocess_corpus_sql,
+    )
+
+    tgt = _docs().map_batches(
+        lambda t: t.filter(pc.equal(pc.coalesce(t["lang"], ""), "en")),
+        batch_format="pyarrow",
+    )
+    out = (
+        preprocess_corpus(_docs(), dsir_kw=dict(k=50, target_ds=tgt))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tsrc = "(SELECT * FROM documents WHERE coalesce(lang,'') = 'en')"
+    exp = (
+        _oracle(preprocess_corpus_sql(dsir_kw=dict(k=50, target_src=tsrc)))
+        .rename(columns={"pp_text": "text", "pp_n_tokens": "n_tokens"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 50
+    pd.testing.assert_frame_equal(
+        out.astype({"n_tokens": "int64"}),
+        exp.astype({"n_tokens": "int64"}),
+        check_dtype=False,
+    )
+    base = preprocess_corpus(_docs()).to_pandas()
+    assert set(out.doc_id) < set(base.doc_id)
