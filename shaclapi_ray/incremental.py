@@ -1,0 +1,485 @@
+"""Incremental (cross-snapshot) validation: revalidate only the pages
+that changed since the last run, reusing persisted verdicts for
+everything else — the Common-Crawl monthly-snapshot scenario, where a
+new crawl shares most of its rows with the previous one and a full
+revalidation wastes the cluster on unchanged data. The data-side twin
+is ``pipelines.dedup.dedup_incremental`` (same persisted bucketed-state
+idea, applied to verdicts instead of content hashes).
+
+Correctness scope — exact for COLUMN-ONLY shape DAGs: predicate/OR
+constraints are row-local, so an unchanged row's verdict cannot change
+when other rows change. Referential / Unique / Drift constraints
+aggregate over OTHER rows (a changed child page can flip an unchanged
+target's cardinality verdict; a new duplicate flips an old row's
+uniqueness), so verdict reuse would be silently wrong — those DAGs are
+refused loudly (the engine's broadcast-ceiling convention: fail with
+the correct alternative named, never degrade accuracy). The resumable
+full run (`checkpoint.CheckpointedValidation`) is that alternative.
+
+State layout (``state_dir``): url-hash-bucketed parquet — the same
+bucket is both the update and the lookup unit —
+
+    fps/bucket=<b>/        (url, fp)            row fingerprints
+    verdicts/bucket=<b>/   (url, shape_id, valid, reason)
+    violations/bucket=<b>/ (url, shape_id, constraint, offending_value)
+    manifest.json          shape ids + fingerprinted columns + counts
+
+The manifest guards staleness: an incremental run against a state
+written for different shapes or columns refuses (reuse would mix
+semantics), mirroring ``preprocess._boundary``'s resume caveat.
+
+Scale shape: delta detection is one streaming pass over the new corpus
+against the old (url-hash -> fp) map — broadcast as sorted uint64
+arrays below FP_BROADCAST_LIMIT (zero per-task build, stages/hashset
+discipline), or ``strategy='join'`` keeps both fingerprint tables
+Datasets and classifies via one hash-partitioned outer join (the
+beyond-ceiling path, output-identical by test). Only delta rows enter
+the validation engine; reused verdicts stream from the state buckets
+through a membership filter and never touch the driver.
+
+Reference analog: none — shaclAPI validates one endpoint snapshot per
+request (/root/reference/shaclapi/api.py); incrementality across
+snapshots is part of this engine's 100-TB operating model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from shaclapi_ray.engine import JobConfig, ValidationEngine, ValidationResult
+from shaclapi_ray.shapes.ir import Shape, pred_columns
+
+STATE_BUCKETS = 16
+FP_BROADCAST_LIMIT = 50_000_000
+
+VERDICT_COLS = ["url", "shape_id", "valid", "reason"]
+VIOLATION_COLS = ["url", "shape_id", "constraint", "offending_value"]
+
+
+def _fp_columns(dag) -> list[str]:
+    """Every column any shape's target or constraint reads — the
+    fingerprint domain (a change outside these columns cannot change
+    any verdict, so it must NOT trigger revalidation)."""
+    cols = {"url"}
+    for s in dag.shapes.values():
+        cols |= pred_columns(s.target)
+        for c in s.constraints:
+            cols |= c.columns()
+    return sorted(cols)
+
+
+def _require_column_only(dag) -> None:
+    bad = [
+        sid for sid, s in dag.shapes.items() if not s.is_column_only()
+    ]
+    if bad:
+        raise ValueError(
+            f"shapes {bad} carry referential/unique/drift constraints, "
+            "which aggregate over other rows — incremental verdict reuse "
+            "would be wrong. Run the full engine (resumable form: "
+            "checkpoint.CheckpointedValidation) for this schema."
+        )
+
+
+def _url_key(col) -> pa.Array:
+    """The engine's focus-node serialization: null urls render as the
+    string 'null' in verdict/violation rows (stages/predicates.py:155),
+    so every url-keyed structure here must use the same form or
+    null-url pages would be revalidated AND reused simultaneously."""
+    out = pc.fill_null(pc.cast(col, pa.string()), "null")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _with_fp(cols: list[str]):
+    """map_batches fn: (url-key, fp uint64-as-int64, bucket) per row —
+    fp over the null-marked, unit-separated column concat; the url
+    column is emitted in verdict serialization (see _url_key)."""
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(cols))
+        joined = df.select(
+            pl.concat_str(
+                [pl.col(c).cast(pl.String).fill_null("\x00null\x00") for c in cols],
+                separator="\x1f",
+            ).alias("s")
+        )["s"]
+        fp = joined.hash(seed=7).to_numpy().astype(np.uint64)
+        from shaclapi_ray.stages.hashset import hash_strings
+
+        key = _url_key(batch["url"])
+        bucket = (hash_strings(key) % STATE_BUCKETS).astype(np.int64)
+        return pa.table(
+            {
+                "url": key,
+                "fp": pa.array(fp.view(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    return fn
+
+
+def persist_validation_state(
+    state_dir: str,
+    pages_ds,
+    result: ValidationResult,
+) -> str:
+    """Write the verdict/violation/fingerprint state for a completed
+    validation — the baseline an incremental run diffs against."""
+    dag = result.dag
+    _require_column_only(dag)
+    cols = _fp_columns(dag)
+    from shaclapi_ray.stages.hashset import hash_strings
+
+    pages_ds.map_batches(
+        _with_fp(cols), batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(state_dir, "fps"), partition_cols=["bucket"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash_strings(batch["url"]) % STATE_BUCKETS).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b))
+
+    n_verdicts = 0
+    for name, ds in (
+        ("verdicts", result.verdicts()),
+        ("violations", result.violations()),
+    ):
+        out = ds.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        out.write_parquet(os.path.join(state_dir, name), partition_cols=["bucket"])
+        if name == "verdicts":
+            n_verdicts = out.count()
+
+    manifest = {
+        "shape_ids": sorted(dag.shapes),
+        "columns": cols,
+        "n_verdicts": n_verdicts,
+        "n_buckets": STATE_BUCKETS,
+    }
+    with open(os.path.join(state_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return state_dir
+
+
+@dataclass
+class IncrementalResult:
+    verdicts: ray.data.Dataset
+    violations: ray.data.Dataset
+    delta_result: ValidationResult | None
+    stats: dict = field(default_factory=dict)
+
+
+def _collect_url_hashes(ds) -> np.ndarray:
+    """Sorted uint64 url-hash array of a (url, ...) Dataset — driver
+    collect of 8 bytes/row (used only on delta-bounded or
+    ceiling-guarded inputs)."""
+    from shaclapi_ray.stages.hashset import hash_strings
+
+    parts = [
+        hash_strings(_url_key(b["url"]))
+        for b in ds.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+
+def _read_state(state_dir: str, name: str, columns: list[str]):
+    from shaclapi_ray.io import read_parquet
+
+    return read_parquet(os.path.join(state_dir, name), columns=columns)
+
+
+def incremental_validate(
+    shapes: list[Shape] | str,
+    pages_new,
+    state_dir: str,
+    config: JobConfig | None = None,
+    out_state_dir: str | None = None,
+    strategy: str = "broadcast",
+) -> IncrementalResult:
+    """Validate the new snapshot against persisted state: unchanged
+    rows (same url, same fingerprint) reuse their stored verdicts and
+    violations; changed + new rows run through the validation engine;
+    removed rows' verdicts are dropped. ``out_state_dir`` persists the
+    merged state for the next snapshot. ``strategy='join'`` replaces
+    the broadcast fingerprint map with hash-partitioned joins (the
+    beyond-FP_BROADCAST_LIMIT path).
+
+    Contract-violation nuance (duplicate/null urls — the engine
+    requires unique urls): both strategies stay output-correct, but on
+    a colliding key whose duplicate rows all carry IDENTICAL
+    fingerprints the broadcast path revalidates (deterministic dup
+    flag) while the join path may reuse — equal verdicts either way,
+    stats can differ by those pathological keys."""
+    if strategy not in ("broadcast", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    engine = ValidationEngine(shapes, config)
+    dag = engine.dag
+    _require_column_only(dag)
+    cols = _fp_columns(dag)
+
+    with open(os.path.join(state_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    if manifest["shape_ids"] != sorted(dag.shapes) or manifest["columns"] != cols:
+        raise ValueError(
+            "state is stale: it was written for shapes "
+            f"{manifest['shape_ids']} over columns {manifest['columns']}, "
+            f"but this run validates {sorted(dag.shapes)} over {cols}. "
+            "Run a full validation and persist fresh state."
+        )
+
+    new_fps = pages_new.map_batches(
+        _with_fp(cols), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    old_fps = _read_state(state_dir, "fps", ["url", "fp"])
+
+    from shaclapi_ray.stages.hashset import build_hash_map, hash_strings
+
+    if strategy == "broadcast":
+        n_old = old_fps.count()
+        if n_old > FP_BROADCAST_LIMIT:
+            raise ValueError(
+                f"state holds {n_old} fingerprints (> {FP_BROADCAST_LIMIT}); "
+                "use strategy='join' at this scale"
+            )
+        url_chunks, fp_chunks = [], []
+        for b in old_fps.iter_batches(batch_format="pyarrow"):
+            url_chunks.append(_url_key(b["url"]))
+            fp_chunks.append(b["fp"].to_numpy(zero_copy_only=False))
+        urls = (
+            pa.concat_arrays(url_chunks)
+            if url_chunks
+            else pa.array([], type=pa.string())
+        )
+        fps = (
+            np.concatenate(fp_chunks) if fp_chunks else np.empty(0, dtype=np.int64)
+        )
+        hk, hv = build_hash_map(urls, fps)
+        # keys with multiple state rows (duplicate urls; all null urls
+        # share the 'null' key) can't be tracked individually — flag
+        # them so they classify changed DETERMINISTICALLY (revalidate),
+        # never layout-dependently half-reused. The engine's data
+        # contract makes these pathological anyway (url must be unique).
+        dup = np.zeros(hk.size, dtype=bool)
+        if hk.size > 1:
+            eq = hk[1:] == hk[:-1]
+            dup[1:] |= eq
+            dup[:-1] |= eq
+        old_map_ref = ray.put((hk, hv, dup))
+
+        # unchanged = url present in old state with the same fingerprint
+        def classify(batch: pa.Table) -> pa.Table:
+            from shaclapi_ray.stages.hashset import hash_strings as _hs
+
+            hk, hv, dup = ray.get(old_map_ref)
+            h = _hs(_url_key(batch["url"]))
+            fp = batch["fp"].to_numpy(zero_copy_only=False)
+            if hk.size:
+                pos = np.minimum(np.searchsorted(hk, h), hk.size - 1)
+                hit = hk[pos] == h
+                unchanged = hit & (hv[pos] == fp) & ~dup[pos]
+            else:
+                unchanged = np.zeros(len(h), dtype=bool)
+            return pa.table(
+                {"url": batch["url"], "unchanged": pa.array(unchanged)}
+            )
+
+        klass = new_fps.map_batches(
+            classify, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        # removed = old urls absent from the new corpus. The broadcast
+        # path already holds the old sorted url-hash array; the new
+        # corpus collapses to a uint64 hash array (8 B/row, same
+        # ceiling class as the fp map). The join path below avoids
+        # both corpus-sized driver arrays.
+        new_all = _collect_url_hashes(new_fps)
+        removed_hashes = np.setdiff1d(ray.get(old_map_ref)[0], new_all)
+    else:
+        from shaclapi_ray.stages.referential import clamp_partitions
+
+        nparts = clamp_partitions(None)
+        renamed = old_fps.map_batches(
+            lambda t: t.rename_columns(["j_url", "old_fp"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = new_fps.select_columns(["url", "fp"]).join(
+            renamed,
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("url",),
+            right_on=("j_url",),
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            fp = batch["fp"].to_numpy(zero_copy_only=False)
+            old = batch["old_fp"]
+            hit = pc.is_valid(old).to_numpy(zero_copy_only=False)
+            # fill nulls BEFORE to_numpy: a nullable int64 would convert
+            # to float64 and corrupt full-range hash equality
+            oldv = pc.fill_null(old, 0).to_numpy(zero_copy_only=False)
+            unchanged = hit & (oldv == fp)
+            return pa.table(
+                {"url": batch["url"], "unchanged": pa.array(unchanged)}
+            )
+
+        klass = joined.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        # removed via a second hash-partitioned anti-join (old \ new)
+        new_urls = new_fps.map_batches(
+            lambda t: pa.table(
+                {
+                    "j_url": t["url"],
+                    "present": pa.array(
+                        np.ones(t.num_rows, dtype=np.int8)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        old_vs_new = old_fps.select_columns(["url"]).join(
+            new_urls,
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("url",),
+            right_on=("j_url",),
+        )
+
+        # the match indicator is the null-ness of the right-side marker
+        # after the left_outer join (the join drops the key column)
+        def removed_filter(batch: pa.Table) -> pa.Table:
+            miss = pc.is_null(batch["present"])
+            return pa.table({"url": batch["url"]}).filter(miss)
+
+        removed_hashes = np.unique(
+            _collect_url_hashes(
+                old_vs_new.map_batches(
+                    removed_filter, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+        )
+
+    n_new_corpus = new_fps.count()
+    changed_hashes = np.unique(
+        _collect_url_hashes(
+            klass.map_batches(
+                lambda t: t.filter(
+                    pc.invert(t["unchanged"])
+                ).select(["url"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    )
+    # counted in KEYS: under the engine's unique-url contract keys ==
+    # rows; with pathological duplicate/null urls every colliding key
+    # deterministically revalidates (see the dup flag above), and the
+    # join path may emit multiplied klass rows for them — unique keys
+    # are the strategy-independent measure
+    n_delta = int(changed_hashes.size)
+    # reused rows = state rows NOT in (changed ∪ removed) — both sets
+    # are DELTA-bounded (small between adjacent snapshots), so this is
+    # the only broadcast the reuse path ships
+    drop_ref = ray.put(np.union1d(changed_hashes, removed_hashes))
+    changed_ref = ray.put(changed_hashes)
+
+    def _member_filter(ref, keep_members: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            if not len(batch):
+                return batch
+            h = hash_strings(_url_key(batch["url"]))
+            if s.size == 0:
+                member = np.zeros(len(h), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(s, h), s.size - 1)
+                member = s[pos] == h
+            return batch.filter(pa.array(member if keep_members else ~member))
+
+        return fn
+
+    delta_pages = pages_new.map_batches(
+        _member_filter(changed_ref, True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    delta_result = engine.run(delta_pages) if n_delta else None
+
+    reused_verdicts = _read_state(state_dir, "verdicts", VERDICT_COLS).map_batches(
+        _member_filter(drop_ref, False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    reused_violations = _read_state(
+        state_dir, "violations", VIOLATION_COLS
+    ).map_batches(
+        _member_filter(drop_ref, False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    if delta_result is not None:
+        verdicts = reused_verdicts.union(
+            delta_result.verdicts().select_columns(VERDICT_COLS)
+        )
+        violations = reused_violations.union(
+            delta_result.violations().select_columns(VIOLATION_COLS)
+        )
+    else:
+        verdicts, violations = reused_verdicts, reused_violations
+
+    stats = {
+        "n_new_corpus": n_new_corpus,
+        "n_unchanged": n_new_corpus - n_delta,
+        "n_delta": n_delta,
+        "n_removed": int(removed_hashes.size),
+        "n_state_verdicts": manifest.get("n_verdicts", None),
+    }
+
+    out = IncrementalResult(
+        verdicts=verdicts.materialize(),
+        violations=violations.materialize(),
+        delta_result=delta_result,
+        stats=stats,
+    )
+
+    if out_state_dir is not None:
+        from shaclapi_ray.stages.hashset import hash_strings as _hs
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = (_hs(batch["url"]) % STATE_BUCKETS).astype(np.int64)
+            return batch.append_column("bucket", pa.array(b))
+
+        new_fps.select_columns(["url", "fp", "bucket"]).write_parquet(
+            os.path.join(out_state_dir, "fps"), partition_cols=["bucket"]
+        )
+        for name, ds in (("verdicts", out.verdicts), ("violations", out.violations)):
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True
+            ).write_parquet(
+                os.path.join(out_state_dir, name), partition_cols=["bucket"]
+            )
+        with open(os.path.join(out_state_dir, "manifest.json"), "w") as fh:
+            json.dump(
+                {
+                    "shape_ids": sorted(dag.shapes),
+                    "columns": cols,
+                    "n_verdicts": out.verdicts.count(),
+                    "n_buckets": STATE_BUCKETS,
+                },
+                fh,
+            )
+
+    return out
