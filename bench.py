@@ -109,6 +109,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return res.verdicts().count()
 
     timed("column_validation", col_only, rows=n_docs)
+    # NOTE: incremental_validate is deliberately NOT benched here — a
+    # full column revalidation parallelizes across all cores while
+    # delta detection is driver-bound, so the full run wins at every
+    # scale this box can hold (measured honestly in BASELINE.md); the
+    # operator's value is verdict continuity, not throughput.
 
     timed(
         "unique_validation",
