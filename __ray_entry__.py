@@ -316,6 +316,11 @@ SPLIT_SEED = 2
 # exists in the generated pages table; spam.example.net does not
 # (exercises the no-match branch)
 BLOCKED_HOSTS = ["host3.example.org", "spam.example.net"]
+# learned host-curation profile for the top_hosts slot: tuned to the
+# SYNTHETIC fixture so the verdict is non-degenerate at sf0.001 AND
+# sf0.01 (host3 blocked, the rest kept) — same rationale as
+# CLEAN_LINES_KW/GOPHER_KW; integer-exact rules, no float thresholds
+HOSTCURE_KW = dict(max_dup_pct=10, min_mean_tokens=310, min_docs=100)
 
 
 DSIR_K = 150
@@ -822,11 +827,18 @@ def _q_featurize_media(sf_dir: str):
 
 
 def _q_top_hosts(sf_dir: str):
-    """Sort/limit/top-k coverage: most-linked-to hosts (count desc, host
-    asc tie-break — deterministic)."""
+    """Sort/limit/top-k + learned host curation, as a kind-tagged union:
+    'top' = most-linked-to hosts (count desc, host asc — deterministic);
+    'cure' = pipelines/hostcure.host_curation per-host stats with the
+    integer-exact blocked verdict learned from the corpus itself;
+    'kept' = pages surviving filter_by_host against those verdicts
+    (broadcast path; the join path is pinned output-identical in
+    tests/test_hostcure.py)."""
+    import pandas as pd
     import ray.data
 
     from shaclapi_ray.io import read_parquet
+    from shaclapi_ray.pipelines.hostcure import filter_by_host, host_curation
     from shaclapi_ray.stages.aggregates import grouped_count
     from shaclapi_ray.stages.links import extract_links
 
@@ -838,7 +850,40 @@ def _q_top_hosts(sf_dir: str):
     counts = grouped_count(links, "url", out_name="n").to_pandas()
     counts = counts.rename(columns={"url": "host"})
     counts = counts.sort_values(["n", "host"], ascending=[False, True], kind="mergesort")
-    return counts.head(5).reset_index(drop=True)
+    counts = counts.head(5)
+    top = pd.DataFrame(
+        {
+            "key": counts["host"],
+            "kind": "top",
+            "value": counts["n"].astype("int64").astype(str),
+            "extra": "",
+        }
+    )
+    cure_pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "text"])
+    verdicts = host_curation(cure_pages, **HOSTCURE_KW).materialize()
+    cdf = verdicts.to_pandas()
+    cure = pd.DataFrame(
+        {
+            "key": cdf["host"],
+            "kind": "cure",
+            "value": cdf["n_docs"].astype(str)
+            + "|"
+            + cdf["n_dup"].astype(str)
+            + "|"
+            + cdf["sum_tokens"].astype(str),
+            "extra": cdf["blocked"].map({True: "true", False: "false"}),
+        }
+    )
+    kdf = filter_by_host(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url"]), verdicts
+    ).to_pandas()
+    kept = pd.DataFrame(
+        {"key": kdf["url"], "kind": "kept", "value": "", "extra": ""}
+    )
+    out = pd.concat([top, cure, kept], ignore_index=True)
+    return out.sort_values(
+        ["kind", "key", "value"], na_position="first", kind="mergesort"
+    ).reset_index(drop=True)
 
 
 def _q_or_shape_verdicts(sf_dir: str):
@@ -1512,6 +1557,29 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         f"FROM ({o.parse_props_sql()}) AS p LEFT JOIN ({o.attribute_events_sql()}) AS a "
         f"USING (event_id) ORDER BY event_id"
     )
+    top_hosts_union_sql = _tagged_union_sql(
+        [
+            (
+                "top",
+                f"SELECT host AS key, CAST(n AS VARCHAR) AS value, '' AS extra "
+                f"FROM ({o.top_hosts_sql(pages_dir)})",
+            ),
+            (
+                "cure",
+                f"SELECT host AS key, "
+                f"n_docs || '|' || n_dup || '|' || sum_tokens AS value, "
+                f"CASE WHEN blocked THEN 'true' ELSE 'false' END AS extra "
+                f"FROM ({o.host_curation_sql(pages_dir, **HOSTCURE_KW)})",
+            ),
+            (
+                "kept",
+                f"SELECT url AS key, '' AS value, '' AS extra "
+                f"FROM ({o.filter_by_host_sql(pages_dir, **HOSTCURE_KW)})",
+            ),
+        ],
+        tag_col="kind",
+        order="kind, key NULLS FIRST, value",
+    )
 
     out = {
         "basic_shape_verdicts": basic_shapes_sql,
@@ -1519,7 +1587,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "column_violations": o.violations_sql(o.all_column_shapes(), pages_dir),
         "links": o.links_sql(pages_dir),
         "extract_canonicalize": extract_canon_sql,
-        "top_hosts": o.top_hosts_sql(pages_dir),
+        "top_hosts": top_hosts_union_sql,
         "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),
         "inverse_linked_verdicts": o.inverse_linked_verdicts_sql(pages_dir),
         "unique_url_verdicts": o.unique_url_verdicts_sql(pages_dir),

@@ -341,6 +341,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "extract_text": "shaclapi_ray.pipelines.extract:extract_text",
     "url_canonicalize": "shaclapi_ray.pipelines.extract:url_canonicalize",
     "filter_hosts": "shaclapi_ray.pipelines.extract:filter_hosts",
+    "host_curation": "shaclapi_ray.pipelines.hostcure:host_curation",
     # events-table operators
     "tumbling_window": "shaclapi_ray.pipelines.events:tumbling_window",
     "hopping_window": "shaclapi_ray.pipelines.events:hopping_window",

@@ -171,6 +171,64 @@ FROM links GROUP BY host ORDER BY n DESC, host LIMIT {k}
 """
 
 
+def host_curation_sql(
+    pages_dir: str,
+    max_dup_pct: int = 10,
+    min_mean_tokens: int = 0,
+    min_docs: int = 2,
+) -> str:
+    """Mirror of pipelines.hostcure.host_curation: per-host doc counts,
+    corpus-wide exact-dup doc counts, token sums, and the INTEGER-EXACT
+    blocked verdict (no float thresholds — both sides compare bigints).
+    Host = the literal top_hosts/links regex over the page's own url;
+    dup = the page's coalesce(text,'') occurs >1 times corpus-wide."""
+    return f"""
+WITH q AS (
+  SELECT COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS host,
+         coalesce(text, '') AS text
+  FROM {pages_rel(pages_dir)}
+),
+c AS (SELECT text, count(*) AS n_text FROM q GROUP BY text),
+d AS (
+  SELECT q.host,
+         CASE WHEN c.n_text > 1 THEN 1 ELSE 0 END AS is_dup,
+         length(regexp_extract_all(q.text, '\\S+')) AS n_tok
+  FROM q JOIN c USING (text)
+)
+SELECT host,
+       count(*)::BIGINT AS n_docs,
+       sum(is_dup)::BIGINT AS n_dup,
+       sum(n_tok)::BIGINT AS sum_tokens,
+       (count(*) >= {min_docs} AND (
+          100 * sum(is_dup) > {max_dup_pct} * count(*)
+          OR sum(n_tok) < {min_mean_tokens} * count(*)
+       )) AS blocked
+FROM d GROUP BY host ORDER BY host
+"""
+
+
+def filter_by_host_sql(
+    pages_dir: str,
+    max_dup_pct: int = 10,
+    min_mean_tokens: int = 0,
+    min_docs: int = 2,
+) -> str:
+    """Pages surviving pipelines.hostcure.filter_by_host against the
+    host_curation verdicts learned from the same corpus."""
+    v = host_curation_sql(pages_dir, max_dup_pct, min_mean_tokens, min_docs)
+    return f"""
+WITH v AS ({v}),
+p AS (
+  SELECT url,
+         COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS host
+  FROM {pages_rel(pages_dir)}
+)
+SELECT p.url FROM p LEFT JOIN v USING (host)
+WHERE NOT coalesce(v.blocked, false)
+ORDER BY url NULLS FIRST
+"""
+
+
 def linked_page_verdicts_sql(pages_dir: str) -> str:
     child = target_page_shape()
     child_valid = _shape_valid_sql(child)
