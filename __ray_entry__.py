@@ -321,6 +321,11 @@ BLOCKED_HOSTS = ["host3.example.org", "spam.example.net"]
 # sf0.01 (host3 blocked, the rest kept) — same rationale as
 # CLEAN_LINES_KW/GOPHER_KW; integer-exact rules, no float thresholds
 HOSTCURE_KW = dict(max_dup_pct=10, min_mean_tokens=310, min_docs=100)
+# per-host page cap for the top_hosts slot's kind='cap' part: fixture
+# hosts carry ~180 docs at sf0.001 and ~1800 at sf0.01, so K=120 caps
+# every real host at BOTH scales while keeping the ''/null-url groups
+# intact (non-degenerate in each direction)
+CAP_K = 120
 
 
 DSIR_K = 150
@@ -833,11 +838,13 @@ def _q_top_hosts(sf_dir: str):
     integer-exact blocked verdict learned from the corpus itself;
     'kept' = pages surviving filter_by_host against those verdicts
     (broadcast path; the join path is pinned output-identical in
-    tests/test_hostcure.py)."""
+    tests/test_hostcure.py); 'cap' = pages surviving cap_per_host's
+    per-host page cap (RANK <= CAP_K, tests/test_freshness.py)."""
     import pandas as pd
     import ray.data
 
     from shaclapi_ray.io import read_parquet
+    from shaclapi_ray.pipelines.freshness import cap_per_host
     from shaclapi_ray.pipelines.hostcure import filter_by_host, host_curation
     from shaclapi_ray.stages.aggregates import grouped_count
     from shaclapi_ray.stages.links import extract_links
@@ -880,7 +887,19 @@ def _q_top_hosts(sf_dir: str):
     kept = pd.DataFrame(
         {"key": kdf["url"], "kind": "kept", "value": "", "extra": ""}
     )
-    out = pd.concat([top, cure, kept], ignore_index=True)
+    capped = cap_per_host(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url", "warc_ts", "text"]),
+        CAP_K,
+    ).to_pandas()
+    cap = pd.DataFrame(
+        {
+            "key": capped["url"],
+            "kind": "cap",
+            "value": capped["warc_ts"].astype("int64").astype(str),
+            "extra": "",
+        }
+    )
+    out = pd.concat([top, cure, kept, cap], ignore_index=True)
     return out.sort_values(
         ["kind", "key", "value"], na_position="first", kind="mergesort"
     ).reset_index(drop=True)
@@ -918,6 +937,7 @@ def _q_basic_shape_verdicts(sf_dir: str):
 
 def _q_extract_canonicalize(sf_dir: str):
     """extract_text + url_canonicalize + filter_hosts (domain blocklist)
+    + latest_snapshot (recrawl freshness dedup: newest capture per url)
     as a kind-tagged union (a join on url would mis-multiply: the
     fixture plants duplicate urls)."""
     import pandas as pd
@@ -928,6 +948,7 @@ def _q_extract_canonicalize(sf_dir: str):
         filter_hosts,
         url_canonicalize,
     )
+    from shaclapi_ray.pipelines.freshness import latest_snapshot
 
     pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
     et = extract_text(pages).to_pandas()
@@ -961,8 +982,20 @@ def _q_extract_canonicalize(sf_dir: str):
             "extra": fh["host"],
         }
     )
+    ls = latest_snapshot(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url", "warc_ts", "text"])
+    ).to_pandas()
+    part4 = pd.DataFrame(
+        {
+            "url": ls["url"],
+            "kind": "latest",
+            "value": ls["warc_ts"].astype("int64").astype(str),
+            "extra": "",
+        }
+    )
     return _sorted(
-        pd.concat([part1, part2, part3], ignore_index=True), ["url", "kind", "value"]
+        pd.concat([part1, part2, part3, part4], ignore_index=True),
+        ["url", "kind", "value"],
     )
 
 
@@ -1530,6 +1563,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 f"AS value, host AS extra "
                 f"FROM ({o.filter_hosts_sql(pages_dir, BLOCKED_HOSTS)})",
             ),
+            (
+                "latest",
+                f"SELECT url, CAST(ts AS VARCHAR) AS value, '' AS extra "
+                f"FROM ({o.latest_snapshot_sql(pages_dir)})",
+            ),
         ],
         tag_col="kind",
         order="url, kind, value",
@@ -1575,6 +1613,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 "kept",
                 f"SELECT url AS key, '' AS value, '' AS extra "
                 f"FROM ({o.filter_by_host_sql(pages_dir, **HOSTCURE_KW)})",
+            ),
+            (
+                "cap",
+                f"SELECT url AS key, CAST(ts AS VARCHAR) AS value, '' AS extra "
+                f"FROM ({o.cap_per_host_sql(pages_dir, CAP_K)})",
             ),
         ],
         tag_col="kind",

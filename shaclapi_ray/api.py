@@ -342,6 +342,8 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "url_canonicalize": "shaclapi_ray.pipelines.extract:url_canonicalize",
     "filter_hosts": "shaclapi_ray.pipelines.extract:filter_hosts",
     "host_curation": "shaclapi_ray.pipelines.hostcure:host_curation",
+    "latest_snapshot": "shaclapi_ray.pipelines.freshness:latest_snapshot",
+    "cap_per_host": "shaclapi_ray.pipelines.freshness:cap_per_host",
     # events-table operators
     "tumbling_window": "shaclapi_ray.pipelines.events:tumbling_window",
     "hopping_window": "shaclapi_ray.pipelines.events:hopping_window",

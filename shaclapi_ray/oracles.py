@@ -229,6 +229,67 @@ ORDER BY url NULLS FIRST
 """
 
 
+_TS_MIN = -9223372036854775808  # null warc_ts sorts oldest on both sides
+
+
+def latest_snapshot_sql(pages_dir: str) -> str:
+    """Mirror of pipelines.freshness.latest_snapshot: keep each url's
+    newest capture — max (warc_ts, md5(text)) per url group (NULL urls
+    their own group) — with keep-all-ties semantics: the winner's VALUE
+    tuple is joined back, so rows byte-identical in (url, warc_ts, text)
+    all survive (exact_dedup owns collapsing those). The md5 tie-break
+    is DuckDB md5_number_lower/upper == stages/md5kernel.md5_pair.
+    Returns (url, ts) with ts = epoch microseconds."""
+    return f"""
+WITH r AS (
+  SELECT url,
+         coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts,
+         md5_number_lower(coalesce(text, '')) AS tl,
+         md5_number_upper(coalesce(text, '')) AS tu
+  FROM {pages_rel(pages_dir)}
+),
+w AS (
+  SELECT url, ts, tl, tu,
+         row_number() OVER (
+           PARTITION BY url ORDER BY ts DESC, tl DESC, tu DESC
+         ) AS rn
+  FROM r
+)
+SELECT r.url AS url, r.ts AS ts
+FROM r JOIN (SELECT url, ts, tl, tu FROM w WHERE rn = 1) AS b
+  ON r.url IS NOT DISTINCT FROM b.url
+ AND r.ts = b.ts AND r.tl = b.tl AND r.tu = b.tu
+ORDER BY r.url NULLS FIRST, r.ts
+"""
+
+
+def cap_per_host_sql(pages_dir: str, k: int) -> str:
+    """Mirror of pipelines.freshness.cap_per_host: RANK() <= k per host
+    over the total order (url NULLS FIRST, warc_ts, md5(text)) — RANK
+    (not ROW_NUMBER) so tuple-identical rows share fate on both sides.
+    Host = the literal top_hosts/links regex over the page's own url."""
+    return f"""
+WITH r AS (
+  SELECT url,
+         COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS host,
+         coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts,
+         md5_number_lower(coalesce(text, '')) AS tl,
+         md5_number_upper(coalesce(text, '')) AS tu
+  FROM {pages_rel(pages_dir)}
+),
+w AS (
+  SELECT url, host, ts, tl, tu,
+         rank() OVER (
+           PARTITION BY host
+           ORDER BY url ASC NULLS FIRST, ts ASC, tl ASC, tu ASC
+         ) AS rk
+  FROM r
+)
+SELECT url, host, ts FROM w WHERE rk <= {k}
+ORDER BY url NULLS FIRST, ts
+"""
+
+
 def linked_page_verdicts_sql(pages_dir: str) -> str:
     child = target_page_shape()
     child_valid = _shape_valid_sql(child)

@@ -1,0 +1,383 @@
+"""Recrawl freshness + per-host caps: keyed winner-set page filters.
+
+Two classic Common-Crawl-shaped curation operators over the pages table:
+
+- ``latest_snapshot``: a url is recrawled across snapshots; keep only
+  each url's newest capture (max ``warc_ts``, md5-of-text tie-break).
+  This is url-level dedup by freshness — the first pass of every CC
+  pipeline before content-level dedup.
+- ``cap_per_host``: keep at most ``k`` pages per host in a
+  deterministic total order (RANK ≤ k, ties keep together) — the
+  anti-monoculture cap web pipelines apply so one giant host cannot
+  dominate the corpus.
+
+Reference analog: none (beyond-reference training-data operators per
+the brief); the narrow-exchange → winner-set → filter shape mirrors
+``pipelines/hostcure.py`` and the engine's child-verdict collect.
+
+Exactness contract (mirrors the SQL oracle bit-for-bit):
+- Keys are the FULL 128-bit md5 of the url (``md5_pair`` ==
+  DuckDB ``md5_number_lower``/``_upper``) plus an ``isnull`` bit, so
+  NULL urls form their own group distinct from the '' url group and
+  64-bit birthday collisions at 10^12 urls cannot merge groups.
+- Winners carry the row's (ts, md5(text)) value tuple; a row survives
+  iff its own tuple equals its key's winner tuple. Rows byte-identical
+  in (url, warc_ts, text) therefore share fate on BOTH sides (the SQL
+  mirror joins the winner tuple instead of ROW_NUMBER-ing, so exact
+  full duplicates are kept together — downstream exact_dedup owns
+  collapsing those).
+- String order is UTF-8 byte order on both sides (polars/pyarrow
+  codepoint order == DuckDB binary collation: UTF-8 preserves
+  codepoint order).
+
+Scale notes (100 TB):
+- Pass 1 emits per-batch pre-reduced narrow candidates
+  (hu_lo, hu_hi, isnull, ts, th_lo, th_hi) — html/text never leave
+  the scan.
+- Winner resolution: one driver-side reduce below DRIVER_MERGE_LIMIT
+  candidate rows, else one groupby(hu_lo) shuffle of the narrow
+  candidates (a 64-bit prefix group is a handful of rows).
+- The filter applies winners back either as a broadcast sorted
+  (hu_lo, hu_hi)-keyed tuple table (zero per-task setup, loud
+  WINNER_BROADCAST_LIMIT ceiling — right for ≤50M distinct urls) or
+  as a hash-partitioned keyed join (``strategy='join'`` — the 100-TB
+  path, since #winners ~= #distinct urls; output-identical by test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from shaclapi_ray.stages.aggregates import DRIVER_MERGE_LIMIT
+from shaclapi_ray.stages.md5kernel import md5_pair
+
+# broadcast winner-table ceiling (6 x 8 B columns per entry)
+WINNER_BROADCAST_LIMIT = 50_000_000
+
+_KEY = ["hu_lo", "hu_hi", "isnull"]
+_VAL = ["ts", "th_lo", "th_hi"]
+
+
+def _keyed(batch: pa.Table, url_col: str, ts_col: str, text_col: str) -> pl.DataFrame:
+    """Narrow key/value frame for one batch: 128-bit url key + null bit,
+    int64 ts, 128-bit text hash (the deterministic tie-break)."""
+    url = batch[url_col].combine_chunks() if isinstance(
+        batch[url_col], pa.ChunkedArray
+    ) else batch[url_col]
+    isnull = pc.is_null(url).to_numpy(zero_copy_only=False)
+    hu_lo, hu_hi = md5_pair(pc.fill_null(url, ""))
+    th_lo, th_hi = md5_pair(pc.fill_null(batch[text_col], ""))
+    # null ts sorts OLDEST (int64 min) on both sides — the SQL mirror is
+    # coalesce(epoch_us(ts), -9223372036854775808)
+    ts = pc.fill_null(
+        pc.cast(batch[ts_col], pa.int64()), np.iinfo(np.int64).min
+    ).to_numpy(zero_copy_only=False)
+    return pl.DataFrame(
+        {
+            "hu_lo": hu_lo,
+            "hu_hi": hu_hi,
+            "isnull": isnull,
+            "ts": ts,
+            "th_lo": th_lo,
+            "th_hi": th_hi,
+        }
+    )
+
+
+def _reduce_latest(df: pl.DataFrame) -> pl.DataFrame:
+    """Per-key max (ts, th_lo, th_hi) — the newest capture, md5 tie-break."""
+    return (
+        df.sort(_VAL, descending=True)
+        .group_by(_KEY, maintain_order=True)
+        .first()
+    )
+
+
+def _winner_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("hu_lo", pa.uint64()),
+            ("hu_hi", pa.uint64()),
+            ("isnull", pa.bool_()),
+            ("ts", pa.int64()),
+            ("th_lo", pa.uint64()),
+            ("th_hi", pa.uint64()),
+        ]
+    )
+
+
+def _resolve_winners(pages_ds, url_col, ts_col, text_col, mode):
+    """Candidate pass + combine -> winner Dataset (one row per url key)."""
+    import ray
+    import ray.data
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _winner_schema().empty_table()
+        return _reduce_latest(_keyed(batch, url_col, ts_col, text_col)).to_arrow().cast(
+            _winner_schema()
+        )
+
+    partials = pages_ds.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def group_reduce(group: pa.Table) -> pa.Table:
+        return _reduce_latest(pl.from_arrow(group)).to_arrow().cast(_winner_schema())
+
+    if mode == "shuffle":
+        return partials.groupby("hu_lo").map_groups(
+            group_reduce, batch_format="pyarrow"
+        )
+    partials = partials.materialize()
+    if mode != "driver" and partials.count() > DRIVER_MERGE_LIMIT:
+        return partials.groupby("hu_lo").map_groups(
+            group_reduce, batch_format="pyarrow"
+        )
+    tables = [t for r in partials.to_arrow_refs() if (t := ray.get(r)).num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table({}, schema=_winner_schema()))
+    merged = _reduce_latest(pl.from_arrow(pa.concat_tables(tables)))
+    return ray.data.from_arrow(merged.to_arrow().cast(_winner_schema()))
+
+
+def _probe_kept(kept: pa.Table, probe: pl.DataFrame) -> np.ndarray:
+    """True per probe row iff its FULL (key, value) tuple appears in the
+    kept table. kept is lexsorted by (hu_lo, hu_hi); probe runs over the
+    (usually length-1) hu_lo run — run length is bounded by rows kept
+    per url key plus rare 64-bit prefix collisions."""
+    hul = kept["hu_lo"].to_numpy(zero_copy_only=False)
+    if len(hul) == 0:
+        return np.zeros(len(probe), dtype=bool)
+    cols = {c: kept[c].to_numpy(zero_copy_only=False) for c in _KEY + _VAL}
+    p = {c: probe[c].to_numpy() for c in _KEY + _VAL}
+    lo = np.searchsorted(hul, p["hu_lo"], side="left")
+    hi = np.searchsorted(hul, p["hu_lo"], side="right")
+    match = np.zeros(len(probe), dtype=bool)
+    max_run = int((hi - lo).max()) if len(lo) else 0
+    for k in range(max_run):
+        idx = lo + k
+        valid = idx < hi
+        idx_c = np.where(valid, idx, 0)
+        row_eq = valid
+        for c in _KEY[1:] + _VAL:
+            row_eq = row_eq & (cols[c][idx_c] == p[c])
+        match |= row_eq
+    return match
+
+
+def _filter_by_kept(pages_ds, kept_ds, url_col, ts_col, text_col, strategy):
+    """Keep pages whose (key, value) tuple is in the kept set."""
+    import ray
+
+    if strategy == "broadcast":
+        tables = [t for r in kept_ds.to_arrow_refs() if (t := ray.get(r)).num_rows]
+        if not tables:
+            return pages_ds.map_batches(
+                lambda t: t.slice(0, 0), batch_format="pyarrow"
+            )
+        kept = pa.concat_tables(tables).combine_chunks()
+        if kept.num_rows > WINNER_BROADCAST_LIMIT:
+            raise ValueError(
+                f"{kept.num_rows} kept tuples exceed WINNER_BROADCAST_LIMIT "
+                f"({WINNER_BROADCAST_LIMIT}); use strategy='join'"
+            )
+        order = np.lexsort(
+            (
+                kept["hu_hi"].to_numpy(zero_copy_only=False),
+                kept["hu_lo"].to_numpy(zero_copy_only=False),
+            )
+        )
+        kept = kept.take(pa.array(order))
+        ref = ray.put(kept)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            probe = _keyed(batch, url_col, ts_col, text_col)
+            return batch.filter(pa.array(_probe_kept(ray.get(ref), probe)))
+
+        return pages_ds.map_batches(keep, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    if strategy == "join":
+        from shaclapi_ray.stages.joins import drop_empty_blocks
+        from shaclapi_ray.stages.referential import clamp_partitions
+
+        # keyed join on the 128-bit url key, exact equality filter after
+        def key_pages(batch: pa.Table) -> pa.Table:
+            probe = _keyed(batch, url_col, ts_col, text_col)
+            out = batch
+            for c in _KEY + _VAL:
+                out = out.append_column(
+                    f"_p_{c}", pa.array(probe[c].to_numpy())
+                )
+            return out
+
+        def key_kept(t: pa.Table) -> pa.Table:
+            cols = {f"_k_{c}": t[c] for c in _KEY + _VAL}
+            cols["_p_hu_lo"] = t["hu_lo"]
+            cols["_p_hu_hi"] = t["hu_hi"]
+            return pa.table(cols)
+
+        keyed_nb = drop_empty_blocks(
+            pages_ds.map_batches(key_pages, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        )
+        kept_nb = drop_empty_blocks(
+            kept_ds.map_batches(key_kept, batch_format="pyarrow")
+        )
+        if keyed_nb is None:
+            return pages_ds
+        if kept_nb is None:
+            return pages_ds.map_batches(
+                lambda t: t.slice(0, 0), batch_format="pyarrow"
+            )
+        joined = keyed_nb.join(
+            kept_nb,
+            join_type="left_outer",
+            num_partitions=clamp_partitions(None),
+            on=("_p_hu_lo", "_p_hu_hi"),
+        )
+
+        def keep(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            m = np.ones(t.num_rows, dtype=bool)
+            m &= pc.fill_null(
+                pc.equal(t["_k_isnull"], t["_p_isnull"]), False
+            ).to_numpy(zero_copy_only=False)
+            for c in _VAL:
+                m &= pc.fill_null(
+                    pc.equal(t[f"_k_{c}"], t[f"_p_{c}"]), False
+                ).to_numpy(zero_copy_only=False)
+            aux = [c for c in t.column_names if c.startswith(("_p_", "_k_"))]
+            return t.filter(pa.array(m)).drop_columns(aux)
+
+        return joined.map_batches(keep, batch_format="pyarrow")
+
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def latest_snapshot(pages_ds, *, url_col: str = "url", ts_col: str = "warc_ts",
+                    text_col: str = "text", mode: str = "auto",
+                    strategy: str = "broadcast"):
+    """Keep each url's newest capture: max (warc_ts, md5(text)) per url
+    key (NULL urls are their own group). Rows tying the winner tuple
+    exactly (byte-identical url/ts/text) are all kept — exact_dedup owns
+    collapsing full duplicates. ``mode`` picks the winner-resolution
+    path ('auto'/'driver'/'shuffle'); ``strategy`` the filter path
+    ('broadcast'/'join'). All paths pinned output-identical by test."""
+    winners = _resolve_winners(pages_ds, url_col, ts_col, text_col, mode)
+    if strategy == "broadcast":
+        winners = winners.materialize()
+    return _filter_by_kept(pages_ds, winners, url_col, ts_col, text_col, strategy)
+
+
+def _rank_group(group: pa.Table, k: int) -> pa.Table:
+    """Within one host-hash group: RANK rows by (url NULLS FIRST, ts,
+    th_lo, th_hi) per host and keep rank <= k (ties keep together)."""
+    df = pl.from_arrow(group)
+    order = ["hh_lo", "hh_hi", "notnull", "url"] + _VAL
+    df = df.sort(order)
+    key_cols = ["hh_lo", "hh_hi"]
+    tup_cols = ["notnull", "url"] + _VAL
+    # RANK = 1 + count of strictly-smaller tuples in the host group:
+    # new-tuple flags within each host, cumulative position of the
+    # current tuple's first row
+    df = df.with_columns(
+        pl.int_range(pl.len()).over(key_cols).alias("_pos"),
+        (
+            pl.any_horizontal(
+                *[
+                    pl.col(c).ne_missing(pl.col(c).shift(1))
+                    for c in tup_cols
+                ]
+            )
+            .fill_null(True)
+            .over(key_cols)
+        ).alias("_new"),
+    )
+    df = df.with_columns(
+        pl.when(pl.col("_new"))
+        .then(pl.col("_pos") + 1)
+        .otherwise(None)
+        .alias("_rank_start")
+    )
+    df = df.with_columns(
+        pl.col("_rank_start").forward_fill().over(key_cols).alias("_rank")
+    )
+    kept = df.filter(pl.col("_rank") <= k)
+    # tuple-identical kept rows collapse to ONE kept entry so the join
+    # path cannot multiply a surviving page row
+    return (
+        kept.select(_KEY + _VAL).unique().to_arrow().cast(_winner_schema())
+    )
+
+
+def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
+                 ts_col: str = "warc_ts", text_col: str = "text",
+                 strategy: str = "broadcast"):
+    """Keep at most ``k`` pages per host: RANK() over (url NULLS FIRST,
+    warc_ts, md5(text)) within host, keep rank <= k — rows with
+    byte-identical (url, ts, text) share a rank and keep/drop together
+    on both the Ray and SQL sides. Host = the repo-standard regex over
+    the page's own url (COALESCE to ''). One narrow (host-hash-keyed)
+    exchange ranks; the kept set applies back via broadcast (<=50M kept
+    tuples, loud above) or ``strategy='join'``."""
+    import ray
+
+    from shaclapi_ray.pipelines.hostcure import _host_expr
+
+    def keyed_with_host(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _cap_schema().empty_table()
+        probe = _keyed(batch, url_col, ts_col, text_col)
+        hh_lo, hh_hi = md5_pair(_host_expr(batch[url_col]))
+        url = pc.fill_null(batch[url_col], "")
+        return pa.table(
+            {
+                "hh_lo": pa.array(hh_lo),
+                "hh_hi": pa.array(hh_hi),
+                "notnull": pa.array(~probe["isnull"].to_numpy()),
+                "url": url.combine_chunks()
+                if isinstance(url, pa.ChunkedArray)
+                else url,
+                "hu_lo": pa.array(probe["hu_lo"].to_numpy()),
+                "hu_hi": pa.array(probe["hu_hi"].to_numpy()),
+                "isnull": pa.array(probe["isnull"].to_numpy()),
+                "ts": pa.array(probe["ts"].to_numpy()),
+                "th_lo": pa.array(probe["th_lo"].to_numpy()),
+                "th_hi": pa.array(probe["th_hi"].to_numpy()),
+            }
+        )
+
+    narrow = pages_ds.map_batches(
+        keyed_with_host, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = narrow.groupby("hh_lo").map_groups(
+        lambda g: _rank_group(g, k), batch_format="pyarrow"
+    )
+    if strategy == "broadcast":
+        kept = kept.materialize()
+    return _filter_by_kept(pages_ds, kept, url_col, ts_col, text_col, strategy)
+
+
+def _cap_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("hh_lo", pa.uint64()),
+            ("hh_hi", pa.uint64()),
+            ("notnull", pa.bool_()),
+            ("url", pa.string()),
+            ("hu_lo", pa.uint64()),
+            ("hu_hi", pa.uint64()),
+            ("isnull", pa.bool_()),
+            ("ts", pa.int64()),
+            ("th_lo", pa.uint64()),
+            ("th_hi", pa.uint64()),
+        ]
+    )

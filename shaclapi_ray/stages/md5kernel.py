@@ -57,6 +57,41 @@ def md5_low64(strings: pa.Array) -> np.ndarray:
     return out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
 
 
+def md5_pair(strings: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) uint64 md5 halves per string — exactly DuckDB
+    ``(md5_number_lower, md5_number_upper)`` (lo = digest bytes 8..15
+    little-endian, hi = bytes 0..7 little-endian; both UBIGINT, so
+    ordering comparisons agree with numpy uint64). The 128-bit pair is
+    the collision-proof key form (cf. exact_dedup's h1/h2) where a
+    single 64-bit hash would birthday-collide at 10^12 keys.
+    Null-free input expected."""
+    arr = (
+        strings.combine_chunks()
+        if isinstance(strings, pa.ChunkedArray)
+        else strings
+    )
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    try:
+        con = _duck()
+    except ImportError:  # pragma: no cover - duckdb is baked into the env
+        lo = np.empty(len(arr), dtype=np.uint64)
+        hi = np.empty(len(arr), dtype=np.uint64)
+        for i, t in enumerate(arr.to_pylist()):
+            d = hashlib.md5(t.encode()).digest()
+            lo[i] = int.from_bytes(d[8:], "little")
+            hi[i] = int.from_bytes(d[:8], "little")
+        return lo, hi
+    _scan = pa.table({"t": arr})  # noqa: F841 - replacement scan target
+    out = con.execute(
+        "SELECT md5_number_lower(t) AS l, md5_number_upper(t) AS u FROM _scan"
+    ).fetch_arrow_table()
+    return (
+        out["l"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64),
+        out["u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64),
+    )
+
+
 def md5_hex(strings: pa.Array) -> pa.Array:
     """Hex md5 digest per string (nulls pass through as nulls) —
     exactly DuckDB ``md5`` / hashlib ``hexdigest``."""

@@ -1,0 +1,172 @@
+"""Freshness operators (pipelines/freshness.py): latest_snapshot winner
+semantics (newest ts, md5 tie-break, keep-all byte-identical ties, NULL
+vs '' url groups) and cap_per_host RANK semantics, with every
+mode/strategy pinned output-identical and the broadcast ceiling loud."""
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ts(us: int) -> int:
+    return us
+
+
+def _pages_table() -> pa.Table:
+    # u2's two rows share ts=5 and differ in text: the winner is the max
+    # (md5_lo, md5_hi) text; u3's two rows are byte-identical (keep-all)
+    urls = ["u1", "u1", "u1", "u2", "u2", "u3", "u3", None, None, ""]
+    ts = [10, 20, 30, 5, 5, 7, 7, 100, 200, 50]
+    txt = ["a", "b", "c", "t-one", "t-two", "same", "same", "n1", "n2", "e1"]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "text": pa.array(txt, pa.string()),
+        }
+    )
+
+
+def _ds():
+    import ray.data
+
+    return ray.data.from_arrow(_pages_table()).repartition(3)
+
+
+def _md5_key(t: str):
+    d = hashlib.md5(t.encode()).digest()
+    return (int.from_bytes(d[8:], "little"), int.from_bytes(d[:8], "little"))
+
+
+def _norm(ds):
+    df = ds.to_pandas()
+    df["ts"] = df["warc_ts"].astype("int64")
+    return (
+        df[["url", "ts", "text"]]
+        .sort_values(["url", "ts", "text"], na_position="first", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_latest_snapshot_semantics(ray_session):
+    from shaclapi_ray.pipelines.freshness import latest_snapshot
+
+    got = _norm(latest_snapshot(_ds()))
+    u2_winner = max(["t-one", "t-two"], key=_md5_key)
+    exp = pd.DataFrame(
+        {
+            "url": [None, "", "u1", "u2", "u3", "u3"],
+            "ts": [200, 50, 30, 5, 7, 7],
+            "text": ["n2", "e1", "c", u2_winner, "same", "same"],
+        }
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.parametrize("kw", [{"strategy": "join"}, {"mode": "shuffle"},
+                                {"mode": "driver"}])
+def test_latest_snapshot_paths_identical(ray_session, kw):
+    from shaclapi_ray.pipelines.freshness import latest_snapshot
+
+    base = _norm(latest_snapshot(_ds()))
+    pd.testing.assert_frame_equal(_norm(latest_snapshot(_ds(), **kw)), base)
+
+
+def test_latest_broadcast_ceiling_is_loud(ray_session, monkeypatch):
+    import shaclapi_ray.pipelines.freshness as f
+
+    monkeypatch.setattr(f, "WINNER_BROADCAST_LIMIT", 0)
+    with pytest.raises(ValueError, match="strategy='join'"):
+        f.latest_snapshot(_ds()).materialize()
+
+
+def _cap_pages() -> pa.Table:
+    # host a: 5 urls (cap bites); host b: 2 urls (under cap); the two
+    # a/p4 rows are byte-identical and straddle nothing — with k=4 the
+    # boundary rank-4 tuple is duplicated, so RANK keeps BOTH (6 rows
+    # survive for host a when k=4... no: rank of the duplicate pair is 4
+    # for both -> both kept, total 5 kept for host a)
+    urls = [f"http://a.x/p{i}" for i in range(5)] + [
+        "http://a.x/p4",  # byte-identical twin of the last a url
+        "http://b.x/q0",
+        "http://b.x/q1",
+    ]
+    ts = [1, 2, 3, 4, 5, 5, 9, 9]
+    txt = ["t0", "t1", "t2", "t3", "t4", "t4", "u0", "u1"]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "text": pa.array(txt, pa.string()),
+        }
+    )
+
+
+def test_cap_per_host_rank_semantics(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import cap_per_host
+
+    ds = ray.data.from_arrow(_cap_pages()).repartition(3)
+    got = cap_per_host(ds, 3).to_pandas()
+    # host a ordered by url: p0,p1,p2 kept (rank 1..3); p3,p4,p4-twin
+    # dropped; host b fully under cap
+    assert sorted(got["url"]) == [
+        "http://a.x/p0",
+        "http://a.x/p1",
+        "http://a.x/p2",
+        "http://b.x/q0",
+        "http://b.x/q1",
+    ]
+
+
+def test_cap_per_host_rank_ties_keep_together(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import cap_per_host
+
+    ds = ray.data.from_arrow(_cap_pages()).repartition(3)
+    # k=5: the rank-5 tuple (p4) is byte-identical twice -> RANK keeps
+    # both copies (keep-all ties), host a yields 6 rows
+    got = cap_per_host(ds, 5).to_pandas()
+    assert len(got) == 8
+    assert (got["url"] == "http://a.x/p4").sum() == 2
+
+
+def test_cap_paths_identical(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import cap_per_host
+
+    ds = ray.data.from_arrow(_cap_pages()).repartition(3)
+    a = cap_per_host(ds, 3).to_pandas().sort_values("url").reset_index(drop=True)
+    ds2 = ray.data.from_arrow(_cap_pages()).repartition(3)
+    b = (
+        cap_per_host(ds2, 3, strategy="join")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cap_null_and_empty_urls_share_blank_host(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import cap_per_host
+
+    t = pa.table(
+        {
+            "url": pa.array([None, None, "", "rel/x"], pa.string()),
+            "warc_ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    # all four rows share host '' -> order (NULLS FIRST, then '', then
+    # 'rel/x'); k=2 keeps the two null-url rows
+    got = cap_per_host(ds, 2).to_pandas()
+    assert len(got) == 2
+    assert got["url"].isna().all()
