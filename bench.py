@@ -301,6 +301,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("decontaminate", lambda: decontaminate(docs).count(), rows=n_doc_rows)
     timed("doc_frequency", lambda: doc_frequency(docs, min_df=2).count(), rows=n_doc_rows)
 
+    from shaclapi_ray.pipelines.freshness import cap_per_host, latest_snapshot
+    from shaclapi_ray.pipelines.hostcure import host_curation
+
+    timed(
+        "host_curation",
+        lambda: host_curation(
+            read_parquet(pages_dir, columns=["url", "text"]),
+            max_dup_pct=10, min_mean_tokens=310, min_docs=100,
+        ).count(),
+        rows=n_docs,
+    )
+    timed(
+        "latest_snapshot",
+        lambda: latest_snapshot(
+            read_parquet(pages_dir, columns=["url", "warc_ts", "text"])
+        ).count(),
+        rows=n_docs,
+    )
+    timed(
+        "cap_per_host",
+        lambda: cap_per_host(
+            read_parquet(pages_dir, columns=["url", "warc_ts", "text"]), 1200
+        ).count(),
+        rows=n_docs,
+    )
+
     from shaclapi_ray.pipelines.spans import (
         dup_span_coverage,
         pack_sequences,

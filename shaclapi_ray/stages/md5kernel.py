@@ -83,13 +83,19 @@ def md5_pair(strings: pa.Array) -> tuple[np.ndarray, np.ndarray]:
             hi[i] = int.from_bytes(d[:8], "little")
         return lo, hi
     _scan = pa.table({"t": arr})  # noqa: F841 - replacement scan target
-    out = con.execute(
-        "SELECT md5_number_lower(t) AS l, md5_number_upper(t) AS u FROM _scan"
-    ).fetch_arrow_table()
-    return (
-        out["l"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64),
-        out["u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64),
-    )
+    # ONE digest per string: md5_number_lower + md5_number_upper would
+    # each hash the full input (2x the work); unhex(md5(t)) hashes once
+    # and numpy views the fixed 16-byte blobs into both halves
+    # (bit-identical to the two-call form — pinned by test)
+    out = con.execute("SELECT unhex(md5(t)) AS b FROM _scan").fetch_arrow_table()
+    col = out["b"].combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)
+    buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    m = buf[offs[0] : offs[-1]].reshape(-1, 16)
+    lo = np.ascontiguousarray(m[:, 8:]).view(np.uint64).ravel()
+    hi = np.ascontiguousarray(m[:, :8]).view(np.uint64).ravel()
+    return lo, hi
 
 
 def md5_hex(strings: pa.Array) -> pa.Array:

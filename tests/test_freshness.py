@@ -50,6 +50,30 @@ def _norm(ds):
     )
 
 
+def test_md5_pair_matches_duckdb_and_hashlib():
+    """md5_pair's single-digest unhex path must stay bit-identical to
+    DuckDB's md5_number_lower/md5_number_upper AND the hashlib fallback
+    convention (lo = digest[8:] LE, hi = digest[:8] LE)."""
+    import duckdb
+    import numpy as np
+
+    from shaclapi_ray.stages.md5kernel import md5_pair
+
+    vals = ["", "abc", "日本語テキスト", "x" * 5000, "a\tb\nc"]
+    lo, hi = md5_pair(pa.array(vals, pa.string()))
+    con = duckdb.connect()
+    _scan = pa.table({"t": pa.array(vals)})  # noqa: F841
+    ref = con.execute(
+        "SELECT md5_number_lower(t) l, md5_number_upper(t) u FROM _scan"
+    ).fetch_arrow_table()
+    assert (lo == ref["l"].to_numpy().astype(np.uint64)).all()
+    assert (hi == ref["u"].to_numpy().astype(np.uint64)).all()
+    for i, v in enumerate(vals):
+        d = hashlib.md5(v.encode()).digest()
+        assert lo[i] == int.from_bytes(d[8:], "little")
+        assert hi[i] == int.from_bytes(d[:8], "little")
+
+
 def test_latest_snapshot_semantics(ray_session):
     from shaclapi_ray.pipelines.freshness import latest_snapshot
 

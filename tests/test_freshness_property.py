@@ -1,0 +1,95 @@
+"""Property tests: latest_snapshot and cap_per_host vs their DuckDB
+oracles on randomized page tables built to collide — duplicate urls,
+NULL and '' urls, tied timestamps, byte-identical rows — the exact
+inputs where the keep-all-ties / RANK semantics can silently diverge."""
+
+import os
+import uuid
+
+import duckdb
+import hypothesis.strategies as st
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+from hypothesis import given, settings
+
+_URLS = st.sampled_from(
+    [
+        None,
+        "",
+        "http://a.x/p0",
+        "http://a.x/p1",
+        "http://a.x/p2",
+        "http://b.y/q",
+        "rel/path",
+        "http://a.x/p0",  # double weight: url collisions likely
+    ]
+)
+_TS = st.integers(min_value=0, max_value=3)  # tiny range: tied ts likely
+_TEXTS = st.sampled_from([None, "", "t", "tt", "日本", "t"])
+
+_ROWS = st.lists(
+    st.tuples(_URLS, _TS, _TEXTS), min_size=1, max_size=14
+)
+
+_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("text", pa.string()),
+    ]
+)
+
+
+def _write(rows) -> str:
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    d = f"/tmp/freshness_prop/{uuid.uuid4().hex}"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/part-0.parquet")
+    return d
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(list(df.columns), na_position="first", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(rows=_ROWS)
+def test_latest_snapshot_matches_duckdb(ray_session, rows):
+    from shaclapi_ray.oracles import latest_snapshot_sql
+    from shaclapi_ray.pipelines.freshness import latest_snapshot
+
+    d = _write(rows)
+    out = latest_snapshot(ray.data.read_parquet(d).repartition(2)).to_pandas()
+    out["ts"] = out["warc_ts"].astype("int64")
+    exp = duckdb.connect().execute(latest_snapshot_sql(d)).df()
+    pd.testing.assert_frame_equal(
+        _norm(out[["url", "ts"]]).astype({"ts": "int64"}),
+        _norm(exp).astype({"ts": "int64"}),
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(rows=_ROWS, k=st.integers(min_value=1, max_value=4))
+def test_cap_per_host_matches_duckdb(ray_session, rows, k):
+    from shaclapi_ray.oracles import cap_per_host_sql
+    from shaclapi_ray.pipelines.freshness import cap_per_host
+
+    d = _write(rows)
+    out = cap_per_host(ray.data.read_parquet(d).repartition(2), k).to_pandas()
+    out["ts"] = out["warc_ts"].astype("int64")
+    exp = duckdb.connect().execute(cap_per_host_sql(d, k)).df()
+    pd.testing.assert_frame_equal(
+        _norm(out[["url", "ts"]]).astype({"ts": "int64"}),
+        _norm(exp[["url", "ts"]]).astype({"ts": "int64"}),
+    )
