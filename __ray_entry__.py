@@ -938,11 +938,13 @@ def _q_basic_shape_verdicts(sf_dir: str):
 def _q_extract_canonicalize(sf_dir: str):
     """extract_text + url_canonicalize + filter_hosts (domain blocklist)
     + latest_snapshot (recrawl freshness dedup: newest capture per url)
-    as a kind-tagged union (a join on url would mis-multiply: the
-    fixture plants duplicate urls)."""
+    + anchor_text_profile (per-target inbound anchor aggregation) as a
+    kind-tagged union (a join on url would mis-multiply: the fixture
+    plants duplicate urls, and anchor targets are a different key set)."""
     import pandas as pd
     import ray.data
 
+    from shaclapi_ray.pipelines.anchors import anchor_text_profile
     from shaclapi_ray.pipelines.extract import (
         extract_text,
         filter_hosts,
@@ -993,8 +995,23 @@ def _q_extract_canonicalize(sf_dir: str):
             "extra": "",
         }
     )
+    ap = anchor_text_profile(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    ).to_pandas()
+    part5 = pd.DataFrame(
+        {
+            "url": ap["target_url"],
+            "kind": "anchor",
+            "value": ap["top_anchor"],
+            "extra": ap["n_inlinks"].astype(str)
+            + "|"
+            + ap["n_unique_sources"].astype(str)
+            + "|"
+            + ap["n_distinct_anchors"].astype(str),
+        }
+    )
     return _sorted(
-        pd.concat([part1, part2, part3, part4], ignore_index=True),
+        pd.concat([part1, part2, part3, part4, part5], ignore_index=True),
         ["url", "kind", "value"],
     )
 
@@ -1567,6 +1584,13 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 "latest",
                 f"SELECT url, CAST(ts AS VARCHAR) AS value, '' AS extra "
                 f"FROM ({o.latest_snapshot_sql(pages_dir)})",
+            ),
+            (
+                "anchor",
+                f"SELECT target_url AS url, top_anchor AS value, "
+                f"n_inlinks || '|' || n_unique_sources || '|' || "
+                f"n_distinct_anchors AS extra "
+                f"FROM ({o.anchor_profile_sql(pages_dir)})",
             ),
         ],
         tag_col="kind",

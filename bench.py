@@ -327,6 +327,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_docs,
     )
 
+    from shaclapi_ray.pipelines.anchors import anchor_text_profile
+
+    timed(
+        "anchor_text_profile",
+        lambda: anchor_text_profile(
+            read_parquet(pages_dir, columns=["url", "html"])
+        ).count(),
+        rows=n_docs,
+    )
+
     from shaclapi_ray.pipelines.spans import (
         dup_span_coverage,
         pack_sequences,

@@ -344,6 +344,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "host_curation": "shaclapi_ray.pipelines.hostcure:host_curation",
     "latest_snapshot": "shaclapi_ray.pipelines.freshness:latest_snapshot",
     "cap_per_host": "shaclapi_ray.pipelines.freshness:cap_per_host",
+    "anchor_text_profile": "shaclapi_ray.pipelines.anchors:anchor_text_profile",
     # events-table operators
     "tumbling_window": "shaclapi_ray.pipelines.events:tumbling_window",
     "hopping_window": "shaclapi_ray.pipelines.events:hopping_window",

@@ -232,6 +232,49 @@ ORDER BY url NULLS FIRST
 _TS_MIN = -9223372036854775808  # null warc_ts sorts oldest on both sides
 
 
+def anchor_profile_sql(pages_dir: str) -> str:
+    """Mirror of pipelines.anchors.anchor_text_profile: per-target
+    inbound anchor aggregation (counts, distinct sources/anchors, most
+    frequent anchor with count-desc/lexicographic-asc tie-break).
+    Null-url source pages carry no links (matches links_sql)."""
+    pat = '<a href="([^"]+)"[^>]*>([^<]*)</a>'
+    return f"""
+WITH tags AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(decode(html), '{pat}', 0)) AS tag
+  FROM {pages_rel(pages_dir)} WHERE url IS NOT NULL
+),
+pairs AS (
+  SELECT src,
+         regexp_extract(tag, '{pat}', 1) AS target,
+         regexp_extract(tag, '{pat}', 2) AS anchor
+  FROM tags
+),
+pa_ AS (
+  SELECT target, anchor, count(*)::BIGINT AS n
+  FROM pairs GROUP BY target, anchor
+),
+top AS (
+  SELECT target, anchor AS top_anchor,
+         row_number() OVER (
+           PARTITION BY target ORDER BY n DESC, anchor ASC
+         ) AS rn
+  FROM pa_
+),
+agg AS (
+  SELECT target,
+         count(*)::BIGINT AS n_inlinks,
+         count(DISTINCT src)::BIGINT AS n_unique_sources,
+         count(DISTINCT anchor)::BIGINT AS n_distinct_anchors
+  FROM pairs GROUP BY target
+)
+SELECT agg.target AS target_url, n_inlinks, n_unique_sources,
+       n_distinct_anchors, t.top_anchor
+FROM agg JOIN top AS t ON agg.target = t.target AND t.rn = 1
+ORDER BY target_url
+"""
+
+
 def latest_snapshot_sql(pages_dir: str) -> str:
     """Mirror of pipelines.freshness.latest_snapshot: keep each url's
     newest capture — max (warc_ts, md5(text)) per url group (NULL urls
