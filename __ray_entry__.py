@@ -888,7 +888,7 @@ def _q_top_hosts(sf_dir: str):
         {"key": kdf["url"], "kind": "kept", "value": "", "extra": ""}
     )
     capped = cap_per_host(
-        ray.data.read_parquet(_pages(sf_dir), columns=["url", "warc_ts", "text"]),
+        ray.data.read_parquet(_pages(sf_dir), columns=["url", "warc_ts"]),
         CAP_K,
     ).to_pandas()
     cap = pd.DataFrame(

@@ -322,7 +322,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed(
         "cap_per_host",
         lambda: cap_per_host(
-            read_parquet(pages_dir, columns=["url", "warc_ts", "text"]), 1200
+            read_parquet(pages_dir, columns=["url", "warc_ts"]), 1200
         ).count(),
         rows=n_docs,
     )

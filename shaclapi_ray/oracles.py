@@ -308,23 +308,21 @@ ORDER BY r.url NULLS FIRST, r.ts
 
 def cap_per_host_sql(pages_dir: str, k: int) -> str:
     """Mirror of pipelines.freshness.cap_per_host: RANK() <= k per host
-    over the total order (url NULLS FIRST, warc_ts, md5(text)) — RANK
-    (not ROW_NUMBER) so tuple-identical rows share fate on both sides.
+    over the order (url NULLS FIRST, warc_ts) — RANK (not ROW_NUMBER)
+    so rows tying on (url, ts) share fate on both sides, which is why
+    neither side needs a text hash (or the text column) at all.
     Host = the literal top_hosts/links regex over the page's own url."""
     return f"""
 WITH r AS (
   SELECT url,
          COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS host,
-         coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts,
-         md5_number_lower(coalesce(text, '')) AS tl,
-         md5_number_upper(coalesce(text, '')) AS tu
+         coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts
   FROM {pages_rel(pages_dir)}
 ),
 w AS (
-  SELECT url, host, ts, tl, tu,
+  SELECT url, host, ts,
          rank() OVER (
-           PARTITION BY host
-           ORDER BY url ASC NULLS FIRST, ts ASC, tl ASC, tu ASC
+           PARTITION BY host ORDER BY url ASC NULLS FIRST, ts ASC
          ) AS rk
   FROM r
 )

@@ -59,32 +59,38 @@ WINNER_BROADCAST_LIMIT = 50_000_000
 
 _KEY = ["hu_lo", "hu_hi", "isnull"]
 _VAL = ["ts", "th_lo", "th_hi"]
+_VAL_TS = ["ts"]  # cap_per_host: no text hash in the order (see below)
 
 
-def _keyed(batch: pa.Table, url_col: str, ts_col: str, text_col: str) -> pl.DataFrame:
+def _keyed(batch: pa.Table, url_col: str, ts_col: str,
+           text_col: str | None) -> pl.DataFrame:
     """Narrow key/value frame for one batch: 128-bit url key + null bit,
-    int64 ts, 128-bit text hash (the deterministic tie-break)."""
+    int64 ts, and (when ``text_col`` is given) a 128-bit text hash as
+    the deterministic tie-break. cap_per_host passes text_col=None —
+    RANK keeps exact (url, ts) ties together anyway, so hashing every
+    document's text (the dominant compute at corpus scale) would buy
+    nothing."""
     url = batch[url_col].combine_chunks() if isinstance(
         batch[url_col], pa.ChunkedArray
     ) else batch[url_col]
     isnull = pc.is_null(url).to_numpy(zero_copy_only=False)
     hu_lo, hu_hi = md5_pair(pc.fill_null(url, ""))
-    th_lo, th_hi = md5_pair(pc.fill_null(batch[text_col], ""))
     # null ts sorts OLDEST (int64 min) on both sides — the SQL mirror is
     # coalesce(epoch_us(ts), -9223372036854775808)
     ts = pc.fill_null(
         pc.cast(batch[ts_col], pa.int64()), np.iinfo(np.int64).min
     ).to_numpy(zero_copy_only=False)
-    return pl.DataFrame(
-        {
-            "hu_lo": hu_lo,
-            "hu_hi": hu_hi,
-            "isnull": isnull,
-            "ts": ts,
-            "th_lo": th_lo,
-            "th_hi": th_hi,
-        }
-    )
+    cols = {
+        "hu_lo": hu_lo,
+        "hu_hi": hu_hi,
+        "isnull": isnull,
+        "ts": ts,
+    }
+    if text_col is not None:
+        cols["th_lo"], cols["th_hi"] = md5_pair(
+            pc.fill_null(batch[text_col], "")
+        )
+    return pl.DataFrame(cols)
 
 
 def _reduce_latest(df: pl.DataFrame) -> pl.DataFrame:
@@ -96,17 +102,18 @@ def _reduce_latest(df: pl.DataFrame) -> pl.DataFrame:
     )
 
 
-def _winner_schema() -> pa.Schema:
-    return pa.schema(
-        [
-            ("hu_lo", pa.uint64()),
-            ("hu_hi", pa.uint64()),
-            ("isnull", pa.bool_()),
-            ("ts", pa.int64()),
-            ("th_lo", pa.uint64()),
-            ("th_hi", pa.uint64()),
-        ]
-    )
+_FIELD_TYPES = {
+    "hu_lo": pa.uint64(),
+    "hu_hi": pa.uint64(),
+    "isnull": pa.bool_(),
+    "ts": pa.int64(),
+    "th_lo": pa.uint64(),
+    "th_hi": pa.uint64(),
+}
+
+
+def _winner_schema(vals: list[str] = _VAL) -> pa.Schema:
+    return pa.schema([(c, _FIELD_TYPES[c]) for c in _KEY + vals])
 
 
 def _resolve_winners(pages_ds, url_col, ts_col, text_col, mode):
@@ -144,7 +151,8 @@ def _resolve_winners(pages_ds, url_col, ts_col, text_col, mode):
     return ray.data.from_arrow(merged.to_arrow().cast(_winner_schema()))
 
 
-def _probe_kept(kept: pa.Table, probe: pl.DataFrame) -> np.ndarray:
+def _probe_kept(kept: pa.Table, probe: pl.DataFrame,
+                vals: list[str]) -> np.ndarray:
     """True per probe row iff its FULL (key, value) tuple appears in the
     kept table. kept is lexsorted by (hu_lo, hu_hi); probe runs over the
     (usually length-1) hu_lo run — run length is bounded by rows kept
@@ -152,8 +160,8 @@ def _probe_kept(kept: pa.Table, probe: pl.DataFrame) -> np.ndarray:
     hul = kept["hu_lo"].to_numpy(zero_copy_only=False)
     if len(hul) == 0:
         return np.zeros(len(probe), dtype=bool)
-    cols = {c: kept[c].to_numpy(zero_copy_only=False) for c in _KEY + _VAL}
-    p = {c: probe[c].to_numpy() for c in _KEY + _VAL}
+    cols = {c: kept[c].to_numpy(zero_copy_only=False) for c in _KEY + vals}
+    p = {c: probe[c].to_numpy() for c in _KEY + vals}
     lo = np.searchsorted(hul, p["hu_lo"], side="left")
     hi = np.searchsorted(hul, p["hu_lo"], side="right")
     match = np.zeros(len(probe), dtype=bool)
@@ -163,13 +171,14 @@ def _probe_kept(kept: pa.Table, probe: pl.DataFrame) -> np.ndarray:
         valid = idx < hi
         idx_c = np.where(valid, idx, 0)
         row_eq = valid
-        for c in _KEY[1:] + _VAL:
+        for c in _KEY[1:] + vals:
             row_eq = row_eq & (cols[c][idx_c] == p[c])
         match |= row_eq
     return match
 
 
-def _filter_by_kept(pages_ds, kept_ds, url_col, ts_col, text_col, strategy):
+def _filter_by_kept(pages_ds, kept_ds, url_col, ts_col, text_col, strategy,
+                    vals: list[str] = _VAL):
     """Keep pages whose (key, value) tuple is in the kept set."""
     import ray
 
@@ -198,7 +207,9 @@ def _filter_by_kept(pages_ds, kept_ds, url_col, ts_col, text_col, strategy):
             if batch.num_rows == 0:
                 return batch
             probe = _keyed(batch, url_col, ts_col, text_col)
-            return batch.filter(pa.array(_probe_kept(ray.get(ref), probe)))
+            return batch.filter(
+                pa.array(_probe_kept(ray.get(ref), probe, vals))
+            )
 
         return pages_ds.map_batches(keep, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -211,14 +222,14 @@ def _filter_by_kept(pages_ds, kept_ds, url_col, ts_col, text_col, strategy):
         def key_pages(batch: pa.Table) -> pa.Table:
             probe = _keyed(batch, url_col, ts_col, text_col)
             out = batch
-            for c in _KEY + _VAL:
+            for c in _KEY + vals:
                 out = out.append_column(
                     f"_p_{c}", pa.array(probe[c].to_numpy())
                 )
             return out
 
         def key_kept(t: pa.Table) -> pa.Table:
-            cols = {f"_k_{c}": t[c] for c in _KEY + _VAL}
+            cols = {f"_k_{c}": t[c] for c in _KEY + vals}
             cols["_p_hu_lo"] = t["hu_lo"]
             cols["_p_hu_hi"] = t["hu_hi"]
             return pa.table(cols)
@@ -250,7 +261,7 @@ def _filter_by_kept(pages_ds, kept_ds, url_col, ts_col, text_col, strategy):
             m &= pc.fill_null(
                 pc.equal(t["_k_isnull"], t["_p_isnull"]), False
             ).to_numpy(zero_copy_only=False)
-            for c in _VAL:
+            for c in vals:
                 m &= pc.fill_null(
                     pc.equal(t[f"_k_{c}"], t[f"_p_{c}"]), False
                 ).to_numpy(zero_copy_only=False)
@@ -279,12 +290,14 @@ def latest_snapshot(pages_ds, *, url_col: str = "url", ts_col: str = "warc_ts",
 
 def _rank_group(group: pa.Table, k: int) -> pa.Table:
     """Within one host-hash group: RANK rows by (url NULLS FIRST, ts,
-    th_lo, th_hi) per host and keep rank <= k (ties keep together)."""
+    per host and keep rank <= k (ties keep together). No text hash in
+    the order: RANK keeps exact (url, ts) ties together on both sides,
+    so hashing every document's text would buy nothing."""
     df = pl.from_arrow(group)
-    order = ["hh_lo", "hh_hi", "notnull", "url"] + _VAL
+    order = ["hh_lo", "hh_hi", "notnull", "url"] + _VAL_TS
     df = df.sort(order)
     key_cols = ["hh_lo", "hh_hi"]
-    tup_cols = ["notnull", "url"] + _VAL
+    tup_cols = ["notnull", "url"] + _VAL_TS
     # RANK = 1 + count of strictly-smaller tuples in the host group:
     # new-tuple flags within each host, cumulative position of the
     # current tuple's first row
@@ -314,20 +327,24 @@ def _rank_group(group: pa.Table, k: int) -> pa.Table:
     # tuple-identical kept rows collapse to ONE kept entry so the join
     # path cannot multiply a surviving page row
     return (
-        kept.select(_KEY + _VAL).unique().to_arrow().cast(_winner_schema())
+        kept.select(_KEY + _VAL_TS)
+        .unique()
+        .to_arrow()
+        .cast(_winner_schema(_VAL_TS))
     )
 
 
 def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
-                 ts_col: str = "warc_ts", text_col: str = "text",
-                 strategy: str = "broadcast"):
+                 ts_col: str = "warc_ts", strategy: str = "broadcast"):
     """Keep at most ``k`` pages per host: RANK() over (url NULLS FIRST,
-    warc_ts, md5(text)) within host, keep rank <= k — rows with
-    byte-identical (url, ts, text) share a rank and keep/drop together
-    on both the Ray and SQL sides. Host = the repo-standard regex over
-    the page's own url (COALESCE to ''). One narrow (host-hash-keyed)
-    exchange ranks; the kept set applies back via broadcast (<=50M kept
-    tuples, loud above) or ``strategy='join'``."""
+    warc_ts) within host, keep rank <= k — rows tying on (url, ts)
+    share a rank and keep/drop together on both the Ray and SQL sides,
+    so no text hashing (the dominant compute at corpus scale) is needed
+    anywhere in this operator and the text column is never read. Host =
+    the repo-standard regex over the page's own url (COALESCE to '').
+    One narrow (host-hash-keyed) exchange ranks; the kept set applies
+    back via broadcast (<=50M kept tuples, loud above) or
+    ``strategy='join'``."""
     import ray
 
     from shaclapi_ray.pipelines.hostcure import _host_expr
@@ -335,7 +352,7 @@ def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
     def keyed_with_host(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _cap_schema().empty_table()
-        probe = _keyed(batch, url_col, ts_col, text_col)
+        probe = _keyed(batch, url_col, ts_col, None)
         hh_lo, hh_hi = md5_pair(_host_expr(batch[url_col]))
         url = pc.fill_null(batch[url_col], "")
         return pa.table(
@@ -350,8 +367,6 @@ def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
                 "hu_hi": pa.array(probe["hu_hi"].to_numpy()),
                 "isnull": pa.array(probe["isnull"].to_numpy()),
                 "ts": pa.array(probe["ts"].to_numpy()),
-                "th_lo": pa.array(probe["th_lo"].to_numpy()),
-                "th_hi": pa.array(probe["th_hi"].to_numpy()),
             }
         )
 
@@ -363,7 +378,9 @@ def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
     )
     if strategy == "broadcast":
         kept = kept.materialize()
-    return _filter_by_kept(pages_ds, kept, url_col, ts_col, text_col, strategy)
+    return _filter_by_kept(
+        pages_ds, kept, url_col, ts_col, None, strategy, vals=_VAL_TS
+    )
 
 
 def _cap_schema() -> pa.Schema:
@@ -377,7 +394,5 @@ def _cap_schema() -> pa.Schema:
             ("hu_hi", pa.uint64()),
             ("isnull", pa.bool_()),
             ("ts", pa.int64()),
-            ("th_lo", pa.uint64()),
-            ("th_hi", pa.uint64()),
         ]
     )
