@@ -1,15 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this environment, so the
-DEFAULT decode step is a stub (clearly marked): `decode_stub='fake'`
-produces a deterministic feature vector from the bytes; `decode_stub=
-'error'` raises NotImplementedError exactly where a real decoder
-(PIL/torchaudio/ffmpeg) would plug in. `decode_stub='real'` is the
-ACTIVATION PATH: with pillow installed (`pip install pillow`), the
-featurize and resize stages decode/resize/re-encode real images — the
-import is try-gated, so the same code runs unchanged in both worlds.
-Everything Ray-side — schema, actor-pool stage shape, batch sizing for
-large binary payloads, output layout — is real and tested either way.
+Compressed image/audio decode libraries are not available in this
+environment, so the DEFAULT decode step is a stub (clearly marked):
+`decode_stub='fake'` produces a deterministic feature vector from the
+bytes; `decode_stub='error'` raises NotImplementedError exactly where a
+real decoder (PIL/torchaudio/ffmpeg) would plug in. Two REAL paths:
+`decode_stub='bmp'` decodes/resizes/re-encodes uncompressed 24-bit BMP
+payloads with the in-repo numpy codec (no dependencies — see
+encode_bmp/decode_bmp), and `decode_stub='real'` is the PIL ACTIVATION
+PATH for compressed formats: with pillow installed (`pip install
+pillow`) the same stages handle JPEG/PNG unchanged (the import is
+try-gated). Everything Ray-side — schema, actor-pool stage shape, batch
+sizing for large binary payloads, output layout — is real and tested in
+every mode.
 """
 
 from __future__ import annotations
@@ -28,6 +31,70 @@ try:  # pragma: no cover - not installed here
     _HAVE_PIL = True
 except ImportError:
     _HAVE_PIL = False
+
+
+# --------------------------------------------------------------------------
+# Real BMP codec — uncompressed 24-bit BI_RGB, the one raster format fully
+# decodable from the public spec with numpy alone (no codec libraries).
+# This upgrades the decode seam from "stub only" to "BMP real, compressed
+# formats stubbed": pipelines that carry BMP payloads decode/resize for
+# real in this environment; JPEG/PNG still need the PIL activation path.
+# --------------------------------------------------------------------------
+
+_BMP_HEADER = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP bytes."""
+    import struct
+
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    head = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER + len(body), 0, 0, _BMP_HEADER
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return head + body
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> (h, w, 3) uint8 RGB (top-down
+    and bottom-up row orders both handled). Raises ValueError on
+    anything that is not a plain BI_RGB 24bpp BMP."""
+    import struct
+
+    if len(raw) < _BMP_HEADER or raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", raw, 10)
+    w, h = struct.unpack_from("<ii", raw, 18)
+    (bpp,) = struct.unpack_from("<H", raw, 28)
+    (compression,) = struct.unpack_from("<I", raw, 30)
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB BMPs are decodable")
+    ah = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(raw) < offset + stride * ah:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * ah, offset=offset)
+    rgb = rows.reshape(ah, stride)[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]
+    return rgb[::-1] if h > 0 else rgb  # positive height = bottom-up
+
+
+def _gray(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma, float64."""
+    return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+def _nn_resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (H, W[, C]) array to (h, w[, C])."""
+    ys = (np.arange(h, dtype=np.int64) * img.shape[0]) // h
+    xs = (np.arange(w, dtype=np.int64) * img.shape[1]) // w
+    return img[ys][:, xs]
 
 
 def media_metadata(ds, binary_col: str = "html", id_col: str = "url"):
@@ -56,13 +123,32 @@ class MediaFeaturizer:
         if decode_stub == "real" and not _HAVE_PIL:
             raise NotImplementedError(
                 "real image decode requires PIL, not available in this "
-                "environment — use decode_stub='fake'"
+                "environment — use decode_stub='fake' (or 'bmp' for real "
+                "no-dependency BMP decode)"
             )
         self.mode = decode_stub
 
     def _decode(self, raw: bytes) -> np.ndarray:
         if self.mode == "error":
             raise NotImplementedError("decoder stub: no media libs installed")
+        if self.mode == "bmp":
+            # REAL decode (in-repo codec): same feature contract as the
+            # PIL path — 16x16 gray resample stats + true dimensions
+            rgb = decode_bmp(raw)
+            px = _gray(_nn_resize(rgb, 16, 16))
+            return np.array(
+                [
+                    rgb.shape[1],
+                    rgb.shape[0],
+                    px.mean(),
+                    px.std(),
+                    px[:8].mean(),
+                    px[8:].mean(),
+                    px.min(),
+                    px.max(),
+                ],
+                dtype=np.float64,
+            )
         if self.mode == "real":  # pragma: no cover - pillow absent here
             import io
 
@@ -137,6 +223,9 @@ class MediaResizer:
     def _resize(self, raw: bytes) -> bytes:
         if self.mode == "error":
             raise NotImplementedError("resize stub: no media libs installed")
+        if self.mode == "bmp":
+            # REAL decode -> nearest-neighbor resize -> re-encode
+            return encode_bmp(_nn_resize(decode_bmp(raw), self.w, self.h))
         if self.mode == "real":  # pragma: no cover - pillow absent here
             import io
 

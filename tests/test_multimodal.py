@@ -61,3 +61,103 @@ def test_stub_error_mode_raises(ray_session):
         sample_frames(
             _media_ds([bytes(64)]), frame_bytes=16, decode_stub="error"
         ).to_pandas()
+
+
+def _gradient_bmp(w, h):
+    """Deterministic RGB gradient image + its BMP encoding."""
+    from shaclapi_ray.pipelines.multimodal import encode_bmp
+
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(x * 7) % 256, (y * 13) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    return rgb, encode_bmp(rgb)
+
+
+def test_bmp_roundtrip_including_padding():
+    """encode->decode is identity, including widths whose 3-byte rows
+    need 4-byte padding (w=5 -> stride 16) and w already aligned."""
+    from shaclapi_ray.pipelines.multimodal import decode_bmp
+
+    for w, h in [(5, 3), (4, 4), (16, 9), (1, 1)]:
+        rgb, raw = _gradient_bmp(w, h)
+        out = decode_bmp(raw)
+        assert out.shape == (h, w, 3)
+        np.testing.assert_array_equal(out, rgb)
+
+
+def test_bmp_topdown_negative_height():
+    """Top-down BMPs (negative height) decode to the same pixels."""
+    import struct
+
+    from shaclapi_ray.pipelines.multimodal import decode_bmp
+
+    rgb, raw = _gradient_bmp(6, 4)
+    # rewrite as top-down: negate height, un-flip the rows
+    body_up = raw[54:]
+    stride = (6 * 3 + 3) // 4 * 4
+    rows = np.frombuffer(body_up, dtype=np.uint8).reshape(4, stride)
+    raw_td = (
+        raw[:18]
+        + struct.pack("<ii", 6, -4)
+        + raw[26:54]
+        + rows[::-1].tobytes()
+    )
+    np.testing.assert_array_equal(decode_bmp(raw_td), rgb)
+
+
+def test_bmp_rejects_non_bmp():
+    from shaclapi_ray.pipelines.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"not an image at all")
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 60)  # bpp 0 / malformed header
+
+
+def test_bmp_real_features(ray_session):
+    """decode_stub='bmp' computes TRUE pixel features (dims + 16x16 gray
+    stats) through the actor-pool stage — verified against a driver-side
+    numpy recomputation."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.multimodal import (
+        MediaFeaturizer,
+        _gray,
+        _nn_resize,
+        featurize_media,
+    )
+
+    rgb, raw = _gradient_bmp(32, 20)
+    ds = ray.data.from_items([{"url": "u1", "html": raw}])
+    df = featurize_media(ds, decode_stub="bmp").to_pandas()
+    got = np.array(df["feature"][0])
+    px = _gray(_nn_resize(rgb, 16, 16))
+    exp = np.array(
+        [32, 20, px.mean(), px.std(), px[:8].mean(), px[8:].mean(),
+         px.min(), px.max()]
+    )
+    np.testing.assert_allclose(got, exp)
+    # and the non-Ray unit: same via the class directly
+    feats = MediaFeaturizer(decode_stub="bmp")._decode(raw)
+    np.testing.assert_allclose(feats, exp)
+
+
+def test_bmp_real_resize_pipeline(ray_session):
+    """resize_media(decode_stub='bmp'): output payloads are REAL BMPs of
+    the requested dimensions whose pixels equal a driver-side
+    nearest-neighbor resample."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.multimodal import (
+        _nn_resize,
+        decode_bmp,
+        resize_media,
+    )
+
+    rgb, raw = _gradient_bmp(17, 11)
+    ds = ray.data.from_items([{"url": "u1", "html": raw}])
+    df = resize_media(ds, width=8, height=6, decode_stub="bmp").to_pandas()
+    out = decode_bmp(df["media"][0])
+    assert (df["width"][0], df["height"][0]) == (8, 6)
+    np.testing.assert_array_equal(out, _nn_resize(rgb, 8, 6))
