@@ -839,11 +839,15 @@ def _q_top_hosts(sf_dir: str):
     'kept' = pages surviving filter_by_host against those verdicts
     (broadcast path; the join path is pinned output-identical in
     tests/test_hostcure.py); 'cap' = pages surviving cap_per_host's
-    per-host page cap (RANK <= CAP_K, tests/test_freshness.py)."""
+    per-host page cap (RANK <= CAP_K, tests/test_freshness.py);
+    'chain' = the composed curate_pages flagship (latest_snapshot ->
+    learned host filter -> cap), its oracle CTE-chained from the same
+    stage generators (the preprocess_corpus composition pattern)."""
     import pandas as pd
     import ray.data
 
     from shaclapi_ray.io import read_parquet
+    from shaclapi_ray.pipelines.curate import curate_pages
     from shaclapi_ray.pipelines.freshness import cap_per_host
     from shaclapi_ray.pipelines.hostcure import filter_by_host, host_curation
     from shaclapi_ray.stages.aggregates import grouped_count
@@ -899,7 +903,20 @@ def _q_top_hosts(sf_dir: str):
             "extra": "",
         }
     )
-    out = pd.concat([top, cure, kept, cap], ignore_index=True)
+    ch = curate_pages(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url", "warc_ts", "text"]),
+        cap_k=CAP_K,
+        **HOSTCURE_KW,
+    ).to_pandas()
+    chain = pd.DataFrame(
+        {
+            "key": ch["url"],
+            "kind": "chain",
+            "value": ch["warc_ts"].astype("int64").astype(str),
+            "extra": "",
+        }
+    )
+    out = pd.concat([top, cure, kept, cap, chain], ignore_index=True)
     return out.sort_values(
         ["kind", "key", "value"], na_position="first", kind="mergesort"
     ).reset_index(drop=True)
@@ -1642,6 +1659,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 "cap",
                 f"SELECT url AS key, CAST(ts AS VARCHAR) AS value, '' AS extra "
                 f"FROM ({o.cap_per_host_sql(pages_dir, CAP_K)})",
+            ),
+            (
+                "chain",
+                f"SELECT url AS key, CAST(ts AS VARCHAR) AS value, '' AS extra "
+                f"FROM ({o.curate_pages_sql(pages_dir, CAP_K, **HOSTCURE_KW)})",
             ),
         ],
         tag_col="kind",

@@ -337,6 +337,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_docs,
     )
 
+    from shaclapi_ray.pipelines.curate import curate_pages
+
+    timed(
+        "curate_pages",
+        lambda: curate_pages(
+            read_parquet(pages_dir, columns=["url", "warc_ts", "text"]),
+            cap_k=1200, max_dup_pct=10, min_mean_tokens=310, min_docs=100,
+        ).count(),
+        rows=n_docs,
+    )
+
     from shaclapi_ray.pipelines.spans import (
         dup_span_coverage,
         pack_sequences,

@@ -172,21 +172,24 @@ FROM links GROUP BY host ORDER BY n DESC, host LIMIT {k}
 
 
 def host_curation_sql(
-    pages_dir: str,
+    pages_dir: str | None = None,
     max_dup_pct: int = 10,
     min_mean_tokens: int = 0,
     min_docs: int = 2,
+    src: str | None = None,
 ) -> str:
     """Mirror of pipelines.hostcure.host_curation: per-host doc counts,
     corpus-wide exact-dup doc counts, token sums, and the INTEGER-EXACT
     blocked verdict (no float thresholds — both sides compare bigints).
     Host = the literal top_hosts/links regex over the page's own url;
-    dup = the page's coalesce(text,'') occurs >1 times corpus-wide."""
+    dup = the page's coalesce(text,'') occurs >1 times corpus-wide.
+    ``src`` (a relation/CTE string) overrides the parquet read — the
+    composition seam curate_pages_sql chains through."""
     return f"""
 WITH q AS (
   SELECT COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS host,
          coalesce(text, '') AS text
-  FROM {pages_rel(pages_dir)}
+  FROM {src or pages_rel(pages_dir)}
 ),
 c AS (SELECT text, count(*) AS n_text FROM q GROUP BY text),
 d AS (
@@ -327,6 +330,120 @@ w AS (
   FROM r
 )
 SELECT url, host, ts FROM w WHERE rk <= {k}
+ORDER BY url NULLS FIRST, ts
+"""
+
+
+# --- pages-chain composition seam: full-row survivor variants of the
+# curation stages, each taking a pages-shaped relation string `src`
+# (url, warc_ts, text) and returning the same shape, so
+# curate_pages_sql can CTE-chain them exactly like preprocess_corpus's
+# oracle chains its document stages.
+
+
+def latest_rows_sql(src: str) -> str:
+    """Full rows surviving latest_snapshot over the relation NAME
+    ``src`` (same winner semantics as latest_snapshot_sql, projecting
+    the original columns). ``src`` must be a CTE/table name — the
+    composition convention every chained generator here follows."""
+    return f"""
+SELECT r.url AS url, r.warc_ts AS warc_ts, r.text AS text
+FROM (
+  SELECT url, warc_ts, text,
+         coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts,
+         md5_number_lower(coalesce(text, '')) AS tl,
+         md5_number_upper(coalesce(text, '')) AS tu
+  FROM {src}
+) AS r
+JOIN (
+  SELECT url, ts, tl, tu FROM (
+    SELECT url, ts, tl, tu,
+           row_number() OVER (
+             PARTITION BY url ORDER BY ts DESC, tl DESC, tu DESC
+           ) AS rn
+    FROM (
+      SELECT url,
+             coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts,
+             md5_number_lower(coalesce(text, '')) AS tl,
+             md5_number_upper(coalesce(text, '')) AS tu
+      FROM {src}
+    )
+  ) WHERE rn = 1
+) AS b
+  ON r.url IS NOT DISTINCT FROM b.url
+ AND r.ts = b.ts AND r.tl = b.tl AND r.tu = b.tu
+"""
+
+
+def filter_hosts_rows_sql(
+    src: str,
+    max_dup_pct: int = 10,
+    min_mean_tokens: int = 0,
+    min_docs: int = 2,
+) -> str:
+    """Full rows surviving filter_by_host against host_curation verdicts
+    learned from the SAME ``src`` relation."""
+    v = host_curation_sql(
+        src=src,
+        max_dup_pct=max_dup_pct,
+        min_mean_tokens=min_mean_tokens,
+        min_docs=min_docs,
+    )
+    return f"""
+WITH v AS ({v}),
+p AS (
+  SELECT url, warc_ts, text,
+         COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS host
+  FROM {src}
+)
+SELECT p.url AS url, p.warc_ts AS warc_ts, p.text AS text
+FROM p LEFT JOIN v USING (host)
+WHERE NOT coalesce(v.blocked, false)
+"""
+
+
+def cap_rows_sql(src: str, k: int) -> str:
+    """Full rows surviving cap_per_host over the relation NAME ``src``
+    (RANK <= k per host over (url NULLS FIRST, ts), ties keep
+    together)."""
+    return f"""
+SELECT url, warc_ts, text FROM (
+  SELECT url, warc_ts, text,
+         rank() OVER (
+           PARTITION BY COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '')
+           ORDER BY url ASC NULLS FIRST,
+                    coalesce(epoch_us(warc_ts), {_TS_MIN}) ASC
+         ) AS rk
+  FROM {src}
+) WHERE rk <= {k}
+"""
+
+
+def curate_pages_sql(
+    pages_dir: str,
+    cap_k: int,
+    max_dup_pct: int = 10,
+    min_mean_tokens: int = 0,
+    min_docs: int = 2,
+) -> str:
+    """Mirror of pipelines.curate.curate_pages: latest_snapshot ->
+    filter_by_host(host_curation learned on the snapshot-filtered
+    stream) -> cap_per_host, composed by chaining each stage's rows
+    generator through its ``src`` seam (the preprocess_corpus oracle
+    pattern). Returns (url, ts)."""
+    s2 = filter_hosts_rows_sql(
+        "s1",
+        max_dup_pct=max_dup_pct,
+        min_mean_tokens=min_mean_tokens,
+        min_docs=min_docs,
+    )
+    return f"""
+WITH src0 AS (SELECT url, warc_ts, text FROM {pages_rel(pages_dir)}),
+s1 AS ({latest_rows_sql("src0")}),
+s2 AS ({s2}),
+s3 AS ({cap_rows_sql("s2", cap_k)})
+SELECT url, coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts
+FROM s3
 ORDER BY url NULLS FIRST, ts
 """
 

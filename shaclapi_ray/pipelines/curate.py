@@ -1,0 +1,64 @@
+"""The page-level curation flagship: the canonical Common-Crawl page
+chain run BEFORE any document-level processing.
+
+    latest_snapshot  ->  filter_by_host(learned host_curation)  ->  cap_per_host
+
+Stage 1 collapses recrawls to each url's newest capture; stage 2 learns
+the per-host blocklist from the snapshot-filtered stream and applies
+it; stage 3 caps any single host's share. The surviving pages feed
+extract_text / preprocess_corpus downstream.
+
+Composition mirrors ``pipelines/preprocess.py``: each stage is the
+library operator, stage boundaries either materialize in the object
+store or parquet-checkpoint under ``checkpoint_dir`` (the within-run
+retry/materialization unit at 100 TB scale; boundaries are REQUIRED
+because every stage is multi-pass over its input — without them a
+lazy chain would re-execute all upstream stages once per pass). The
+SQL mirror (oracles.curate_pages_sql) chains the stages' rows
+generators through their ``src`` seam, so the WHOLE chain is
+value-checked end-to-end, not just each stage.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def _boundary(ds, checkpoint_dir: str | None, name: str):
+    """Materialize a stage boundary (object store, or parquet under
+    checkpoint_dir so a wide corpus spills to storage instead)."""
+    if checkpoint_dir is None:
+        return ds.materialize()
+    import ray.data
+
+    out = os.path.join(checkpoint_dir, name)
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_parquet(out)
+    return ray.data.read_parquet(out)
+
+
+def curate_pages(pages_ds, *, cap_k: int, max_dup_pct: int = 10,
+                 min_mean_tokens: int = 0, min_docs: int = 2,
+                 checkpoint_dir: str | None = None,
+                 host_strategy: str = "broadcast"):
+    """Run the three-stage page-curation chain over a pages Dataset
+    (must carry url, warc_ts, text). Returns the surviving pages.
+    ``host_strategy`` passes through to filter_by_host ('broadcast' or
+    'join' — the beyond-50M-blocked-hosts path)."""
+    from shaclapi_ray.pipelines.freshness import cap_per_host, latest_snapshot
+    from shaclapi_ray.pipelines.hostcure import filter_by_host, host_curation
+
+    s1 = _boundary(latest_snapshot(pages_ds), checkpoint_dir, "s1_latest")
+    verdicts = host_curation(
+        s1,
+        max_dup_pct=max_dup_pct,
+        min_mean_tokens=min_mean_tokens,
+        min_docs=min_docs,
+    ).materialize()
+    s2 = _boundary(
+        filter_by_host(s1, verdicts, strategy=host_strategy),
+        checkpoint_dir,
+        "s2_hosts",
+    )
+    return cap_per_host(s2, cap_k)

@@ -1,0 +1,90 @@
+"""Page-curation flagship (pipelines/curate.py): the composed chain
+must equal running its three stages by hand, checkpoint boundaries must
+be output-identical to in-memory ones, and each stage must actually
+filter something on a corpus built to trigger all three."""
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _pages() -> pa.Table:
+    # host a: many pages incl. recrawls (latest bites) and duplicated
+    # text (hostcure bites at 50% dup + min_docs=4); host b: clean but
+    # over the cap; host c: small and clean (untouched)
+    rows = []
+    for i in range(6):
+        rows.append((f"http://a.x/p{i}", 10, "same body everywhere"))
+    rows.append(("http://a.x/p0", 20, "recrawled newer text"))  # recrawl
+    for i in range(5):
+        rows.append((f"http://b.y/q{i}", 30 + i, f"unique words {i} pad pad"))
+    rows.append(("http://c.z/r0", 40, "tiny host fine"))
+    rows.append(("http://c.z/r1", 41, "tiny host also fine"))
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+KW = dict(max_dup_pct=50, min_mean_tokens=0, min_docs=4)
+CAP = 3
+
+
+def _norm(ds):
+    df = ds.to_pandas()
+    df["ts"] = df["warc_ts"].astype("int64")
+    return (
+        df[["url", "ts", "text"]]
+        .sort_values(["url", "ts"], na_position="first", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _ds():
+    import ray.data
+
+    return ray.data.from_arrow(_pages()).repartition(3)
+
+
+def test_curate_equals_manual_stages(ray_session):
+    from shaclapi_ray.pipelines.curate import curate_pages
+    from shaclapi_ray.pipelines.freshness import cap_per_host, latest_snapshot
+    from shaclapi_ray.pipelines.hostcure import filter_by_host, host_curation
+
+    s1 = latest_snapshot(_ds()).materialize()
+    v = host_curation(s1, **KW).materialize()
+    s2 = filter_by_host(s1, v).materialize()
+    manual = _norm(cap_per_host(s2, CAP))
+    composed = _norm(curate_pages(_ds(), cap_k=CAP, **KW))
+    pd.testing.assert_frame_equal(composed, manual)
+    # every stage bit: recrawl winner only (p0@20 kept, p0@10 gone),
+    # host a blocked entirely (5/6 of its latest docs are dups),
+    # host b capped at 3, host c untouched
+    urls = composed["url"].tolist()
+    assert "http://a.x/p0" not in urls and "http://a.x/p1" not in urls
+    assert sorted(u for u in urls if u.startswith("http://b.y")) == [
+        "http://b.y/q0",
+        "http://b.y/q1",
+        "http://b.y/q2",
+    ]
+    assert {"http://c.z/r0", "http://c.z/r1"} <= set(urls)
+
+
+def test_curate_checkpoint_equals_memory(ray_session, tmp_path):
+    from shaclapi_ray.pipelines.curate import curate_pages
+
+    mem = _norm(curate_pages(_ds(), cap_k=CAP, **KW))
+    ck = _norm(
+        curate_pages(_ds(), cap_k=CAP, checkpoint_dir=str(tmp_path), **KW)
+    )
+    pd.testing.assert_frame_equal(ck, mem)
+
+
+def test_curate_join_host_strategy_identical(ray_session):
+    from shaclapi_ray.pipelines.curate import curate_pages
+
+    a = _norm(curate_pages(_ds(), cap_k=CAP, **KW))
+    b = _norm(curate_pages(_ds(), cap_k=CAP, host_strategy="join", **KW))
+    pd.testing.assert_frame_equal(a, b)
