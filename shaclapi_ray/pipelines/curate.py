@@ -8,12 +8,15 @@ the per-host blocklist from the snapshot-filtered stream and applies
 it; stage 3 caps any single host's share. The surviving pages feed
 extract_text / preprocess_corpus downstream.
 
-Composition mirrors ``pipelines/preprocess.py``: each stage is the
-library operator, stage boundaries either materialize in the object
-store or parquet-checkpoint under ``checkpoint_dir`` (the within-run
-retry/materialization unit at 100 TB scale; boundaries are REQUIRED
-because every stage is multi-pass over its input — without them a
-lazy chain would re-execute all upstream stages once per pass). The
+Composition mirrors ``pipelines/preprocess.py`` and SHARES its
+``_boundary`` implementation: each stage is the library operator, stage
+boundaries either materialize in the object store or parquet-checkpoint
+under ``checkpoint_dir`` (the within-run retry/materialization unit at
+100 TB scale — boundaries are REQUIRED because every stage is
+multi-pass over its input; without them a lazy chain would re-execute
+all upstream stages once per pass), and ``resume=True`` makes
+checkpointed stages the CROSS-RUN resume unit (completion-marker
+semantics and staleness caveats exactly as preprocess documents). The
 SQL mirror (oracles.curate_pages_sql) chains the stages' rows
 generators through their ``src`` seam, so the WHOLE chain is
 value-checked end-to-end, not just each stage.
@@ -21,35 +24,23 @@ value-checked end-to-end, not just each stage.
 
 from __future__ import annotations
 
-import os
-import shutil
-
-
-def _boundary(ds, checkpoint_dir: str | None, name: str):
-    """Materialize a stage boundary (object store, or parquet under
-    checkpoint_dir so a wide corpus spills to storage instead)."""
-    if checkpoint_dir is None:
-        return ds.materialize()
-    import ray.data
-
-    out = os.path.join(checkpoint_dir, name)
-    shutil.rmtree(out, ignore_errors=True)
-    ds.write_parquet(out)
-    return ray.data.read_parquet(out)
+from shaclapi_ray.pipelines.preprocess import _boundary
 
 
 def curate_pages(pages_ds, *, cap_k: int, max_dup_pct: int = 10,
                  min_mean_tokens: int = 0, min_docs: int = 2,
-                 checkpoint_dir: str | None = None,
+                 checkpoint_dir: str | None = None, resume: bool = False,
                  host_strategy: str = "broadcast"):
     """Run the three-stage page-curation chain over a pages Dataset
     (must carry url, warc_ts, text). Returns the surviving pages.
     ``host_strategy`` passes through to filter_by_host ('broadcast' or
-    'join' — the beyond-50M-blocked-hosts path)."""
+    'join' — the beyond-50M-blocked-hosts path); ``resume=True``
+    (with ``checkpoint_dir``) skips stages whose dir carries the
+    completion marker."""
     from shaclapi_ray.pipelines.freshness import cap_per_host, latest_snapshot
     from shaclapi_ray.pipelines.hostcure import filter_by_host, host_curation
 
-    s1 = _boundary(latest_snapshot(pages_ds), checkpoint_dir, "s1_latest")
+    s1 = _boundary(latest_snapshot(pages_ds), checkpoint_dir, "s1_latest", resume)
     verdicts = host_curation(
         s1,
         max_dup_pct=max_dup_pct,
@@ -60,5 +51,6 @@ def curate_pages(pages_ds, *, cap_k: int, max_dup_pct: int = 10,
         filter_by_host(s1, verdicts, strategy=host_strategy),
         checkpoint_dir,
         "s2_hosts",
+        resume,
     )
     return cap_per_host(s2, cap_k)

@@ -82,6 +82,39 @@ def test_curate_checkpoint_equals_memory(ray_session, tmp_path):
     pd.testing.assert_frame_equal(ck, mem)
 
 
+def test_curate_resume_reuses_completed_stages(ray_session, tmp_path):
+    """resume=True reads back marker-complete stage dirs instead of
+    recomputing: poisoning s1's parquet AFTER a completed run changes
+    the resumed output (proof it was not recomputed), while a fresh
+    dir reproduces the original."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from shaclapi_ray.pipelines.curate import curate_pages
+
+    base = _norm(
+        curate_pages(_ds(), cap_k=CAP, checkpoint_dir=str(tmp_path), **KW)
+    )
+    # poison the LAST checkpointed stage's output (s2 — s1 is shadowed
+    # by s2's own marker): drop every host-b row from the checkpoint
+    for f in glob.glob(str(tmp_path / "s2_hosts" / "*.parquet")):
+        t = pq.read_table(f)
+        import pyarrow.compute as pc
+
+        t2 = t.filter(
+            pc.invert(pc.match_substring(pc.fill_null(t["url"], ""), "b.y"))
+        )
+        pq.write_table(t2, f)
+    resumed = _norm(
+        curate_pages(
+            _ds(), cap_k=CAP, checkpoint_dir=str(tmp_path), resume=True, **KW
+        )
+    )
+    assert not resumed["url"].str.contains("b.y", na=False).any()
+    assert len(resumed) < len(base)
+
+
 def test_curate_join_host_strategy_identical(ray_session):
     from shaclapi_ray.pipelines.curate import curate_pages
 
