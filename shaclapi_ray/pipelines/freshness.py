@@ -94,11 +94,15 @@ def _keyed(batch: pa.Table, url_col: str, ts_col: str,
 
 
 def _reduce_latest(df: pl.DataFrame) -> pl.DataFrame:
-    """Per-key max (ts, th_lo, th_hi) — the newest capture, md5 tie-break."""
+    """Per-key max (ts, th_lo, th_hi) — the newest capture, md5
+    tie-break — plus the per-key ROW COUNT (summed across partials; the
+    skew-aware join uses it to tell singleton urls from recrawled ones)."""
+    if "cnt" not in df.columns:
+        df = df.with_columns(pl.lit(1, dtype=pl.Int64).alias("cnt"))
     return (
         df.sort(_VAL, descending=True)
         .group_by(_KEY, maintain_order=True)
-        .first()
+        .agg(*[pl.col(c).first() for c in _VAL], pl.col("cnt").sum())
     )
 
 
@@ -109,23 +113,30 @@ _FIELD_TYPES = {
     "ts": pa.int64(),
     "th_lo": pa.uint64(),
     "th_hi": pa.uint64(),
+    "cnt": pa.int64(),
 }
 
 
-def _winner_schema(vals: list[str] = _VAL) -> pa.Schema:
-    return pa.schema([(c, _FIELD_TYPES[c]) for c in _KEY + vals])
+def _winner_schema(vals: list[str] = _VAL, cnt: bool = False) -> pa.Schema:
+    cols = _KEY + vals + (["cnt"] if cnt else [])
+    return pa.schema([(c, _FIELD_TYPES[c]) for c in cols])
 
 
 def _resolve_winners(pages_ds, url_col, ts_col, text_col, mode):
-    """Candidate pass + combine -> winner Dataset (one row per url key)."""
+    """Candidate pass + combine -> winner Dataset (one row per url key,
+    carrying the key's total row count)."""
     import ray
     import ray.data
 
+    wschema = _winner_schema(cnt=True)
+
     def candidates(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return _winner_schema().empty_table()
-        return _reduce_latest(_keyed(batch, url_col, ts_col, text_col)).to_arrow().cast(
-            _winner_schema()
+            return wschema.empty_table()
+        return (
+            _reduce_latest(_keyed(batch, url_col, ts_col, text_col))
+            .to_arrow()
+            .cast(wschema)
         )
 
     partials = pages_ds.map_batches(
@@ -133,7 +144,7 @@ def _resolve_winners(pages_ds, url_col, ts_col, text_col, mode):
     )
 
     def group_reduce(group: pa.Table) -> pa.Table:
-        return _reduce_latest(pl.from_arrow(group)).to_arrow().cast(_winner_schema())
+        return _reduce_latest(pl.from_arrow(group)).to_arrow().cast(wschema)
 
     if mode == "shuffle":
         return partials.groupby("hu_lo").map_groups(
@@ -146,9 +157,9 @@ def _resolve_winners(pages_ds, url_col, ts_col, text_col, mode):
         )
     tables = [t for r in partials.to_arrow_refs() if (t := ray.get(r)).num_rows]
     if not tables:
-        return ray.data.from_arrow(pa.table({}, schema=_winner_schema()))
+        return ray.data.from_arrow(wschema.empty_table())
     merged = _reduce_latest(pl.from_arrow(pa.concat_tables(tables)))
-    return ray.data.from_arrow(merged.to_arrow().cast(_winner_schema()))
+    return ray.data.from_arrow(merged.to_arrow().cast(wschema))
 
 
 def _probe_kept(kept: pa.Table, probe: pl.DataFrame,
@@ -280,12 +291,69 @@ def latest_snapshot(pages_ds, *, url_col: str = "url", ts_col: str = "warc_ts",
     key (NULL urls are their own group). Rows tying the winner tuple
     exactly (byte-identical url/ts/text) are all kept — exact_dedup owns
     collapsing full duplicates. ``mode`` picks the winner-resolution
-    path ('auto'/'driver'/'shuffle'); ``strategy`` the filter path
-    ('broadcast'/'join'). All paths pinned output-identical by test."""
+    path ('auto'/'driver'/'shuffle'); ``strategy`` the filter path.
+    All paths pinned output-identical by test.
+
+    ``strategy='join'`` is SKEW-AWARE: a url captured once (the vast
+    majority of any crawl) is trivially its own winner, so only the
+    keys with cnt > 1 — the recrawled minority — need checking. Those
+    multi-keys broadcast as a winner-tuple table (ceiling
+    WINNER_BROADCAST_LIMIT applies to the MULTI set only, not all
+    urls) and singleton rows stream through untouched; only if even
+    the multi set exceeds the ceiling does the full-row hash join
+    engage. This is the 100-TB path: the expensive exchange scales
+    with the recrawl rate, not the corpus."""
+    import ray
+
     winners = _resolve_winners(pages_ds, url_col, ts_col, text_col, mode)
     if strategy == "broadcast":
         winners = winners.materialize()
-    return _filter_by_kept(pages_ds, winners, url_col, ts_col, text_col, strategy)
+        return _filter_by_kept(
+            pages_ds, winners, url_col, ts_col, text_col, "broadcast"
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    multi = winners.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], 1)),
+        batch_format="pyarrow",
+    ).materialize()
+    if multi.count() <= WINNER_BROADCAST_LIMIT:
+        tables = [t for r in multi.to_arrow_refs() if (t := ray.get(r)).num_rows]
+        if not tables:
+            return pages_ds  # no url captured twice: everything survives
+        mt = pa.concat_tables(tables).combine_chunks()
+        order = np.lexsort(
+            (
+                mt["hu_hi"].to_numpy(zero_copy_only=False),
+                mt["hu_lo"].to_numpy(zero_copy_only=False),
+            )
+        )
+        mt = mt.take(pa.array(order))
+        ref = ray.put(mt)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            probe = _keyed(batch, url_col, ts_col, text_col)
+            m = ray.get(ref)
+            in_multi = _probe_kept(m, probe, [])  # key-only membership
+            tuple_ok = _probe_kept(m, probe, _VAL)
+            return batch.filter(pa.array(~in_multi | tuple_ok))
+
+        return pages_ds.map_batches(keep, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    # even the recrawled-key set is beyond broadcast: full keyed join
+    return _filter_by_kept(pages_ds, multi_union_rest(winners), url_col,
+                           ts_col, text_col, "join")
+
+
+def multi_union_rest(winners):
+    """Full winner set for the beyond-ceiling join (drop the cnt column
+    so the join payload stays the (key, value) tuple)."""
+    return winners.map_batches(
+        lambda t: t.drop_columns(["cnt"]), batch_format="pyarrow"
+    )
 
 
 def _rank_group(group: pa.Table, k: int) -> pa.Table:

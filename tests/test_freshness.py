@@ -98,6 +98,35 @@ def test_latest_snapshot_paths_identical(ray_session, kw):
     pd.testing.assert_frame_equal(_norm(latest_snapshot(_ds(), **kw)), base)
 
 
+def test_latest_join_full_fallback_identical(ray_session, monkeypatch):
+    """Force the beyond-ceiling FULL keyed join (multi-key set 'too big'
+    to broadcast) and pin it output-identical to the broadcast path."""
+    import shaclapi_ray.pipelines.freshness as f
+
+    base = _norm(f.latest_snapshot(_ds()))
+    monkeypatch.setattr(f, "WINNER_BROADCAST_LIMIT", 0)
+    forced = _norm(f.latest_snapshot(_ds(), strategy="join"))
+    pd.testing.assert_frame_equal(forced, base)
+
+
+def test_latest_join_no_recrawls_passthrough(ray_session):
+    """Unique-url corpus: the skew-aware join finds an empty multi set
+    and streams every row through untouched."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import latest_snapshot
+
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(6)], pa.string()),
+            "warc_ts": pa.array(list(range(6)), pa.timestamp("us")),
+            "text": pa.array(["x"] * 6, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    assert latest_snapshot(ds, strategy="join").count() == 6
+
+
 def test_latest_broadcast_ceiling_is_loud(ray_session, monkeypatch):
     import shaclapi_ray.pipelines.freshness as f
 

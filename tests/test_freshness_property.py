@@ -70,13 +70,16 @@ def test_latest_snapshot_matches_duckdb(ray_session, rows):
     from shaclapi_ray.pipelines.freshness import latest_snapshot
 
     d = _write(rows)
-    out = latest_snapshot(ray.data.read_parquet(d).repartition(2)).to_pandas()
-    out["ts"] = out["warc_ts"].astype("int64")
     exp = duckdb.connect().execute(latest_snapshot_sql(d)).df()
-    pd.testing.assert_frame_equal(
-        _norm(out[["url", "ts"]]).astype({"ts": "int64"}),
-        _norm(exp).astype({"ts": "int64"}),
-    )
+    for strategy in ("broadcast", "join"):  # join = the skew-aware path
+        out = latest_snapshot(
+            ray.data.read_parquet(d).repartition(2), strategy=strategy
+        ).to_pandas()
+        out["ts"] = out["warc_ts"].astype("int64")
+        pd.testing.assert_frame_equal(
+            _norm(out[["url", "ts"]]).astype({"ts": "int64"}),
+            _norm(exp).astype({"ts": "int64"}),
+        )
 
 
 _ANCHOR_TXT = st.sampled_from(["", "x", "click here", "日本", "a<b", '"q"', "a&b"])
