@@ -391,15 +391,73 @@ def _rank_group(group: pa.Table, k: int) -> pa.Table:
     df = df.with_columns(
         pl.col("_rank_start").forward_fill().over(key_cols).alias("_rank")
     )
+    df = df.with_columns(pl.len().over(key_cols).alias("host_total"))
     kept = df.filter(pl.col("_rank") <= k)
     # tuple-identical kept rows collapse to ONE kept entry so the join
-    # path cannot multiply a surviving page row
+    # path cannot multiply a surviving page row; hh key + host_total ride
+    # along so the broadcast path can restrict itself to over-cap hosts
     return (
-        kept.select(_KEY + _VAL_TS)
+        kept.select(["hh_lo", "hh_hi", "host_total"] + _KEY + _VAL_TS)
         .unique()
         .to_arrow()
-        .cast(_winner_schema(_VAL_TS))
+        .cast(_kept_schema())
     )
+
+
+def _kept_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("hh_lo", pa.uint64()),
+            ("hh_hi", pa.uint64()),
+            ("host_total", pa.uint32()),
+        ]
+        + [(c, _FIELD_TYPES[c]) for c in _KEY + _VAL_TS]
+    )
+
+
+def _probe_hosts(hosts: pa.Table, hh_lo: np.ndarray,
+                 hh_hi: np.ndarray) -> np.ndarray:
+    """Membership of each (hh_lo, hh_hi) pair in the lexsorted host
+    table (same run-probe shape as _probe_kept)."""
+    hl = hosts["hh_lo"].to_numpy(zero_copy_only=False)
+    if len(hl) == 0:
+        return np.zeros(len(hh_lo), dtype=bool)
+    hh = hosts["hh_hi"].to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(hl, hh_lo, side="left")
+    hi = np.searchsorted(hl, hh_lo, side="right")
+    match = np.zeros(len(hh_lo), dtype=bool)
+    max_run = int((hi - lo).max()) if len(lo) else 0
+    for j in range(max_run):
+        idx = lo + j
+        valid = idx < hi
+        match |= valid & (hh[np.where(valid, idx, 0)] == hh_hi)
+    return match
+
+
+def _probe_thr(thr: pa.Table, probe: pl.DataFrame) -> np.ndarray:
+    """True per probe row iff its url key has a kept-threshold entry AND
+    the row's ts is at or under it. thr is sorted by (hu_lo, hu_hi),
+    one row per url key — runs are ~1 (prefix collisions aside)."""
+    hul = thr["hu_lo"].to_numpy(zero_copy_only=False)
+    if len(hul) == 0:
+        return np.zeros(len(probe), dtype=bool)
+    cols = {c: thr[c].to_numpy(zero_copy_only=False) for c in _KEY + ["thr"]}
+    p = {c: probe[c].to_numpy() for c in _KEY + ["ts"]}
+    lo = np.searchsorted(hul, p["hu_lo"], side="left")
+    hi = np.searchsorted(hul, p["hu_lo"], side="right")
+    ok = np.zeros(len(probe), dtype=bool)
+    max_run = int((hi - lo).max()) if len(lo) else 0
+    for j in range(max_run):
+        idx = lo + j
+        valid = idx < hi
+        idx_c = np.where(valid, idx, 0)
+        key_eq = (
+            valid
+            & (cols["hu_hi"][idx_c] == p["hu_hi"])
+            & (cols["isnull"][idx_c] == p["isnull"])
+        )
+        ok |= key_eq & (p["ts"] <= cols["thr"][idx_c])
+    return ok
 
 
 def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
@@ -410,9 +468,13 @@ def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
     so no text hashing (the dominant compute at corpus scale) is needed
     anywhere in this operator and the text column is never read. Host =
     the repo-standard regex over the page's own url (COALESCE to '').
-    One narrow (host-hash-keyed) exchange ranks; the kept set applies
-    back via broadcast (<=50M kept tuples, loud above) or
-    ``strategy='join'``."""
+
+    SKEW-AWARE broadcast: a host at or under the cap keeps every page,
+    so only the OVER-cap hosts' kept tuples broadcast (ceiling
+    WINNER_BROADCAST_LIMIT applies to k x |over-cap hosts|, not the
+    corpus) and under-cap rows stream through untouched —
+    anti-monoculture cost scales with the monocultures. ``strategy=
+    'join'`` is the beyond-ceiling full keyed join."""
     import ray
 
     from shaclapi_ray.pipelines.hostcure import _host_expr
@@ -444,11 +506,63 @@ def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
     kept = narrow.groupby("hh_lo").map_groups(
         lambda g: _rank_group(g, k), batch_format="pyarrow"
     )
-    if strategy == "broadcast":
-        kept = kept.materialize()
-    return _filter_by_kept(
-        pages_ds, kept, url_col, ts_col, None, strategy, vals=_VAL_TS
+
+    if strategy == "join":
+        kept = kept.map_batches(
+            lambda t: t.drop_columns(["hh_lo", "hh_hi", "host_total"]),
+            batch_format="pyarrow",
+        )
+        return _filter_by_kept(
+            pages_ds, kept, url_col, ts_col, None, "join", vals=_VAL_TS
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    over = kept.map_batches(
+        lambda t: t.filter(pc.greater(t["host_total"], k)),
+        batch_format="pyarrow",
+    ).materialize()
+    tables = [t for r in over.to_arrow_refs() if (t := ray.get(r)).num_rows]
+    if not tables:
+        return pages_ds  # no host exceeds the cap: everything survives
+    ot = pa.concat_tables(tables).combine_chunks()
+    if ot.num_rows > WINNER_BROADCAST_LIMIT:
+        raise ValueError(
+            f"{ot.num_rows} over-cap kept tuples exceed "
+            f"WINNER_BROADCAST_LIMIT ({WINNER_BROADCAST_LIMIT}); "
+            f"use strategy='join'"
+        )
+    odf = pl.from_arrow(ot)
+    hosts = (
+        odf.select(["hh_lo", "hh_hi"])
+        .unique()
+        .sort(["hh_lo", "hh_hi"])
+        .to_arrow()
     )
+    # within one url, cap's kept rows are a ts-PREFIX of the (url, ts)
+    # rank order (ties keep together), so per-url membership collapses
+    # EXACTLY to ts <= that url's max kept ts — one threshold row per
+    # url, probe runs stay ~1 even when one url keeps k rows
+    thr = (
+        odf.group_by(_KEY)
+        .agg(pl.col("ts").max().alias("thr"))
+        .sort(["hu_lo", "hu_hi"])
+        .to_arrow()
+    )
+    href = ray.put(hosts)
+    tref = ray.put(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        probe = _keyed(batch, url_col, ts_col, None)
+        hh_lo, hh_hi = md5_pair(_host_expr(batch[url_col]))
+        in_over = _probe_hosts(ray.get(href), hh_lo, hh_hi)
+        under_thr = _probe_thr(ray.get(tref), probe)
+        return batch.filter(pa.array(~in_over | under_thr))
+
+    return pages_ds.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
 
 def _cap_schema() -> pa.Schema:

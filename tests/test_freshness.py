@@ -205,6 +205,28 @@ def test_cap_paths_identical(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_cap_under_cap_everywhere_passes_through(ray_session):
+    """No host over the cap: the skew-aware broadcast finds an empty
+    over-cap set and streams every row through untouched."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import cap_per_host
+
+    ds = ray.data.from_arrow(_cap_pages()).repartition(3)
+    assert cap_per_host(ds, 50).count() == 8
+
+
+def test_cap_broadcast_ceiling_is_loud(ray_session, monkeypatch):
+    import shaclapi_ray.pipelines.freshness as f
+
+    monkeypatch.setattr(f, "WINNER_BROADCAST_LIMIT", 0)
+    import ray.data
+
+    ds = ray.data.from_arrow(_cap_pages()).repartition(3)
+    with pytest.raises(ValueError, match="strategy='join'"):
+        f.cap_per_host(ds, 3).materialize()
+
+
 def test_cap_null_and_empty_urls_share_blank_host(ray_session):
     import ray.data
 

@@ -148,10 +148,13 @@ def test_cap_per_host_matches_duckdb(ray_session, rows, k):
     from shaclapi_ray.pipelines.freshness import cap_per_host
 
     d = _write(rows)
-    out = cap_per_host(ray.data.read_parquet(d).repartition(2), k).to_pandas()
-    out["ts"] = out["warc_ts"].astype("int64")
     exp = duckdb.connect().execute(cap_per_host_sql(d, k)).df()
-    pd.testing.assert_frame_equal(
-        _norm(out[["url", "ts"]]).astype({"ts": "int64"}),
-        _norm(exp[["url", "ts"]]).astype({"ts": "int64"}),
-    )
+    for strategy in ("broadcast", "join"):
+        out = cap_per_host(
+            ray.data.read_parquet(d).repartition(2), k, strategy=strategy
+        ).to_pandas()
+        out["ts"] = out["warc_ts"].astype("int64")
+        pd.testing.assert_frame_equal(
+            _norm(out[["url", "ts"]]).astype({"ts": "int64"}),
+            _norm(exp[["url", "ts"]]).astype({"ts": "int64"}),
+        )
