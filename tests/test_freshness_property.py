@@ -158,3 +158,53 @@ def test_cap_per_host_matches_duckdb(ray_session, rows, k):
             _norm(out[["url", "ts"]]).astype({"ts": "int64"}),
             _norm(exp[["url", "ts"]]).astype({"ts": "int64"}),
         )
+
+
+_CHAIN_TEXTS = st.sampled_from(
+    [None, "", "dup dup dup", "dup dup dup", "unique alpha beta gamma",
+     "short", "one two three four five six"]
+)
+_CHAIN_ROWS = st.lists(
+    st.tuples(_URLS, _TS, _CHAIN_TEXTS), min_size=1, max_size=16
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=_CHAIN_ROWS,
+    cap_k=st.sampled_from([1, 2, 4]),
+    max_dup_pct=st.sampled_from([25, 50]),
+    min_docs=st.sampled_from([1, 3]),
+)
+def test_curate_chain_matches_composed_oracle(
+    ray_session, rows, cap_k, max_dup_pct, min_docs
+):
+    """End-to-end randomized check of the WHOLE curate_pages chain
+    against its CTE-composed DuckDB oracle — recrawls, cross-host
+    duplicate texts, null/''/relative urls, and cap boundaries all in
+    one pot."""
+    from shaclapi_ray.oracles import curate_pages_sql
+    from shaclapi_ray.pipelines.curate import curate_pages
+
+    d = _write(rows)
+    got = curate_pages(
+        ray.data.read_parquet(d).repartition(2),
+        cap_k=cap_k,
+        max_dup_pct=max_dup_pct,
+        min_mean_tokens=1,
+        min_docs=min_docs,
+    ).to_pandas()
+    exp = duckdb.connect().execute(
+        curate_pages_sql(
+            d, cap_k, max_dup_pct=max_dup_pct,
+            min_mean_tokens=1, min_docs=min_docs,
+        )
+    ).df()
+    if exp.empty:
+        assert len(got) == 0
+        return
+    got["ts"] = got["warc_ts"].astype("int64")
+    pd.testing.assert_frame_equal(
+        _norm(got[["url", "ts"]]).astype({"ts": "int64"}),
+        _norm(exp).astype({"ts": "int64"}),
+    )
