@@ -345,29 +345,26 @@ def latest_rows_sql(src: str) -> str:
     """Full rows surviving latest_snapshot over the relation NAME
     ``src`` (same winner semantics as latest_snapshot_sql, projecting
     the original columns). ``src`` must be a CTE/table name — the
-    composition convention every chained generator here follows."""
+    composition convention every chained generator here follows.
+    The hashed projection is ONE nested CTE referenced by both the row
+    side and the winner side, so every text is md5'd once, not twice."""
     return f"""
-SELECT r.url AS url, r.warc_ts AS warc_ts, r.text AS text
-FROM (
+WITH hashed AS (
   SELECT url, warc_ts, text,
          coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts,
          md5_number_lower(coalesce(text, '')) AS tl,
          md5_number_upper(coalesce(text, '')) AS tu
   FROM {src}
-) AS r
+)
+SELECT r.url AS url, r.warc_ts AS warc_ts, r.text AS text
+FROM hashed AS r
 JOIN (
   SELECT url, ts, tl, tu FROM (
     SELECT url, ts, tl, tu,
            row_number() OVER (
              PARTITION BY url ORDER BY ts DESC, tl DESC, tu DESC
            ) AS rn
-    FROM (
-      SELECT url,
-             coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts,
-             md5_number_lower(coalesce(text, '')) AS tl,
-             md5_number_upper(coalesce(text, '')) AS tu
-      FROM {src}
-    )
+    FROM hashed
   ) WHERE rn = 1
 ) AS b
   ON r.url IS NOT DISTINCT FROM b.url

@@ -152,6 +152,8 @@ def anchor_text_profile(pages_ds, *, url_col: str = "url",
     import ray
     import ray.data
 
+    if mode not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
     partials = pages_ds.map_batches(
         lambda b: _partials(b, url_col, html_col),
         batch_format="pyarrow",
@@ -161,7 +163,7 @@ def anchor_text_profile(pages_ds, *, url_col: str = "url",
         partials,
         keys=["target", "k", "kind"],
         sums={"cnt": "sum"},
-        mode=mode if mode in ("driver", "shuffle") else "auto",
+        mode=mode,
     )
     if mode == "shuffle":
         return combined.groupby("target").map_groups(

@@ -30,17 +30,26 @@ from shaclapi_ray.pipelines.preprocess import _boundary
 def curate_pages(pages_ds, *, cap_k: int, max_dup_pct: int = 10,
                  min_mean_tokens: int = 0, min_docs: int = 2,
                  checkpoint_dir: str | None = None, resume: bool = False,
-                 host_strategy: str = "broadcast"):
+                 latest_strategy: str = "broadcast",
+                 host_strategy: str = "broadcast",
+                 cap_strategy: str = "broadcast"):
     """Run the three-stage page-curation chain over a pages Dataset
     (must carry url, warc_ts, text). Returns the surviving pages.
-    ``host_strategy`` passes through to filter_by_host ('broadcast' or
-    'join' — the beyond-50M-blocked-hosts path); ``resume=True``
-    (with ``checkpoint_dir``) skips stages whose dir carries the
-    completion marker."""
+    Each stage's beyond-broadcast-ceiling fallback is reachable from
+    the composed flagship: ``latest_strategy`` / ``host_strategy`` /
+    ``cap_strategy`` pass through to latest_snapshot, filter_by_host
+    and cap_per_host ('broadcast' or 'join'). ``resume=True`` (with
+    ``checkpoint_dir``) skips stages whose dir carries the completion
+    marker."""
     from shaclapi_ray.pipelines.freshness import cap_per_host, latest_snapshot
     from shaclapi_ray.pipelines.hostcure import filter_by_host, host_curation
 
-    s1 = _boundary(latest_snapshot(pages_ds), checkpoint_dir, "s1_latest", resume)
+    s1 = _boundary(
+        latest_snapshot(pages_ds, strategy=latest_strategy),
+        checkpoint_dir,
+        "s1_latest",
+        resume,
+    )
     verdicts = host_curation(
         s1,
         max_dup_pct=max_dup_pct,
@@ -53,4 +62,4 @@ def curate_pages(pages_ds, *, cap_k: int, max_dup_pct: int = 10,
         "s2_hosts",
         resume,
     )
-    return cap_per_host(s2, cap_k)
+    return cap_per_host(s2, cap_k, strategy=cap_strategy)

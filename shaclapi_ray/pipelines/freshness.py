@@ -162,30 +162,57 @@ def _resolve_winners(pages_ds, url_col, ts_col, text_col, mode):
     return ray.data.from_arrow(merged.to_arrow().cast(wschema))
 
 
+def _broadcast_sorted(kept_ds, lo_col: str, hi_col: str):
+    """Collect a materialized Dataset's non-empty blocks driver-side and
+    lexsort by (lo_col, hi_col) — the order every probe's searchsorted
+    requires. Returns None when there are no rows."""
+    import ray
+
+    tables = [t for r in kept_ds.to_arrow_refs() if (t := ray.get(r)).num_rows]
+    if not tables:
+        return None
+    kept = pa.concat_tables(tables).combine_chunks()
+    order = np.lexsort(
+        (
+            kept[hi_col].to_numpy(zero_copy_only=False),
+            kept[lo_col].to_numpy(zero_copy_only=False),
+        )
+    )
+    return kept.take(pa.array(order))
+
+
 def _probe_kept(kept: pa.Table, probe: pl.DataFrame,
-                vals: list[str]) -> np.ndarray:
-    """True per probe row iff its FULL (key, value) tuple appears in the
-    kept table. kept is lexsorted by (hu_lo, hu_hi); probe runs over the
-    (usually length-1) hu_lo run — run length is bounded by rows kept
-    per url key plus rare 64-bit prefix collisions."""
+                vals: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(key_match, tuple_match) per probe row against the kept table:
+    key_match = the row's url key appears at all, tuple_match = its FULL
+    (key, value) tuple appears. One run scan computes both. kept is
+    lexsorted by (hu_lo, hu_hi); probe runs over the (usually length-1)
+    hu_lo run — run length is bounded by rows kept per url key plus
+    rare 64-bit prefix collisions."""
     hul = kept["hu_lo"].to_numpy(zero_copy_only=False)
     if len(hul) == 0:
-        return np.zeros(len(probe), dtype=bool)
+        z = np.zeros(len(probe), dtype=bool)
+        return z, z
     cols = {c: kept[c].to_numpy(zero_copy_only=False) for c in _KEY + vals}
     p = {c: probe[c].to_numpy() for c in _KEY + vals}
     lo = np.searchsorted(hul, p["hu_lo"], side="left")
     hi = np.searchsorted(hul, p["hu_lo"], side="right")
+    key_match = np.zeros(len(probe), dtype=bool)
     match = np.zeros(len(probe), dtype=bool)
     max_run = int((hi - lo).max()) if len(lo) else 0
     for k in range(max_run):
         idx = lo + k
         valid = idx < hi
         idx_c = np.where(valid, idx, 0)
-        row_eq = valid
-        for c in _KEY[1:] + vals:
+        key_eq = valid
+        for c in _KEY[1:]:
+            key_eq = key_eq & (cols[c][idx_c] == p[c])
+        key_match |= key_eq
+        row_eq = key_eq
+        for c in vals:
             row_eq = row_eq & (cols[c][idx_c] == p[c])
         match |= row_eq
-    return match
+    return key_match, match
 
 
 def _filter_by_kept(pages_ds, kept_ds, url_col, ts_col, text_col, strategy,
@@ -194,33 +221,24 @@ def _filter_by_kept(pages_ds, kept_ds, url_col, ts_col, text_col, strategy,
     import ray
 
     if strategy == "broadcast":
-        tables = [t for r in kept_ds.to_arrow_refs() if (t := ray.get(r)).num_rows]
-        if not tables:
+        kept = _broadcast_sorted(kept_ds, "hu_lo", "hu_hi")
+        if kept is None:
             return pages_ds.map_batches(
                 lambda t: t.slice(0, 0), batch_format="pyarrow"
             )
-        kept = pa.concat_tables(tables).combine_chunks()
         if kept.num_rows > WINNER_BROADCAST_LIMIT:
             raise ValueError(
                 f"{kept.num_rows} kept tuples exceed WINNER_BROADCAST_LIMIT "
                 f"({WINNER_BROADCAST_LIMIT}); use strategy='join'"
             )
-        order = np.lexsort(
-            (
-                kept["hu_hi"].to_numpy(zero_copy_only=False),
-                kept["hu_lo"].to_numpy(zero_copy_only=False),
-            )
-        )
-        kept = kept.take(pa.array(order))
         ref = ray.put(kept)
 
         def keep(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return batch
             probe = _keyed(batch, url_col, ts_col, text_col)
-            return batch.filter(
-                pa.array(_probe_kept(ray.get(ref), probe, vals))
-            )
+            _, tuple_ok = _probe_kept(ray.get(ref), probe, vals)
+            return batch.filter(pa.array(tuple_ok))
 
         return pages_ds.map_batches(keep, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -305,6 +323,8 @@ def latest_snapshot(pages_ds, *, url_col: str = "url", ts_col: str = "warc_ts",
     with the recrawl rate, not the corpus."""
     import ray
 
+    if mode not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
     winners = _resolve_winners(pages_ds, url_col, ts_col, text_col, mode)
     if strategy == "broadcast":
         winners = winners.materialize()
@@ -319,26 +339,16 @@ def latest_snapshot(pages_ds, *, url_col: str = "url", ts_col: str = "warc_ts",
         batch_format="pyarrow",
     ).materialize()
     if multi.count() <= WINNER_BROADCAST_LIMIT:
-        tables = [t for r in multi.to_arrow_refs() if (t := ray.get(r)).num_rows]
-        if not tables:
+        mt = _broadcast_sorted(multi, "hu_lo", "hu_hi")
+        if mt is None:
             return pages_ds  # no url captured twice: everything survives
-        mt = pa.concat_tables(tables).combine_chunks()
-        order = np.lexsort(
-            (
-                mt["hu_hi"].to_numpy(zero_copy_only=False),
-                mt["hu_lo"].to_numpy(zero_copy_only=False),
-            )
-        )
-        mt = mt.take(pa.array(order))
         ref = ray.put(mt)
 
         def keep(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return batch
             probe = _keyed(batch, url_col, ts_col, text_col)
-            m = ray.get(ref)
-            in_multi = _probe_kept(m, probe, [])  # key-only membership
-            tuple_ok = _probe_kept(m, probe, _VAL)
+            in_multi, tuple_ok = _probe_kept(ray.get(ref), probe, _VAL)
             return batch.filter(pa.array(~in_multi | tuple_ok))
 
         return pages_ds.map_batches(keep, batch_format="pyarrow",
@@ -357,10 +367,11 @@ def multi_union_rest(winners):
 
 
 def _rank_group(group: pa.Table, k: int) -> pa.Table:
-    """Within one host-hash group: RANK rows by (url NULLS FIRST, ts,
-    per host and keep rank <= k (ties keep together). No text hash in
-    the order: RANK keeps exact (url, ts) ties together on both sides,
-    so hashing every document's text would buy nothing."""
+    """Within one host-hash group: RANK rows per host by the order
+    (url NULLS FIRST, ts) — the EXACT order the ts-prefix threshold
+    argument depends on — and keep rank <= k (ties keep together). No
+    text hash in the order: RANK keeps exact (url, ts) ties together
+    on both sides, so hashing every document's text would buy nothing."""
     df = pl.from_arrow(group)
     order = ["hh_lo", "hh_hi", "notnull", "url"] + _VAL_TS
     df = df.sort(order)
@@ -478,6 +489,11 @@ def cap_per_host(pages_ds, k: int, *, url_col: str = "url",
     import ray
 
     from shaclapi_ray.pipelines.hostcure import _host_expr
+
+    if k < 1:
+        # k=0 would make the skew-aware "no over-cap host" shortcut and
+        # the rank semantics diverge (empty kept table != keep nothing)
+        raise ValueError(f"cap_per_host requires k >= 1, got {k}")
 
     def keyed_with_host(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

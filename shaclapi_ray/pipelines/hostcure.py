@@ -160,12 +160,14 @@ def host_stats(pages_ds, *, url_col: str = "url", text_col: str = "text",
     import ray
     import ray.data
 
+    if mode not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
     partials = _doc_partials(pages_ds, url_col, text_col)
     combined = combine_partials_multi(
         partials,
         keys=["h1", "h2", "host"],
         sums={"cnt": "sum", "sum_tok": "sum"},
-        mode=mode if mode in ("driver", "shuffle") else "auto",
+        mode=mode,
     )
     if mode == "shuffle":
         per_host = combined.groupby("h1").map_groups(

@@ -115,9 +115,20 @@ def test_curate_resume_reuses_completed_stages(ray_session, tmp_path):
     assert len(resumed) < len(base)
 
 
-def test_curate_join_host_strategy_identical(ray_session):
+def test_curate_all_join_strategies_identical(ray_session):
+    """Every stage's beyond-ceiling fallback is reachable from the
+    composed flagship and output-identical to the broadcast chain."""
     from shaclapi_ray.pipelines.curate import curate_pages
 
     a = _norm(curate_pages(_ds(), cap_k=CAP, **KW))
-    b = _norm(curate_pages(_ds(), cap_k=CAP, host_strategy="join", **KW))
+    b = _norm(
+        curate_pages(
+            _ds(),
+            cap_k=CAP,
+            latest_strategy="join",
+            host_strategy="join",
+            cap_strategy="join",
+            **KW,
+        )
+    )
     pd.testing.assert_frame_equal(a, b)

@@ -205,6 +205,28 @@ def test_cap_paths_identical(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_cap_rejects_k_below_one(ray_session):
+    """k=0 would make the skew shortcut and the rank semantics diverge
+    (empty kept table != keep nothing) — rejected loudly instead."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import cap_per_host
+
+    ds = ray.data.from_arrow(_cap_pages())
+    with pytest.raises(ValueError, match="k >= 1"):
+        cap_per_host(ds, 0)
+
+
+def test_unknown_mode_is_loud(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import latest_snapshot
+
+    ds = ray.data.from_arrow(_pages_table())
+    with pytest.raises(ValueError, match="unknown mode"):
+        latest_snapshot(ds, mode="shufle")
+
+
 def test_cap_under_cap_everywhere_passes_through(ray_session):
     """No host over the cap: the skew-aware broadcast finds an empty
     over-cap set and streams every row through untouched."""

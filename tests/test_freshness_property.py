@@ -4,6 +4,8 @@ NULL and '' urls, tied timestamps, byte-identical rows — the exact
 inputs where the keep-all-ties / RANK semantics can silently diverge."""
 
 import os
+import shutil
+import tempfile
 import uuid
 
 import duckdb
@@ -12,7 +14,16 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
+import pytest
 from hypothesis import given, settings
+
+_TMP_ROOT = tempfile.mkdtemp(prefix="freshness_prop_")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_tmp_root():
+    yield
+    shutil.rmtree(_TMP_ROOT, ignore_errors=True)
 
 _URLS = st.sampled_from(
     [
@@ -50,7 +61,7 @@ def _write(rows) -> str:
             "text": pa.array([r[2] for r in rows], pa.string()),
         }
     )
-    d = f"/tmp/freshness_prop/{uuid.uuid4().hex}"
+    d = os.path.join(_TMP_ROOT, uuid.uuid4().hex)
     os.makedirs(d, exist_ok=True)
     pq.write_table(t, f"{d}/part-0.parquet")
     return d
@@ -117,7 +128,7 @@ def test_anchor_profile_matches_duckdb(ray_session, pages):
             "html": pa.array([html(ls) for _, ls in pages], pa.binary()),
         }
     )
-    d = f"/tmp/freshness_prop/{uuid.uuid4().hex}"
+    d = os.path.join(_TMP_ROOT, uuid.uuid4().hex)
     os.makedirs(d, exist_ok=True)
     pq.write_table(t, f"{d}/part-0.parquet")
     cols = [

@@ -4,6 +4,8 @@ counting), null/''/relative urls, null texts, whitespace-heavy token
 counts — the inputs where the rollup could silently diverge."""
 
 import os
+import shutil
+import tempfile
 import uuid
 
 import duckdb
@@ -12,7 +14,16 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
+import pytest
 from hypothesis import given, settings
+
+_TMP_ROOT = tempfile.mkdtemp(prefix="hostcure_prop_")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_tmp_root():
+    yield
+    shutil.rmtree(_TMP_ROOT, ignore_errors=True)
 
 _URLS = st.sampled_from(
     [
@@ -41,7 +52,7 @@ def _write(rows) -> str:
             "text": pa.array([r[1] for r in rows], pa.string()),
         }
     )
-    d = f"/tmp/hostcure_prop/{uuid.uuid4().hex}"
+    d = os.path.join(_TMP_ROOT, uuid.uuid4().hex)
     os.makedirs(d, exist_ok=True)
     pq.write_table(t, f"{d}/part-0.parquet")
     return d
