@@ -40,8 +40,14 @@ Scale notes (100 TB):
 - The filter applies winners back either as a broadcast sorted
   (hu_lo, hu_hi)-keyed tuple table (zero per-task setup, loud
   WINNER_BROADCAST_LIMIT ceiling — right for ≤50M distinct urls) or
-  as a hash-partitioned keyed join (``strategy='join'`` — the 100-TB
-  path, since #winners ~= #distinct urls; output-identical by test).
+  SKEW-AWARE (``strategy='join'`` — the 100-TB path): latest_snapshot
+  broadcasts only the cnt>1 recrawled keys (singleton urls are their
+  own winner and stream through), cap_per_host broadcasts only the
+  over-cap hosts as one ts-threshold row per url, and the full-row
+  hash-partitioned keyed join engages only when even those minority
+  sets exceed the ceiling. Every path is output-identical by test —
+  the expensive exchange scales with the recrawl rate / monoculture
+  count, not the corpus.
 """
 
 from __future__ import annotations
