@@ -89,12 +89,45 @@ def _q_column_violations(sf_dir: str):
 
 
 def _q_links(sf_dir: str):
+    """Link extraction + the per-source outbound link profile
+    (pipelines/anchors.outlink_profile — link-density / internal-link
+    quality signals) as a kind-tagged union."""
+    import pandas as pd
     import ray.data
 
+    from shaclapi_ray.pipelines.anchors import outlink_profile
     from shaclapi_ray.stages.links import extract_links
 
     pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
-    return _sorted(extract_links(pages), ["url", "target_url"])
+    ldf = extract_links(pages).to_pandas()
+    link = pd.DataFrame(
+        {
+            "url": ldf["url"],
+            "kind": "link",
+            "value": ldf["target_url"],
+            "extra": ldf["host"],
+        }
+    )
+    pdf = outlink_profile(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    ).to_pandas()
+    prof = pd.DataFrame(
+        {
+            "url": pdf["url"],
+            "kind": "profile",
+            "value": pdf["n_pages"].astype(str)
+            + "|"
+            + pdf["n_links"].astype(str)
+            + "|"
+            + pdf["n_unique_hosts"].astype(str)
+            + "|"
+            + pdf["n_internal"].astype(str),
+            "extra": "",
+        }
+    )
+    return _sorted(
+        pd.concat([link, prof], ignore_index=True), ["url", "kind", "value"]
+    )
 
 
 def _q_extract_text(sf_dir: str):
@@ -1674,7 +1707,23 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "basic_shape_verdicts": basic_shapes_sql,
         "or_shape_verdicts": o.or_shape_verdicts_sql(pages_dir),
         "column_violations": o.violations_sql(o.all_column_shapes(), pages_dir),
-        "links": o.links_sql(pages_dir),
+        "links": _tagged_union_sql(
+            [
+                (
+                    "link",
+                    f"SELECT url, target_url AS value, host AS extra "
+                    f"FROM ({o.links_sql(pages_dir)})",
+                ),
+                (
+                    "profile",
+                    f"SELECT url, n_pages || '|' || n_links || '|' || "
+                    f"n_unique_hosts || '|' || n_internal AS value, "
+                    f"'' AS extra FROM ({o.outlink_profile_sql(pages_dir)})",
+                ),
+            ],
+            tag_col="kind",
+            order="url, kind, value",
+        ),
         "extract_canonicalize": extract_canon_sql,
         "top_hosts": top_hosts_union_sql,
         "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),

@@ -337,6 +337,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_docs,
     )
 
+    from shaclapi_ray.pipelines.anchors import outlink_profile
+
+    timed(
+        "outlink_profile",
+        lambda: outlink_profile(
+            read_parquet(pages_dir, columns=["url", "html"])
+        ).count(),
+        rows=n_docs,
+    )
+
     from shaclapi_ray.pipelines.curate import curate_pages
 
     timed(

@@ -345,6 +345,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "latest_snapshot": "shaclapi_ray.pipelines.freshness:latest_snapshot",
     "cap_per_host": "shaclapi_ray.pipelines.freshness:cap_per_host",
     "anchor_text_profile": "shaclapi_ray.pipelines.anchors:anchor_text_profile",
+    "outlink_profile": "shaclapi_ray.pipelines.anchors:outlink_profile",
     "curate_pages": "shaclapi_ray.pipelines.curate:curate_pages",
     # events-table operators
     "tumbling_window": "shaclapi_ray.pipelines.events:tumbling_window",

@@ -278,6 +278,43 @@ ORDER BY target_url
 """
 
 
+def outlink_profile_sql(pages_dir: str) -> str:
+    """Mirror of pipelines.anchors.outlink_profile: per-source-url
+    outbound link aggregation — page copies, total links, distinct
+    target hosts, own-host (internal) links. Equality semantics:
+    n_internal counts targets whose extracted host string equals the
+    page's own (COALESCE-'') host — identical expression both sides."""
+    return f"""
+WITH p AS (
+  SELECT url,
+         COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS own_host,
+         regexp_extract_all(decode(html), 'href="([^"]+)"', 1) AS targets
+  FROM {pages_rel(pages_dir)} WHERE url IS NOT NULL
+),
+pages_agg AS (SELECT url, count(*)::BIGINT AS n_pages FROM p GROUP BY url),
+e AS (SELECT url, own_host, unnest(targets) AS t FROM p),
+l AS (
+  SELECT url, own_host,
+         COALESCE(regexp_extract(t, '^https?://([^/]+)', 1), '') AS thost
+  FROM e
+),
+agg AS (
+  SELECT url,
+         count(*)::BIGINT AS n_links,
+         count(DISTINCT thost)::BIGINT AS n_unique_hosts,
+         sum(CASE WHEN thost = own_host THEN 1 ELSE 0 END)::BIGINT
+           AS n_internal
+  FROM l GROUP BY url
+)
+SELECT pa.url AS url, pa.n_pages AS n_pages,
+       coalesce(agg.n_links, 0) AS n_links,
+       coalesce(agg.n_unique_hosts, 0) AS n_unique_hosts,
+       coalesce(agg.n_internal, 0) AS n_internal
+FROM pages_agg AS pa LEFT JOIN agg USING (url)
+ORDER BY url
+"""
+
+
 def latest_snapshot_sql(pages_dir: str) -> str:
     """Mirror of pipelines.freshness.latest_snapshot: keep each url's
     newest capture — max (warc_ts, md5(text)) per url group (NULL urls

@@ -144,6 +144,156 @@ def _finalize(df: pl.DataFrame) -> pa.Table:
     return out.to_arrow().cast(_OUT_SCHEMA)
 
 
+_OUT_PROFILE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("n_pages", pa.int64()),
+        ("n_links", pa.int64()),
+        ("n_unique_hosts", pa.int64()),
+        ("n_internal", pa.int64()),
+    ]
+)
+
+
+def _outlink_partials(batch: pa.Table, url_col: str, html_col: str) -> pa.Table:
+    """Per-batch pre-aggregated outlink partials, two kinds sharing one
+    schema: kind='p' counts page copies per url (so zero-link pages
+    still profile, and duplicate urls aggregate like the SQL GROUP BY);
+    kind='l' counts links per (url, target-host)."""
+    import pyarrow.compute as pc
+
+    from shaclapi_ray.stages.links import HOST_RE
+
+    url = batch[url_col]
+    valid = pc.is_valid(url)
+    urls = url.filter(valid)
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if len(urls) == 0:
+        return _PARTIAL_SCHEMA.empty_table()
+    pages_part = (
+        pl.DataFrame({"target": pl.from_arrow(urls)})
+        .group_by("target")
+        .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        .select(
+            pl.col("target"),
+            pl.lit("").alias("k"),
+            pl.lit("p").alias("kind"),
+            pl.col("cnt"),
+        )
+    )
+    s = pl.from_arrow(_decode_lossy(batch[html_col].filter(valid)))
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    links = (
+        pl.DataFrame({"src": pl.from_arrow(urls), "href": s.str.extract_all(
+            r'href="[^"]+"'
+        )})
+        .explode("href")
+        .drop_nulls("href")
+    )
+    if links.height == 0:
+        return pages_part.to_arrow().cast(_PARTIAL_SCHEMA)
+    links = links.with_columns(
+        links["href"]
+        .str.slice(6)
+        .str.strip_suffix('"')
+        .str.extract(HOST_RE, 1)
+        .fill_null("")
+        .alias("thost")
+    )
+    link_part = (
+        links.group_by(["src", "thost"])
+        .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        .select(
+            pl.col("src").alias("target"),
+            pl.col("thost").alias("k"),
+            pl.lit("l").alias("kind"),
+            pl.col("cnt"),
+        )
+    )
+    return pl.concat([pages_part, link_part]).to_arrow().cast(_PARTIAL_SCHEMA)
+
+
+def _outlink_finalize(df: pl.DataFrame) -> pa.Table:
+    """Combined (url, target-host, kind, cnt) rows -> one profile row
+    per source url; n_internal recomputes the own host from the url
+    string (functional, no extra exchange)."""
+    from shaclapi_ray.stages.links import HOST_RE
+
+    pages = df.filter(pl.col("kind") == "p").select(
+        pl.col("target").alias("url"), pl.col("cnt").alias("n_pages")
+    )
+    ln = df.filter(pl.col("kind") == "l").with_columns(
+        pl.col("target").str.extract(HOST_RE, 1).fill_null("").alias("own")
+    )
+    agg = ln.group_by("target").agg(
+        pl.col("cnt").sum().alias("n_links"),
+        pl.len().cast(pl.Int64).alias("n_unique_hosts"),
+        pl.col("cnt")
+        .filter(pl.col("k") == pl.col("own"))
+        .sum()
+        .fill_null(0)
+        .alias("n_internal"),
+    )
+    out = (
+        pages.join(agg.rename({"target": "url"}), on="url", how="left")
+        .with_columns(
+            pl.col("n_links").fill_null(0),
+            pl.col("n_unique_hosts").fill_null(0),
+            pl.col("n_internal").fill_null(0),
+        )
+        .select(["url", "n_pages", "n_links", "n_unique_hosts", "n_internal"])
+    )
+    return out.to_arrow().cast(_OUT_PROFILE_SCHEMA)
+
+
+def outlink_profile(pages_ds, *, url_col: str = "url",
+                    html_col: str = "html", mode: str = "auto"):
+    """Per-source-url OUTBOUND link profile: total links, distinct
+    target hosts, links into the page's own host (the link-density /
+    internal-link quality signals; complements anchor_text_profile's
+    inbound view). Duplicate urls aggregate into one profile row
+    (n_pages counts the copies); zero-link pages profile as zeros;
+    NULL-url pages carry no links (the links_sql convention). Same
+    one-combine shape as anchor_text_profile: narrow (url, target-host,
+    kind, cnt) partials pre-aggregated per batch, both aggregates ride
+    one `combine_partials_multi`, per-url finalize driver/shuffle."""
+    import ray
+    import ray.data
+
+    if mode not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    partials = pages_ds.map_batches(
+        lambda b: _outlink_partials(b, url_col, html_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    combined = combine_partials_multi(
+        partials,
+        keys=["target", "k", "kind"],
+        sums={"cnt": "sum"},
+        mode=mode,
+    )
+    if mode == "shuffle":
+        return combined.groupby("target").map_groups(
+            lambda g: _outlink_finalize(pl.from_arrow(g)),
+            batch_format="pyarrow",
+        )
+    combined = combined.materialize()
+    if combined.count() > DRIVER_MERGE_LIMIT:
+        return combined.groupby("target").map_groups(
+            lambda g: _outlink_finalize(pl.from_arrow(g)),
+            batch_format="pyarrow",
+        )
+    tables = [t for r in combined.to_arrow_refs() if (t := ray.get(r)).num_rows]
+    if not tables:
+        return ray.data.from_arrow(_OUT_PROFILE_SCHEMA.empty_table())
+    return ray.data.from_arrow(
+        _outlink_finalize(pl.from_arrow(pa.concat_tables(tables)))
+    )
+
+
 def anchor_text_profile(pages_ds, *, url_col: str = "url",
                         html_col: str = "html", mode: str = "auto"):
     """Per-target inbound anchor profile over a pages table (see module

@@ -64,3 +64,64 @@ def test_anchor_profile_shuffle_equals_driver(ray_session):
     a = _got("driver")
     b = _got("shuffle")
     pd.testing.assert_frame_equal(a, b)
+
+
+def _outlink_pages() -> pa.Table:
+    rows = [
+        # two copies of the same url (aggregate as one profile, n_pages=2)
+        ("http://a.x/p", '<a href="http://a.x/q">i</a><a href="http://b.y/r">e</a>'),
+        ("http://a.x/p", '<a href="http://a.x/q">i</a>'),
+        # zero-link page
+        ("http://c.z/empty", "no anchors here"),
+        # relative link from an http page: '' host, external by equality
+        ("http://b.y/s", '<a href="rel/path">rel</a>'),
+        # null url: carries no links, no profile row
+        (None, '<a href="http://a.x/q">ghost</a>'),
+    ]
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "html": pa.array([r[1].encode() for r in rows], pa.binary()),
+        }
+    )
+
+
+def test_outlink_profile_values(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.anchors import outlink_profile
+
+    ds = ray.data.from_arrow(_outlink_pages()).repartition(2)
+    got = (
+        outlink_profile(ds)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "url": ["http://a.x/p", "http://b.y/s", "http://c.z/empty"],
+            "n_pages": [2, 1, 1],
+            "n_links": [3, 1, 0],          # a.x/p: 2+1 across its copies
+            "n_unique_hosts": [2, 1, 0],   # {a.x, b.y}; {''}
+            "n_internal": [2, 0, 0],       # both a.x->a.x links
+        }
+    )
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_outlink_profile_shuffle_equals_driver(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.anchors import outlink_profile
+
+    def run(mode):
+        ds = ray.data.from_arrow(_outlink_pages()).repartition(2)
+        return (
+            outlink_profile(ds, mode=mode)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run("driver"), run("shuffle"))
