@@ -219,3 +219,41 @@ def test_curate_chain_matches_composed_oracle(
         _norm(got[["url", "ts"]]).astype({"ts": "int64"}),
         _norm(exp).astype({"ts": "int64"}),
     )
+
+
+@settings(max_examples=15, deadline=None)
+@given(pages=st.lists(_PAGE, min_size=1, max_size=8))
+def test_outlink_profile_matches_duckdb(ray_session, pages):
+    """Outbound-profile parity on the same randomized link corpora as
+    the anchor test — exercises the href-only regex, duplicate source
+    urls, relative-href '' hosts, and zero-link pages."""
+    import ray.data
+
+    from shaclapi_ray.oracles import outlink_profile_sql
+    from shaclapi_ray.pipelines.anchors import outlink_profile
+
+    def html(links):
+        return (
+            "<html><body>pad "
+            + "".join(f'<a href="{t}">{a}</a> mid' for t, a in links)
+            + "</body></html>"
+        ).encode()
+
+    t = pa.table(
+        {
+            "url": pa.array([u for u, _ in pages], pa.string()),
+            "html": pa.array([html(ls) for _, ls in pages], pa.binary()),
+        }
+    )
+    d = os.path.join(_TMP_ROOT, uuid.uuid4().hex)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/part-0.parquet")
+    cols = ["url", "n_pages", "n_links", "n_unique_hosts", "n_internal"]
+    got = outlink_profile(ray.data.read_parquet(d).repartition(2)).to_pandas()
+    exp = duckdb.connect().execute(outlink_profile_sql(d)).df()
+    if exp.empty:
+        assert got.empty
+        return
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
