@@ -359,6 +359,15 @@ HOSTCURE_KW = dict(max_dup_pct=10, min_mean_tokens=310, min_docs=100)
 # every real host at BOTH scales while keeping the ''/null-url groups
 # intact (non-degenerate in each direction)
 CAP_K = 120
+# url-quality profile for the extract_canonicalize slot's kind='urlq'
+# part: fixture urls are "https://host{h}.example.org/p/{i}", so digits
+# grow with the row index while length barely moves — max_digit_pct=16
+# keeps every absolute url at sf0.001 (only the planted ''/null/
+# scheme-less urls are dropped there) and splits sf0.01 roughly in half
+# on the digit rule (i >= 10000 crosses 16%), non-degenerate with a
+# different rule mix at each scale (CLEAN_LINES_KW rationale);
+# integer-exact rules, no float thresholds
+URLQ_KW = dict(max_len=2048, max_digit_pct=16, max_slashes=8)
 
 
 DSIR_K = 150
@@ -988,9 +997,11 @@ def _q_basic_shape_verdicts(sf_dir: str):
 def _q_extract_canonicalize(sf_dir: str):
     """extract_text + url_canonicalize + filter_hosts (domain blocklist)
     + latest_snapshot (recrawl freshness dedup: newest capture per url)
-    + anchor_text_profile (per-target inbound anchor aggregation) as a
-    kind-tagged union (a join on url would mis-multiply: the fixture
-    plants duplicate urls, and anchor targets are a different key set)."""
+    + anchor_text_profile (per-target inbound anchor aggregation)
+    + url_quality_filter (RefinedWeb-style pre-fetch URL gate, URLQ_KW
+    profile) as a kind-tagged union (a join on url would mis-multiply:
+    the fixture plants duplicate urls, and anchor targets are a
+    different key set)."""
     import pandas as pd
     import ray.data
 
@@ -999,6 +1010,7 @@ def _q_extract_canonicalize(sf_dir: str):
         extract_text,
         filter_hosts,
         url_canonicalize,
+        url_quality_filter,
     )
     from shaclapi_ray.pipelines.freshness import latest_snapshot
 
@@ -1060,8 +1072,25 @@ def _q_extract_canonicalize(sf_dir: str):
             + ap["n_distinct_anchors"].astype(str),
         }
     )
+    uq = url_quality_filter(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url"]), **URLQ_KW
+    ).to_pandas()
+    part6 = pd.DataFrame(
+        {
+            "url": uq["url"],
+            "kind": "urlq",
+            "value": uq["kept"].map({True: "true", False: "false"}),
+            "extra": uq["n_chars"].astype(str)
+            + "|"
+            + uq["n_digits"].astype(str)
+            + "|"
+            + uq["n_slashes"].astype(str),
+        }
+    )
     return _sorted(
-        pd.concat([part1, part2, part3, part4, part5], ignore_index=True),
+        pd.concat(
+            [part1, part2, part3, part4, part5, part6], ignore_index=True
+        ),
         ["url", "kind", "value"],
     )
 
@@ -1641,6 +1670,13 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 f"n_inlinks || '|' || n_unique_sources || '|' || "
                 f"n_distinct_anchors AS extra "
                 f"FROM ({o.anchor_profile_sql(pages_dir)})",
+            ),
+            (
+                "urlq",
+                f"SELECT url, CASE WHEN kept THEN 'true' ELSE 'false' END "
+                f"AS value, n_chars || '|' || n_digits || '|' || n_slashes "
+                f"AS extra "
+                f"FROM ({o.url_quality_sql(pages_dir, **URLQ_KW)})",
             ),
         ],
         tag_col="kind",

@@ -341,6 +341,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "extract_text": "shaclapi_ray.pipelines.extract:extract_text",
     "url_canonicalize": "shaclapi_ray.pipelines.extract:url_canonicalize",
     "filter_hosts": "shaclapi_ray.pipelines.extract:filter_hosts",
+    "url_quality_filter": "shaclapi_ray.pipelines.extract:url_quality_filter",
     "host_curation": "shaclapi_ray.pipelines.hostcure:host_curation",
     "latest_snapshot": "shaclapi_ray.pipelines.freshness:latest_snapshot",
     "cap_per_host": "shaclapi_ray.pipelines.freshness:cap_per_host",

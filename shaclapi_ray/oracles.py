@@ -1522,3 +1522,39 @@ def filter_hosts_sql(pages_dir: str, blocked_hosts) -> str:
 SELECT url, host, regexp_matches(host, '(^|\\.)({alt})$') AS blocked
 FROM ({url_canonicalize_sql(pages_dir)}) ORDER BY url
 """
+
+
+def url_quality_sql(
+    pages_dir: str,
+    *,
+    max_len: int = 2048,
+    max_digit_pct: int = 50,
+    max_slashes: int = 8,
+    blocked_words=(),
+) -> str:
+    """Oracle for pipelines.extract.url_quality_filter: identical
+    integer rules (the digit share is cross-multiplied, never a float
+    ratio), every row reported, null urls zero-counted and kept=false
+    (has_scheme coalesces to FALSE, and FALSE AND NULL = FALSE)."""
+    import re
+
+    word_clause = ""
+    if blocked_words:
+        alt = "|".join(re.escape(w.lower()) for w in sorted(blocked_words))
+        word_clause = f"\n   AND NOT regexp_matches(lower(url), '({alt})')"
+    return f"""
+WITH s AS (
+  SELECT url,
+    COALESCE(length(url), 0) AS n_chars,
+    COALESCE(length(url) - length(regexp_replace(url, '[0-9]', '', 'g')), 0)
+      AS n_digits,
+    COALESCE(length(url) - length(replace(url, '/', '')), 0) AS n_slashes,
+    COALESCE(regexp_matches(url, '^https?://'), FALSE) AS has_scheme
+  FROM {pages_rel(pages_dir)}
+)
+SELECT url, n_chars, n_digits, n_slashes,
+  (has_scheme AND n_chars <= {int(max_len)}
+   AND 100 * n_digits <= {int(max_digit_pct)} * n_chars
+   AND n_slashes <= {int(max_slashes)}{word_clause}) AS kept
+FROM s ORDER BY url
+"""

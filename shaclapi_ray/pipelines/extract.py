@@ -106,6 +106,74 @@ def extract_text(pages_ds):
     return pages_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def url_quality_filter(
+    pages_ds,
+    *,
+    max_len: int = 2048,
+    max_digit_pct: int = 50,
+    max_slashes: int = 8,
+    blocked_words: tuple[str, ...] = (),
+):
+    """(url, n_chars, n_digits, n_slashes, kept): the URL-string quality
+    gate of a web-crawl pipeline (the RefinedWeb/C4 pre-fetch filter
+    family: Penedo et al. 2023 §3.1 run a word-blocklist + character
+    heuristics over the URL before touching page content). A page is
+    kept iff its url is non-null, absolute (http/https scheme), at most
+    ``max_len`` characters, at most ``max_slashes`` path separators,
+    digit share ``100*n_digits <= max_digit_pct*n_chars`` (session-id /
+    tracking-url smell), and contains no blocked word
+    (case-insensitive substring — porn/spam/SEO lists in production).
+
+    Every input row is reported (null urls get zeroed counts and
+    kept=false) so the output joins 1:1 against the crawl manifest.
+    The digit rule is INTEGER cross-multiplication — no float ratio —
+    so the DuckDB oracle (oracles.url_quality_sql) is exact, not
+    tolerance-matched. Row-local streaming pass over the narrow url
+    column: vectorized polars string kernels, no shuffle, no state —
+    at 100 TB this runs at read speed on the url projection alone.
+    """
+    import re
+
+    import polars as pl
+
+    word_re = (
+        "(?i)(" + "|".join(re.escape(w.lower()) for w in sorted(blocked_words)) + ")"
+        if blocked_words
+        else None
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["url"]))
+        u = pl.col("url")
+        df = df.with_columns(
+            u.str.len_chars().fill_null(0).cast(pl.Int64).alias("n_chars"),
+            u.str.count_matches(r"[0-9]").fill_null(0).cast(pl.Int64).alias("n_digits"),
+            u.str.count_matches("/", literal=True)
+            .fill_null(0)
+            .cast(pl.Int64)
+            .alias("n_slashes"),
+            u.str.contains(r"^https?://").fill_null(False).alias("_scheme"),
+        )
+        kept = (
+            pl.col("_scheme")
+            & (pl.col("n_chars") <= max_len)
+            & (100 * pl.col("n_digits") <= max_digit_pct * pl.col("n_chars"))
+            & (pl.col("n_slashes") <= max_slashes)
+        )
+        if word_re is not None:
+            kept = kept & ~u.str.contains(word_re).fill_null(False)
+        out = df.select(
+            pl.col("url"),
+            pl.col("n_chars"),
+            pl.col("n_digits"),
+            pl.col("n_slashes"),
+            kept.alias("kept"),
+        )
+        return out.to_arrow()
+
+    return pages_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def filter_hosts(pages_ds, blocked_hosts):
     """(url, host, blocked): flag pages whose canonical host is a blocked
     domain or any subdomain of one — the domain-blocklist gate of a web

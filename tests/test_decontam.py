@@ -160,3 +160,93 @@ def test_filter_hosts_empty_blocklist_raises(ray_session):
 
     with _pytest.raises(ValueError):
         filter_hosts(None, [])
+
+
+URLQ_ADVERSARIAL = [
+    "https://host1.example.org/p/1",  # clean absolute url
+    "http://plain.org/x",  # http scheme also absolute
+    "host0.example.org/p/5",  # no scheme -> blocked
+    "",  # empty -> blocked
+    None,  # null -> reported, kept=false
+    "https://12345678",  # exactly 50% digits -> kept at pct=50 (<=)
+    "https://123456789",  # just over 50% digits -> blocked at pct=50
+    "https://a/b/c",  # 4 slashes -> kept at max_slashes=4
+    "https://a/b/c/",  # 5 slashes -> blocked at max_slashes=4
+    "https://www.CASINO-games.com/x",  # blocked word, case-insensitive
+    "https://pokerXnet.com/y",  # 'poker.net' dot is escaped: no match
+    "https://poker.net/z",  # literal blocked word match
+    "https://long.org/" + "a" * 60,  # over max_len=64 -> blocked
+    "https://étude.fr/é1",  # unicode: char counts, not bytes
+]
+URLQ_KW_TEST = dict(
+    max_len=64,
+    max_digit_pct=50,
+    max_slashes=4,
+    blocked_words=("casino", "poker.net"),
+)
+
+
+def test_url_quality_filter_rules(ray_session):
+    """Every URL rule on an adversarial list: scheme, empty/null,
+    exact digit-share boundary (integer cross-multiplication, kept at
+    equality), slash cap boundary, case-insensitive blocked words with
+    regex metacharacters escaped, length cap, unicode char counting."""
+    import ray
+    import pyarrow as pa
+
+    from shaclapi_ray.pipelines.extract import url_quality_filter
+
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(URLQ_ADVERSARIAL, pa.string())})
+    )
+    out = url_quality_filter(ds, **URLQ_KW_TEST).to_pandas()
+    assert len(out) == len(URLQ_ADVERSARIAL)  # nulls reported, not dropped
+    got = dict(zip(out.url, out.kept))
+    assert got["https://host1.example.org/p/1"]
+    assert got["http://plain.org/x"]
+    assert not got["host0.example.org/p/5"]
+    assert not got[""]
+    null_rows = out[out.url.isna()]
+    assert len(null_rows) == 1 and not null_rows.kept.iloc[0]
+    assert (null_rows[["n_chars", "n_digits", "n_slashes"]] == 0).all().all()
+    assert got["https://12345678"]  # 8 digits / 16 chars == pct exactly
+    assert not got["https://123456789"]
+    assert got["https://a/b/c"]
+    assert not got["https://a/b/c/"]
+    assert not got["https://www.CASINO-games.com/x"]
+    assert got["https://pokerXnet.com/y"]
+    assert not got["https://poker.net/z"]
+    assert not got["https://long.org/" + "a" * 60]
+    uni = out[out.url == "https://étude.fr/é1"].iloc[0]
+    assert uni.n_chars == 19 and uni.n_digits == 1 and bool(uni.kept)
+
+
+def test_url_quality_filter_oracle_parity_adversarial(ray_session, tmp_path):
+    """The DuckDB oracle and the Ray operator agree row-for-row on the
+    adversarial list (not just the fixture profile the driver runs)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from shaclapi_ray.oracles import url_quality_sql
+    from shaclapi_ray.pipelines.extract import url_quality_filter
+
+    tbl = pa.table({"url": pa.array(URLQ_ADVERSARIAL, pa.string())})
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+    duck = (
+        duckdb.sql(url_quality_sql(str(tmp_path), **URLQ_KW_TEST))
+        .df()
+        .sort_values("url", na_position="first")
+        .reset_index(drop=True)
+    )
+    out = (
+        url_quality_filter(ray.data.from_arrow(tbl), **URLQ_KW_TEST)
+        .to_pandas()
+        .sort_values("url", na_position="first")
+        .reset_index(drop=True)
+    )
+    for c in ("url", "n_chars", "n_digits", "n_slashes", "kept"):
+        assert out[c].fillna("__na__").tolist() == duck[c].fillna(
+            "__na__"
+        ).tolist(), c

@@ -45,3 +45,41 @@ def test_gopher_profile_not_degenerate(ray_session):
         "back to the paper default? the fixture vocabulary carries one "
         "Gopher stop word"
     )
+
+
+def test_urlq_profile_not_degenerate(ray_session):
+    """URLQ_KW must block some urls and keep others at BOTH driver
+    scales. At sf0.001 only the planted ''/null/scheme-less urls fall
+    (the digit rule is silent by design); at sf0.01 the digit rule
+    crosses 16% around row index 10000 and splits the table — checked
+    via the SQL side alone (no 20k-row Ray pass in the guard)."""
+    import duckdb
+    import ray.data
+
+    from __ray_entry__ import URLQ_KW
+    from shaclapi_ray.oracles import url_quality_sql
+    from shaclapi_ray.pagegen import ensure_pages
+    from shaclapi_ray.pipelines.extract import url_quality_filter
+
+    pages = ray.data.read_parquet(ensure_pages(SF), columns=["url"])
+    out = url_quality_filter(pages, **URLQ_KW).to_pandas()
+    n_kept = int(out["kept"].sum())
+    assert 0 < n_kept < len(out), (
+        f"URLQ_KW verdict is degenerate at sf0.001 ({n_kept}/{len(out)} "
+        "kept) — the planted url violations must be blocked and the "
+        "clean absolute urls kept"
+    )
+    counts = duckdb.sql(
+        "SELECT kept, count(*) AS n FROM ("
+        + url_quality_sql(ensure_pages("/root/testdata/sf0.01"), **URLQ_KW)
+        + ") GROUP BY kept"
+    ).df()
+    by = dict(zip(counts.kept, counts.n))
+    assert by.get(True, 0) > 0 and by.get(False, 0) > 0, (
+        f"URLQ_KW verdict is degenerate at sf0.01 ({by}) — max_digit_pct "
+        "must sit where fixture digit shares straddle it"
+    )
+    assert by.get(False, 0) > len(out), (
+        f"digit rule never fires at sf0.01 ({by}) — blocked count should "
+        "far exceed the 3% planted violations"
+    )
