@@ -359,6 +359,15 @@ HOSTCURE_KW = dict(max_dup_pct=10, min_mean_tokens=310, min_docs=100)
 # every real host at BOTH scales while keeping the ''/null-url groups
 # intact (non-degenerate in each direction)
 CAP_K = 120
+# snapshot_delta fixture: the two crawl snapshots derive from the SAME
+# pages table by deterministic char-length mod rules (SQL-expressible,
+# scale-independent): old drops len(text)%10==3 rows (-> 'added'), new
+# drops %10==7 (-> 'removed') and appends ' v2' to %10==0 texts
+# (-> 'changed'); everything else is 'unchanged' — all four statuses
+# present at every scale
+DELTA_DROP_OLD = 3
+DELTA_DROP_NEW = 7
+DELTA_CHANGE = 0
 # url-quality profile for the extract_canonicalize slot's kind='urlq'
 # part: fixture urls are "https://host{h}.example.org/p/{i}", so digits
 # grow with the row index while length barely moves — max_digit_pct=16
@@ -1072,6 +1081,45 @@ def _q_extract_canonicalize(sf_dir: str):
             + ap["n_distinct_anchors"].astype(str),
         }
     )
+    from shaclapi_ray.pipelines.freshness import snapshot_delta
+
+    def _delta_side(which: str):
+        import polars as pl
+
+        def fn(batch):
+            df = pl.from_arrow(batch)
+            ln = pl.col("text").str.len_chars().cast(pl.Int64)
+            if which == "old":
+                return df.filter(
+                    (ln % 10 != DELTA_DROP_OLD).fill_null(False)
+                ).to_arrow()
+            df = df.filter((ln % 10 != DELTA_DROP_NEW).fill_null(False))
+            return df.with_columns(
+                pl.when(ln % 10 == DELTA_CHANGE)
+                .then(pl.col("text") + " v2")
+                .otherwise(pl.col("text"))
+                .alias("text")
+            ).to_arrow()
+
+        return ray.data.read_parquet(
+            _pages(sf_dir), columns=["url", "warc_ts", "text"]
+        ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    sd = snapshot_delta(_delta_side("old"), _delta_side("new")).to_pandas()
+    part7 = pd.DataFrame(
+        {
+            "url": sd["url"],
+            "kind": "delta",
+            "value": sd["status"],
+            "extra": sd["old_ts"].astype(str)
+            + "|"
+            + sd["new_ts"].astype(str)
+            + "|"
+            + sd["old_cnt"].astype(str)
+            + "|"
+            + sd["new_cnt"].astype(str),
+        }
+    )
     uq = url_quality_filter(
         ray.data.read_parquet(_pages(sf_dir), columns=["url"]), **URLQ_KW
     ).to_pandas()
@@ -1089,7 +1137,8 @@ def _q_extract_canonicalize(sf_dir: str):
     )
     return _sorted(
         pd.concat(
-            [part1, part2, part3, part4, part5, part6], ignore_index=True
+            [part1, part2, part3, part4, part5, part6, part7],
+            ignore_index=True,
         ),
         ["url", "kind", "value"],
     )
@@ -1593,6 +1642,26 @@ def _dsir_resample_part_sql() -> str:
     return dsir_resample_sql(DSIR_K)
 
 
+def _delta_old_src(pages_dir: str) -> str:
+    from shaclapi_ray.oracles import pages_rel
+
+    return (
+        f"(SELECT url, warc_ts, text FROM {pages_rel(pages_dir)} "
+        f"WHERE length(text) % 10 != {DELTA_DROP_OLD})"
+    )
+
+
+def _delta_new_src(pages_dir: str) -> str:
+    from shaclapi_ray.oracles import pages_rel
+
+    return (
+        f"(SELECT url, warc_ts, CASE WHEN length(text) % 10 = "
+        f"{DELTA_CHANGE} THEN text || ' v2' ELSE text END AS text "
+        f"FROM {pages_rel(pages_dir)} "
+        f"WHERE length(text) % 10 != {DELTA_DROP_NEW})"
+    )
+
+
 def _tagged_union_sql(parts: list[tuple[str, str]], tag_col: str, order: str) -> str:
     body = "\nUNION ALL\n".join(
         f"SELECT '{tag}' AS {tag_col}, * FROM ({sql})" for tag, sql in parts
@@ -1677,6 +1746,13 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 f"AS value, n_chars || '|' || n_digits || '|' || n_slashes "
                 f"AS extra "
                 f"FROM ({o.url_quality_sql(pages_dir, **URLQ_KW)})",
+            ),
+            (
+                "delta",
+                f"SELECT url, status AS value, "
+                f"old_ts || '|' || new_ts || '|' || old_cnt || '|' || "
+                f"new_cnt AS extra "
+                f"FROM ({o.snapshot_delta_sql(_delta_old_src(pages_dir), _delta_new_src(pages_dir))})",
             ),
         ],
         tag_col="kind",

@@ -346,6 +346,52 @@ ORDER BY r.url NULLS FIRST, r.ts
 """
 
 
+def snapshot_delta_sql(old_src: str, new_src: str) -> str:
+    """Mirror of pipelines.freshness.snapshot_delta: per-url-key diff of
+    two pages-shaped relations. Each side's representative capture is
+    its latest_snapshot winner (max (ts, md5(text)) per url, NULL urls
+    their own group — ROW_NUMBER is safe here because full-tuple ties
+    share identical VALUES and only the values are compared); the FULL
+    OUTER JOIN on url IS NOT DISTINCT FROM matches the Ray side's
+    128-bit key + isnull-bit grouping. ``old_src``/``new_src`` are
+    relation names or parenthesized subqueries with (url, warc_ts,
+    text). Absent-side fills (-1 ts, 0 cnt) match _pair_sides."""
+
+    def side(src: str) -> str:
+        return f"""
+  SELECT url, ts, tl, tu, cnt FROM (
+    SELECT url, ts, tl, tu,
+           row_number() OVER (
+             PARTITION BY url ORDER BY ts DESC, tl DESC, tu DESC
+           ) AS rn,
+           count(*) OVER (PARTITION BY url) AS cnt
+    FROM (
+      SELECT url,
+             coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts,
+             md5_number_lower(coalesce(text, '')) AS tl,
+             md5_number_upper(coalesce(text, '')) AS tu
+      FROM {src}
+    )
+  ) WHERE rn = 1"""
+
+    return f"""
+WITH ow AS ({side(old_src)}),
+nw AS ({side(new_src)})
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.ts IS NULL THEN 'added'
+            WHEN n.ts IS NULL THEN 'removed'
+            WHEN o.tl = n.tl AND o.tu = n.tu THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       coalesce(o.ts, -1) AS old_ts,
+       coalesce(n.ts, -1) AS new_ts,
+       coalesce(o.cnt, 0) AS old_cnt,
+       coalesce(n.cnt, 0) AS new_cnt
+FROM ow AS o FULL OUTER JOIN nw AS n
+  ON o.url IS NOT DISTINCT FROM n.url
+ORDER BY url NULLS FIRST, status
+"""
+
+
 def cap_per_host_sql(pages_dir: str, k: int) -> str:
     """Mirror of pipelines.freshness.cap_per_host: RANK() <= k per host
     over the order (url NULLS FIRST, warc_ts) — RANK (not ROW_NUMBER)

@@ -102,13 +102,17 @@ def _keyed(batch: pa.Table, url_col: str, ts_col: str,
 def _reduce_latest(df: pl.DataFrame) -> pl.DataFrame:
     """Per-key max (ts, th_lo, th_hi) — the newest capture, md5
     tie-break — plus the per-key ROW COUNT (summed across partials; the
-    skew-aware join uses it to tell singleton urls from recrawled ones)."""
+    skew-aware join uses it to tell singleton urls from recrawled ones).
+    A ``url`` column, when present (snapshot_delta carries the
+    representative string through the combine), rides along via first()
+    — every row in a 128-bit key group shares the same url string."""
     if "cnt" not in df.columns:
         df = df.with_columns(pl.lit(1, dtype=pl.Int64).alias("cnt"))
+    extra = ["url"] if "url" in df.columns else []
     return (
         df.sort(_VAL, descending=True)
         .group_by(_KEY, maintain_order=True)
-        .agg(*[pl.col(c).first() for c in _VAL], pl.col("cnt").sum())
+        .agg(*[pl.col(c).first() for c in _VAL + extra], pl.col("cnt").sum())
     )
 
 
@@ -600,3 +604,158 @@ def _cap_schema() -> pa.Schema:
             ("ts", pa.int64()),
         ]
     )
+
+
+# --- snapshot delta ---------------------------------------------------
+
+_DELTA_WINNER_SCHEMA = pa.schema(
+    [(c, _FIELD_TYPES[c]) for c in _KEY + _VAL]
+    + [("url", pa.string()), ("cnt", pa.int64()), ("side", pa.int8())]
+)
+
+_DELTA_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("status", pa.string()),
+        ("old_ts", pa.int64()),
+        ("new_ts", pa.int64()),
+        ("old_cnt", pa.int64()),
+        ("new_cnt", pa.int64()),
+    ]
+)
+
+
+def _delta_winners(ds, url_col, ts_col, text_col, side: int):
+    """Per-url winner table for one snapshot side: latest_snapshot's
+    (key, max (ts, th) tuple, cnt) reduce, carrying the representative
+    url string and a side tag. Narrow — text/html never leave the scan."""
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _DELTA_WINNER_SCHEMA.empty_table()
+        df = _keyed(batch, url_col, ts_col, text_col)
+        url = batch[url_col]
+        df = df.with_columns(
+            pl.Series("url", url.combine_chunks() if isinstance(
+                url, pa.ChunkedArray) else url)
+        )
+        out = _reduce_latest(df).with_columns(
+            pl.lit(side, dtype=pl.Int8).alias("side")
+        )
+        return out.to_arrow().select(
+            _DELTA_WINNER_SCHEMA.names
+        ).cast(_DELTA_WINNER_SCHEMA)
+
+    return ds.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _pair_sides(df: pl.DataFrame) -> pa.Table:
+    """Collapse a (key, side)-level winner frame to one delta row per
+    url key. Input rows may still be per-batch partials (several rows
+    per (key, side)), so each side re-reduces to its max tuple first."""
+    per_side = (
+        df.sort(_VAL, descending=True)
+        .group_by(_KEY + ["side"], maintain_order=True)
+        .agg(
+            *[pl.col(c).first() for c in _VAL + ["url"]],
+            pl.col("cnt").sum(),
+        )
+    )
+    aggs = [pl.col("url").first().alias("url")]
+    for side, pref in ((0, "old"), (1, "new")):
+        m = pl.col("side") == side
+        aggs += [
+            pl.col("ts").filter(m).first().alias(f"{pref}_ts"),
+            pl.col("th_lo").filter(m).first().alias(f"{pref}_tl"),
+            pl.col("th_hi").filter(m).first().alias(f"{pref}_tu"),
+            pl.col("cnt").filter(m).first().alias(f"{pref}_cnt"),
+        ]
+    g = per_side.group_by(_KEY).agg(aggs)
+    status = (
+        pl.when(pl.col("old_ts").is_null())
+        .then(pl.lit("added"))
+        .when(pl.col("new_ts").is_null())
+        .then(pl.lit("removed"))
+        .when(
+            (pl.col("old_tl") == pl.col("new_tl"))
+            & (pl.col("old_tu") == pl.col("new_tu"))
+        )
+        .then(pl.lit("unchanged"))
+        .otherwise(pl.lit("changed"))
+    )
+    out = g.select(
+        pl.col("url"),
+        status.alias("status"),
+        pl.col("old_ts").fill_null(-1),
+        pl.col("new_ts").fill_null(-1),
+        pl.col("old_cnt").fill_null(0),
+        pl.col("new_cnt").fill_null(0),
+    )
+    return out.to_arrow().cast(_DELTA_SCHEMA)
+
+
+def snapshot_delta(old_ds, new_ds, *, url_col: str = "url",
+                   ts_col: str = "warc_ts", text_col: str = "text",
+                   mode: str = "auto"):
+    """Cross-snapshot crawl diff: one row per distinct url key across
+    two snapshots of the pages table, with ``status`` in {'added',
+    'removed', 'changed', 'unchanged'} — the CC-index diff every
+    incremental crawl/validation pipeline starts from (and the
+    discovery pass feeding ``incremental.incremental_validate``).
+
+    Semantics (mirrored exactly by oracles.snapshot_delta_sql):
+    - A side's representative capture is its latest_snapshot winner —
+      max (ts, md5(text)) per 128-bit url key, NULL urls their own
+      group (the latest_snapshot exactness contract above).
+    - status: 'added' = key only in new, 'removed' = only in old,
+      'changed' = both sides but the winners' text hashes differ,
+      'unchanged' = both sides, same text hash.
+    - old_ts/new_ts = the winner's int64 epoch-us ts (-1 when that
+      side lacks the key); old_cnt/new_cnt = that side's capture count.
+
+    Scale: per-side narrow candidate passes (text never shuffled) →
+    side-tagged winner union → ONE groupby(hu_lo) pairing shuffle over
+    rows ∝ distinct urls; below DRIVER_MERGE_LIMIT the pairing merges
+    driver-side instead ('auto', like latest_snapshot's mode)."""
+    import ray
+    import ray.data
+
+    if mode not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    union = _delta_winners(old_ds, url_col, ts_col, text_col, 0).union(
+        _delta_winners(new_ds, url_col, ts_col, text_col, 1)
+    )
+
+    def group_pair(group: pa.Table) -> pa.Table:
+        return _pair_sides(pl.from_arrow(group))
+
+    if mode == "shuffle":
+        return union.groupby("hu_lo").map_groups(
+            group_pair, batch_format="pyarrow"
+        )
+    union = union.materialize()
+    if mode != "driver" and union.count() > DRIVER_MERGE_LIMIT:
+        return union.groupby("hu_lo").map_groups(
+            group_pair, batch_format="pyarrow"
+        )
+    tables = [t for r in union.to_arrow_refs() if (t := ray.get(r)).num_rows]
+    if not tables:
+        return ray.data.from_arrow(_DELTA_SCHEMA.empty_table())
+    return ray.data.from_arrow(
+        _pair_sides(pl.from_arrow(pa.concat_tables(tables)))
+    )
+
+
+def snapshot_delta_from(old_ds, new_input: str, **kw):
+    """CLI-runner seam for snapshot_delta: the registry passes ONE input
+    Dataset, so the second snapshot arrives as a path (parquet/JSONL/CSV
+    via the io seam) in ``args``:
+
+        {"pipeline": "snapshot_delta", "input": "/crawl/2026-01",
+         "args": {"new_input": "/crawl/2026-02"}}
+    """
+    from shaclapi_ray.io import read_table_any
+
+    return snapshot_delta(old_ds, read_table_any(new_input), **kw)

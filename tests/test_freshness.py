@@ -267,3 +267,183 @@ def test_cap_null_and_empty_urls_share_blank_host(ray_session):
     got = cap_per_host(ds, 2).to_pandas()
     assert len(got) == 2
     assert got["url"].isna().all()
+
+
+# --- snapshot_delta ----------------------------------------------------
+
+
+def _delta_tables():
+    def t(rows):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [r[1] for r in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    old = t(
+        [
+            ("https://a/1", 100, "alpha"),
+            ("https://a/1", 200, "alpha2"),  # recrawl: winner ts=200
+            ("https://b/2", 50, "beta"),  # removed
+            ("", 10, "empty-url"),  # '' group, unchanged
+            (None, 5, "null-url-old"),  # null group, changed
+            ("https://c/3", 70, "gamma"),  # unchanged
+        ]
+    )
+    new = t(
+        [
+            ("https://a/1", 300, "alpha3"),  # changed
+            ("https://c/3", 70, "gamma"),
+            ("https://d/4", 400, "delta"),  # added
+            ("", 10, "empty-url"),
+            (None, 5, "null-url-new"),
+            (None, 5, "null-url-new"),  # exact dup row: cnt 2
+        ]
+    )
+    return old, new
+
+
+def test_snapshot_delta_semantics(ray_session):
+    """Status classification incl. recrawl winners, ''/null url groups,
+    exact-duplicate rows counted, absent-side fills."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import snapshot_delta
+
+    old, new = _delta_tables()
+    out = (
+        snapshot_delta(
+            ray.data.from_arrow(old).repartition(3),
+            ray.data.from_arrow(new).repartition(2),
+        )
+        .to_pandas()
+        .sort_values("url", na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    by = {("__null__" if pd.isna(u) else u): r for u, r in zip(out.url, out.itertuples())}
+    assert by["https://a/1"].status == "changed"
+    assert by["https://a/1"].old_ts == 200 and by["https://a/1"].new_ts == 300
+    assert by["https://a/1"].old_cnt == 2 and by["https://a/1"].new_cnt == 1
+    assert by["https://b/2"].status == "removed"
+    assert by["https://b/2"].new_ts == -1 and by["https://b/2"].new_cnt == 0
+    assert by["https://d/4"].status == "added"
+    assert by["https://d/4"].old_ts == -1 and by["https://d/4"].old_cnt == 0
+    assert by["https://c/3"].status == "unchanged"
+    assert by[""].status == "unchanged"
+    assert by["__null__"].status == "changed"
+    assert by["__null__"].new_cnt == 2
+
+
+def test_snapshot_delta_modes_identical(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import snapshot_delta
+
+    old, new = _delta_tables()
+    outs = []
+    for mode in ("driver", "shuffle", "auto"):
+        outs.append(
+            snapshot_delta(
+                ray.data.from_arrow(old).repartition(4),
+                ray.data.from_arrow(new),
+                mode=mode,
+            )
+            .to_pandas()
+            .sort_values(["url", "status"], na_position="first")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_snapshot_delta_oracle_parity_randomized(ray_session):
+    """Randomized recrawl corpora vs the DuckDB oracle: urls drawn from
+    a small pool (forced recrawls/overlaps), random ts ties, a few
+    null/'' urls, texts from a tiny alphabet (forced hash ties)."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from shaclapi_ray.oracles import snapshot_delta_sql
+    from shaclapi_ray.pipelines.freshness import snapshot_delta
+
+    rng = np.random.default_rng(7)
+    pool = [f"https://h{i % 4}/p/{i}" for i in range(12)] + ["", None]
+
+    def snap(n):
+        urls = [pool[rng.integers(0, len(pool))] for _ in range(n)]
+        ts = rng.integers(0, 5, n)  # small range: forced ties
+        texts = ["txt" + str(rng.integers(0, 3)) for _ in range(n)]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    for trial in range(3):
+        old, new = snap(40), snap(35)
+        got = (
+            snapshot_delta(
+                ray.data.from_arrow(old).repartition(3),
+                ray.data.from_arrow(new).repartition(2),
+            )
+            .to_pandas()
+            .sort_values(["url"], na_position="first")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("oldt", old)
+        con.register("newt", new)
+        want = (
+            con.sql(snapshot_delta_sql("oldt", "newt"))
+            .df()
+            .sort_values(["url"], na_position="first")
+            .reset_index(drop=True)
+        )
+        for c in ("url", "status", "old_ts", "new_ts", "old_cnt", "new_cnt"):
+            assert (
+                got[c].fillna("__na__").tolist()
+                == want[c].fillna("__na__").tolist()
+            ), f"trial {trial} col {c}"
+
+
+def test_snapshot_delta_empty_sides(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.freshness import snapshot_delta
+
+    old, new = _delta_tables()
+    empty = ray.data.from_arrow(old.slice(0, 0))
+    added = snapshot_delta(empty, ray.data.from_arrow(new)).to_pandas()
+    assert (added.status == "added").all() and len(added) == 5
+    removed = snapshot_delta(ray.data.from_arrow(old), empty).to_pandas()
+    assert (removed.status == "removed").all() and len(removed) == 5
+    both = snapshot_delta(empty, empty).to_pandas()
+    assert len(both) == 0
+
+
+def test_snapshot_delta_cli_runner(ray_session, tmp_path):
+    """run_pipeline seam: second snapshot arrives as a path in args."""
+    import pyarrow.parquet as pq
+
+    from shaclapi_ray.api import run_pipeline
+
+    old, new = _delta_tables()
+    pq.write_table(old, tmp_path / "old.parquet")
+    pq.write_table(new, tmp_path / "new.parquet")
+    res = run_pipeline(
+        {
+            "pipeline": "snapshot_delta",
+            "input": str(tmp_path / "old.parquet"),
+            "args": {"new_input": str(tmp_path / "new.parquet")},
+            "output": str(tmp_path / "out"),
+        }
+    )
+    assert res["rows"] == 6
