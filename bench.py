@@ -327,6 +327,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_docs,
     )
 
+    from shaclapi_ray.pipelines.extract import url_quality_filter
+    from shaclapi_ray.pipelines.freshness import snapshot_delta
+
+    timed(
+        "url_quality_filter",
+        lambda: url_quality_filter(
+            read_parquet(pages_dir, columns=["url"]), max_digit_pct=16
+        ).count(),
+        rows=n_docs,
+    )
+    # two snapshots from the same pages read (the bench measures the
+    # delta machinery, not a second storage copy)
+    timed(
+        "snapshot_delta",
+        lambda: snapshot_delta(
+            read_parquet(pages_dir, columns=["url", "warc_ts", "text"]),
+            read_parquet(pages_dir, columns=["url", "warc_ts", "text"]),
+        ).count(),
+        rows=n_docs,
+    )
+
     from shaclapi_ray.pipelines.anchors import anchor_text_profile
 
     timed(
