@@ -132,6 +132,28 @@ def url_quality_filter(
     column: vectorized polars string kernels, no shuffle, no state —
     at 100 TB this runs at read speed on the url projection alone.
     """
+    def fn(batch: pa.Table) -> pa.Table:
+        return url_quality_frame(
+            batch,
+            max_len=max_len,
+            max_digit_pct=max_digit_pct,
+            max_slashes=max_slashes,
+            blocked_words=blocked_words,
+        )
+
+    return pages_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def url_quality_frame(
+    batch: pa.Table,
+    *,
+    max_len: int = 2048,
+    max_digit_pct: int = 50,
+    max_slashes: int = 8,
+    blocked_words: tuple[str, ...] = (),
+) -> pa.Table:
+    """The per-batch url_quality_filter kernel (module-level so the
+    hypothesis parity test can drive it against DuckDB without Ray)."""
     import re
 
     import polars as pl
@@ -141,37 +163,33 @@ def url_quality_filter(
         if blocked_words
         else None
     )
-
-    def fn(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["url"]))
-        u = pl.col("url")
-        df = df.with_columns(
-            u.str.len_chars().fill_null(0).cast(pl.Int64).alias("n_chars"),
-            u.str.count_matches(r"[0-9]").fill_null(0).cast(pl.Int64).alias("n_digits"),
-            u.str.count_matches("/", literal=True)
-            .fill_null(0)
-            .cast(pl.Int64)
-            .alias("n_slashes"),
-            u.str.contains(r"^https?://").fill_null(False).alias("_scheme"),
-        )
-        kept = (
-            pl.col("_scheme")
-            & (pl.col("n_chars") <= max_len)
-            & (100 * pl.col("n_digits") <= max_digit_pct * pl.col("n_chars"))
-            & (pl.col("n_slashes") <= max_slashes)
-        )
-        if word_re is not None:
-            kept = kept & ~u.str.contains(word_re).fill_null(False)
-        out = df.select(
-            pl.col("url"),
-            pl.col("n_chars"),
-            pl.col("n_digits"),
-            pl.col("n_slashes"),
-            kept.alias("kept"),
-        )
-        return out.to_arrow()
-
-    return pages_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    df = pl.from_arrow(batch.select(["url"]))
+    u = pl.col("url")
+    df = df.with_columns(
+        u.str.len_chars().fill_null(0).cast(pl.Int64).alias("n_chars"),
+        u.str.count_matches(r"[0-9]").fill_null(0).cast(pl.Int64).alias("n_digits"),
+        u.str.count_matches("/", literal=True)
+        .fill_null(0)
+        .cast(pl.Int64)
+        .alias("n_slashes"),
+        u.str.contains(r"^https?://").fill_null(False).alias("_scheme"),
+    )
+    kept = (
+        pl.col("_scheme")
+        & (pl.col("n_chars") <= max_len)
+        & (100 * pl.col("n_digits") <= max_digit_pct * pl.col("n_chars"))
+        & (pl.col("n_slashes") <= max_slashes)
+    )
+    if word_re is not None:
+        kept = kept & ~u.str.contains(word_re).fill_null(False)
+    out = df.select(
+        pl.col("url"),
+        pl.col("n_chars"),
+        pl.col("n_digits"),
+        pl.col("n_slashes"),
+        kept.alias("kept"),
+    )
+    return out.to_arrow()
 
 
 def filter_hosts(pages_ds, blocked_hosts):

@@ -99,3 +99,51 @@ def test_not_null_semantics():
         {"op": "not", "arg": {"op": "==", "column": "s", "value": "a"}}, tbl
     ).to_pylist()
     assert out == [True, False]
+
+
+URL_FRAGMENTS = [
+    "https://", "http://", "HTTPS://", "host", "9", "42", "/", "//",
+    ":", "#", "?", "é", "漢", ".", "a/b", "CASINO", "poker.net", " ",
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    urls=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(URL_FRAGMENTS), min_size=0, max_size=8
+            ).map("".join),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    max_digit_pct=st.integers(0, 100),
+    max_slashes=st.integers(0, 6),
+)
+def test_url_quality_frame_matches_duckdb(urls, max_digit_pct, max_slashes):
+    """Random fragment-composed urls (unicode, schemes in both cases,
+    digit runs, slash runs, blocklist words) through the polars kernel
+    vs the SQL oracle, across random thresholds."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from shaclapi_ray.oracles import url_quality_sql
+    from shaclapi_ray.pipelines.extract import url_quality_frame
+
+    kw = dict(
+        max_len=24,
+        max_digit_pct=max_digit_pct,
+        max_slashes=max_slashes,
+        blocked_words=("casino", "poker.net"),
+    )
+    tbl = pa.table({"url": pa.array(urls, pa.string())})
+    got = url_quality_frame(tbl, **kw).to_pandas()
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+        want = duckdb.sql(url_quality_sql(d, **kw)).df()
+    key = ["url", "n_chars", "n_digits", "n_slashes", "kept"]
+    a = got[key].sort_values(key, na_position="first").reset_index(drop=True)
+    b = want[key].sort_values(key, na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
