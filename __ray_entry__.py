@@ -957,6 +957,7 @@ def _q_top_hosts(sf_dir: str):
     ch = curate_pages(
         ray.data.read_parquet(_pages(sf_dir), columns=["url", "warc_ts", "text"]),
         cap_k=CAP_K,
+        urlq_kw=URLQ_KW,
         **HOSTCURE_KW,
     ).to_pandas()
     chain = pd.DataFrame(
@@ -1808,7 +1809,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             (
                 "chain",
                 f"SELECT url AS key, CAST(ts AS VARCHAR) AS value, '' AS extra "
-                f"FROM ({o.curate_pages_sql(pages_dir, CAP_K, **HOSTCURE_KW)})",
+                f"FROM ({o.curate_pages_sql(pages_dir, CAP_K, urlq_kw=URLQ_KW, **HOSTCURE_KW)})",
             ),
         ],
         tag_col="kind",

@@ -505,21 +505,27 @@ def curate_pages_sql(
     max_dup_pct: int = 10,
     min_mean_tokens: int = 0,
     min_docs: int = 2,
+    urlq_kw: dict | None = None,
 ) -> str:
-    """Mirror of pipelines.curate.curate_pages: latest_snapshot ->
-    filter_by_host(host_curation learned on the snapshot-filtered
-    stream) -> cap_per_host, composed by chaining each stage's rows
-    generator through its ``src`` seam (the preprocess_corpus oracle
-    pattern). Returns (url, ts)."""
+    """Mirror of pipelines.curate.curate_pages: [optional URL gate] ->
+    latest_snapshot -> filter_by_host(host_curation learned on the
+    snapshot-filtered stream) -> cap_per_host, composed by chaining
+    each stage's rows generator through its ``src`` seam (the
+    preprocess_corpus oracle pattern). Returns (url, ts)."""
     s2 = filter_hosts_rows_sql(
         "s1",
         max_dup_pct=max_dup_pct,
         min_mean_tokens=min_mean_tokens,
         min_docs=min_docs,
     )
+    s0 = ""
+    latest_src = "src0"
+    if urlq_kw is not None:
+        s0 = f"s0 AS ({url_quality_rows_sql('src0', **urlq_kw)}),\n"
+        latest_src = "s0"
     return f"""
 WITH src0 AS (SELECT url, warc_ts, text FROM {pages_rel(pages_dir)}),
-s1 AS ({latest_rows_sql("src0")}),
+{s0}s1 AS ({latest_rows_sql(latest_src)}),
 s2 AS ({s2}),
 s3 AS ({cap_rows_sql("s2", cap_k)})
 SELECT url, coalesce(epoch_us(warc_ts), {_TS_MIN}) AS ts
@@ -1570,6 +1576,15 @@ FROM ({url_canonicalize_sql(pages_dir)}) ORDER BY url
 """
 
 
+def _urlq_word_clause(blocked_words) -> str:
+    import re
+
+    if not blocked_words:
+        return ""
+    alt = "|".join(re.escape(w.lower()) for w in sorted(blocked_words))
+    return f"\n   AND NOT regexp_matches(lower(url), '({alt})')"
+
+
 def url_quality_sql(
     pages_dir: str,
     *,
@@ -1582,12 +1597,6 @@ def url_quality_sql(
     integer rules (the digit share is cross-multiplied, never a float
     ratio), every row reported, null urls zero-counted and kept=false
     (has_scheme coalesces to FALSE, and FALSE AND NULL = FALSE)."""
-    import re
-
-    word_clause = ""
-    if blocked_words:
-        alt = "|".join(re.escape(w.lower()) for w in sorted(blocked_words))
-        word_clause = f"\n   AND NOT regexp_matches(lower(url), '({alt})')"
     return f"""
 WITH s AS (
   SELECT url,
@@ -1601,6 +1610,28 @@ WITH s AS (
 SELECT url, n_chars, n_digits, n_slashes,
   (has_scheme AND n_chars <= {int(max_len)}
    AND 100 * n_digits <= {int(max_digit_pct)} * n_chars
-   AND n_slashes <= {int(max_slashes)}{word_clause}) AS kept
+   AND n_slashes <= {int(max_slashes)}{_urlq_word_clause(blocked_words)}) AS kept
 FROM s ORDER BY url
+"""
+
+
+def url_quality_rows_sql(
+    src: str,
+    *,
+    max_len: int = 2048,
+    max_digit_pct: int = 50,
+    max_slashes: int = 8,
+    blocked_words=(),
+) -> str:
+    """Full pages rows surviving the URL gate over the relation NAME
+    ``src`` — the chain-composition variant (curate_pages' optional
+    stage 0). Same integer rules as url_quality_sql inlined into one
+    WHERE (null urls fail has_scheme and drop)."""
+    return f"""
+SELECT url, warc_ts, text FROM {src}
+WHERE COALESCE(regexp_matches(url, '^https?://'), FALSE)
+   AND COALESCE(length(url), 0) <= {int(max_len)}
+   AND 100 * COALESCE(length(url) - length(regexp_replace(url, '[0-9]', '', 'g')), 0)
+       <= {int(max_digit_pct)} * COALESCE(length(url), 0)
+   AND COALESCE(length(url) - length(replace(url, '/', '')), 0) <= {int(max_slashes)}{_urlq_word_clause(blocked_words)}
 """

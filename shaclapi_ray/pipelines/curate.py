@@ -29,20 +29,40 @@ from shaclapi_ray.pipelines.preprocess import _boundary
 
 def curate_pages(pages_ds, *, cap_k: int, max_dup_pct: int = 10,
                  min_mean_tokens: int = 0, min_docs: int = 2,
+                 urlq_kw: dict | None = None,
                  checkpoint_dir: str | None = None, resume: bool = False,
                  latest_strategy: str = "broadcast",
                  host_strategy: str = "broadcast",
                  cap_strategy: str = "broadcast"):
-    """Run the three-stage page-curation chain over a pages Dataset
-    (must carry url, warc_ts, text). Returns the surviving pages.
-    Each stage's beyond-broadcast-ceiling fallback is reachable from
-    the composed flagship: ``latest_strategy`` / ``host_strategy`` /
-    ``cap_strategy`` pass through to latest_snapshot, filter_by_host
-    and cap_per_host ('broadcast' or 'join'). ``resume=True`` (with
-    ``checkpoint_dir``) skips stages whose dir carries the completion
-    marker."""
+    """Run the page-curation chain over a pages Dataset (must carry
+    url, warc_ts, text). Returns the surviving pages.
+    ``urlq_kw`` enables the RefinedWeb URL gate
+    (extract.url_quality_filter kwargs) as stage 0 — row-local and
+    streaming, so it fuses into the first latest_snapshot scan with NO
+    boundary (the preprocess pattern for its optional C4/Gopher
+    pre-stages). Each multi-pass stage's beyond-broadcast-ceiling
+    fallback is reachable from the composed flagship:
+    ``latest_strategy`` / ``host_strategy`` / ``cap_strategy`` pass
+    through to latest_snapshot, filter_by_host and cap_per_host
+    ('broadcast' or 'join'). ``resume=True`` (with ``checkpoint_dir``)
+    skips stages whose dir carries the completion marker."""
     from shaclapi_ray.pipelines.freshness import cap_per_host, latest_snapshot
     from shaclapi_ray.pipelines.hostcure import filter_by_host, host_curation
+
+    if urlq_kw is not None:
+        from shaclapi_ray.pipelines.extract import url_quality_frame
+
+        kw = dict(urlq_kw)
+
+        def gate(batch):
+            if batch.num_rows == 0:
+                return batch
+            kept = url_quality_frame(batch, **kw)["kept"]
+            return batch.filter(kept.combine_chunks())
+
+        pages_ds = pages_ds.map_batches(
+            gate, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     s1 = _boundary(
         latest_snapshot(pages_ds, strategy=latest_strategy),

@@ -132,3 +132,53 @@ def test_curate_all_join_strategies_identical(ray_session):
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_curate_urlq_gate_equals_manual(ray_session):
+    """urlq_kw prepends the URL gate as stage 0: composed == gate by
+    hand then the 3-stage chain; the gate must actually drop rows here
+    (digit-heavy and scheme-less urls planted) without touching the
+    downstream stage semantics."""
+    import ray.data
+
+    from shaclapi_ray.pipelines.curate import curate_pages
+    from shaclapi_ray.pipelines.extract import url_quality_frame
+
+    t = _pages()
+    extra = pa.table(
+        {
+            "url": pa.array(
+                ["b.y/noscheme", "http://a.x/9999999999999"], pa.string()
+            ),
+            "warc_ts": pa.array([50, 51], pa.timestamp("us")),
+            "text": pa.array(["dropped by gate", "digit heavy"], pa.string()),
+        }
+    )
+    full = pa.concat_tables([t, extra])
+    urlq = dict(max_len=64, max_digit_pct=40, max_slashes=8)
+
+    def gate(batch):
+        return batch.filter(
+            url_quality_frame(batch, **urlq)["kept"].combine_chunks()
+        )
+
+    gated = ray.data.from_arrow(full).repartition(3).map_batches(
+        gate, batch_format="pyarrow"
+    )
+    manual = _norm(curate_pages(gated, cap_k=CAP, **KW))
+    composed = _norm(
+        curate_pages(
+            ray.data.from_arrow(full).repartition(3),
+            cap_k=CAP,
+            urlq_kw=urlq,
+            **KW,
+        )
+    )
+    pd.testing.assert_frame_equal(composed, manual)
+    urls = composed["url"].tolist()
+    assert "b.y/noscheme" not in urls
+    assert "http://a.x/9999999999999" not in urls
+    # the gate dropped rows but the ungated chain keeps them: proof the
+    # stage is live, not a pass-through
+    ungated = _norm(curate_pages(ray.data.from_arrow(full), cap_k=CAP, **KW))
+    assert "b.y/noscheme" in ungated["url"].tolist()
