@@ -891,9 +891,11 @@ def _q_top_hosts(sf_dir: str):
     (broadcast path; the join path is pinned output-identical in
     tests/test_hostcure.py); 'cap' = pages surviving cap_per_host's
     per-host page cap (RANK <= CAP_K, tests/test_freshness.py);
-    'chain' = the composed curate_pages flagship (latest_snapshot ->
-    learned host filter -> cap), its oracle CTE-chained from the same
-    stage generators (the preprocess_corpus composition pattern)."""
+    'chain' = the composed curate_pages flagship (URL gate ->
+    latest_snapshot -> learned host filter -> cap), its oracle
+    CTE-chained from the same stage generators (the preprocess_corpus
+    composition pattern); 'comp' = the corpus-composition rollup
+    (docs/tokens per host x capture month x lang)."""
     import pandas as pd
     import ray.data
 
@@ -968,7 +970,24 @@ def _q_top_hosts(sf_dir: str):
             "extra": "",
         }
     )
-    out = pd.concat([top, cure, kept, cap, chain], ignore_index=True)
+    from shaclapi_ray.pipelines.profile import corpus_composition
+
+    cc = corpus_composition(
+        ray.data.read_parquet(
+            _pages(sf_dir), columns=["url", "warc_ts", "text", "lang"]
+        )
+    ).to_pandas()
+    comp = pd.DataFrame(
+        {
+            "key": cc["host"],
+            "kind": "comp",
+            "value": cc["period_us"].astype(str)
+            + "|"
+            + cc["lang"].fillna("∅"),
+            "extra": cc["n_docs"].astype(str) + "|" + cc["n_tokens"].astype(str),
+        }
+    )
+    out = pd.concat([top, cure, kept, cap, chain, comp], ignore_index=True)
     return out.sort_values(
         ["kind", "key", "value"], na_position="first", kind="mergesort"
     ).reset_index(drop=True)
@@ -1810,6 +1829,13 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 "chain",
                 f"SELECT url AS key, CAST(ts AS VARCHAR) AS value, '' AS extra "
                 f"FROM ({o.curate_pages_sql(pages_dir, CAP_K, urlq_kw=URLQ_KW, **HOSTCURE_KW)})",
+            ),
+            (
+                "comp",
+                f"SELECT host AS key, "
+                f"period_us || '|' || COALESCE(lang, '∅') AS value, "
+                f"n_docs || '|' || n_tokens AS extra "
+                f"FROM ({o.corpus_composition_sql(pages_dir)})",
             ),
         ],
         tag_col="kind",

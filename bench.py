@@ -329,6 +329,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from shaclapi_ray.pipelines.extract import url_quality_filter
     from shaclapi_ray.pipelines.freshness import snapshot_delta
+    from shaclapi_ray.pipelines.profile import corpus_composition
+
+    timed(
+        "corpus_composition",
+        lambda: corpus_composition(
+            read_parquet(pages_dir, columns=["url", "warc_ts", "text", "lang"])
+        ).count(),
+        rows=n_docs,
+    )
 
     timed(
         "url_quality_filter",

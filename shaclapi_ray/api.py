@@ -345,6 +345,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "host_curation": "shaclapi_ray.pipelines.hostcure:host_curation",
     "latest_snapshot": "shaclapi_ray.pipelines.freshness:latest_snapshot",
     "snapshot_delta": "shaclapi_ray.pipelines.freshness:snapshot_delta_from",
+    "corpus_composition": "shaclapi_ray.pipelines.profile:corpus_composition",
     "cap_per_host": "shaclapi_ray.pipelines.freshness:cap_per_host",
     "anchor_text_profile": "shaclapi_ray.pipelines.anchors:anchor_text_profile",
     "outlink_profile": "shaclapi_ray.pipelines.anchors:outlink_profile",

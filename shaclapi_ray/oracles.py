@@ -346,6 +346,30 @@ ORDER BY r.url NULLS FIRST, r.ts
 """
 
 
+def corpus_composition_sql(pages_dir: str, period: str = "month") -> str:
+    """Oracle for pipelines.profile.corpus_composition: exact integer
+    rollup per (host, calendar-truncated capture period, lang). Same
+    host regex, same \\S+-run token count, null ts -> -1 bucket, null
+    lang its own group (GROUP BY groups NULLs together on both sides).
+    The null-ts fill is an explicit CASE, not COALESCE: this DuckDB
+    build mis-evaluates COALESCE(epoch_us(date_trunc(...)), -1) to
+    NULL over the parquet scan path (fine over registered tables)."""
+    if period not in ("month", "day"):
+        raise ValueError(f"unknown period {period!r}")
+    return f"""
+SELECT COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS host,
+       CASE WHEN warc_ts IS NULL THEN -1
+            ELSE epoch_us(date_trunc('{period}', warc_ts)) END AS period_us,
+       lang,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(COALESCE(length(regexp_extract_all(text, '\\S+')), 0))::BIGINT
+         AS n_tokens
+FROM {pages_rel(pages_dir)}
+GROUP BY host, period_us, lang
+ORDER BY host, period_us, lang NULLS FIRST
+"""
+
+
 def snapshot_delta_sql(old_src: str, new_src: str) -> str:
     """Mirror of pipelines.freshness.snapshot_delta: per-url-key diff of
     two pages-shaped relations. Each side's representative capture is

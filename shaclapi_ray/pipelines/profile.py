@@ -376,3 +376,84 @@ def heavy_hitters(ds, col: str, k: int = 5, width: int = 8192, depth: int = 4):
     est = merged.estimate_array(pa.array(counts["value"].tolist(), pa.string()))
     counts["n_cms"] = est.astype("int64")
     return counts.reset_index(drop=True)
+
+
+def corpus_composition(pages_ds, *, period: str = "month",
+                       url_col: str = "url", ts_col: str = "warc_ts",
+                       text_col: str = "text", lang_col: str = "lang"):
+    """(host, period_us, lang, n_docs, n_tokens): the corpus-card
+    rollup — document and whitespace-token share per (host, capture
+    period, language) — every Dolma/Pile-style mixture plan and crawl
+    dashboard starts here. ``period`` is 'month' or 'day'; period_us =
+    epoch microseconds of the calendar-truncated warc_ts (-1 for null
+    ts, its own bucket). Token count is the repo-standard
+    ``\\S+``-run count (hostcure's oracle expression), null text = 0;
+    null lang stays its own group.
+
+    Scale: ONE streaming pass of per-batch polars group_by partials —
+    rows per batch ∝ distinct (host, period, lang) in the batch, not
+    docs — combined by stages.aggregates.combine_partials_multi (auto
+    driver-merge below 5M partial rows, Ray shuffle above). Reads only
+    (url, warc_ts, text, lang); no corpus-sized exchange anywhere.
+    Mirrored by oracles.corpus_composition_sql (exact integers)."""
+    import polars as pl
+
+    from shaclapi_ray.pipelines.hostcure import _host_expr
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    if period not in ("month", "day"):
+        raise ValueError(f"unknown period {period!r}")
+    every = "1mo" if period == "month" else "1d"
+
+    schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("period_us", pa.int64()),
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        df = pl.DataFrame(
+            {
+                "host": pl.Series(_host_expr(batch[url_col])),
+                "ts": pl.from_arrow(
+                    batch[ts_col].combine_chunks()
+                    if isinstance(batch[ts_col], pa.ChunkedArray)
+                    else batch[ts_col]
+                ),
+                "n_tok": pl.from_arrow(batch[text_col])
+                .str.count_matches(r"\S+")
+                .fill_null(0)
+                .cast(pl.Int64),
+                "lang": pl.from_arrow(batch[lang_col]),
+            }
+        )
+        df = df.with_columns(
+            pl.col("ts")
+            .dt.truncate(every)
+            .cast(pl.Int64)
+            .fill_null(-1)
+            .alias("period_us")
+        )
+        out = (
+            df.group_by(["host", "period_us", "lang"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_tok").sum().alias("n_tokens"),
+            )
+            .select(["host", "period_us", "lang", "n_docs", "n_tokens"])
+        )
+        return out.to_arrow().cast(schema)
+
+    parts = pages_ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return combine_partials_multi(
+        parts, keys=["host", "period_us", "lang"],
+        sums=["n_docs", "n_tokens"],
+    )

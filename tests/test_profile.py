@@ -120,3 +120,95 @@ def test_psi_drift_detects_planted_shift(ray_session):
     assert not bool(df.loc["h1.org", "drifted"])
     assert df.loc["h0.org", "psi"] > 10 * df.loc["h1.org", "psi"]
     assert (df["psi"] >= 0).all()
+
+
+# --- corpus_composition -------------------------------------------------
+
+
+def _comp_pages():
+    import pyarrow as pa
+
+    rows = [
+        # url, ts(us), text, lang
+        ("https://a.x/1", 1735689600000000, "one two three", "en"),  # 2025-01
+        ("https://a.x/2", 1735689600000001, "four five", "en"),  # same month
+        ("https://a.x/3", 1738368000000000, "six", "en"),  # 2025-02
+        ("https://b.y/1", 1735689600000000, "sept huit", "fr"),
+        ("https://b.y/2", 1735689600000000, None, "fr"),  # null text: 0 tok
+        ("https://b.y/3", 1735689600000000, "neuf", None),  # null lang group
+        ("https://b.y/4", 1735689600000000, "dix", ""),  # '' lang distinct
+        ("rel/no-host", 1735689600000000, "x y", "en"),  # host ''
+        (None, None, "null everything", None),  # null ts -> -1 bucket
+        ("https://c.z/old", -10000000000000, "before epoch", "en"),  # 1969
+    ]
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_corpus_composition_semantics_and_oracle(ray_session, tmp_path):
+    """Exact rollup on a handcrafted table: month buckets, null ts ->
+    -1, null text -> 0 tokens, null lang vs '' lang distinct groups,
+    host '' for non-absolute urls, PRE-1970 negative-epoch truncation —
+    all row-for-row equal to the DuckDB oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from shaclapi_ray.oracles import corpus_composition_sql
+    from shaclapi_ray.pipelines.profile import corpus_composition
+
+    t = _comp_pages()
+    pq.write_table(t, tmp_path / "part-0.parquet")
+    for period in ("month", "day"):
+        got = (
+            corpus_composition(
+                ray.data.from_arrow(t).repartition(3), period=period
+            )
+            .to_pandas()
+            .sort_values(
+                ["host", "period_us", "lang"], na_position="first"
+            )
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(corpus_composition_sql(str(tmp_path), period))
+            .df()
+            .sort_values(
+                ["host", "period_us", "lang"], na_position="first"
+            )
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), period
+        for c in ("host", "period_us", "lang", "n_docs", "n_tokens"):
+            assert (
+                got[c].fillna("__na__").tolist()
+                == want[c].fillna("__na__").tolist()
+            ), (period, c)
+    # spot semantics (month): host a.x en splits into two months
+    got_m = (
+        corpus_composition(ray.data.from_arrow(t), period="month")
+        .to_pandas()
+    )
+    ax = got_m[got_m.host == "a.x"].sort_values("period_us")
+    assert ax.n_docs.tolist() == [2, 1] and ax.n_tokens.tolist() == [5, 1]
+    by = got_m[got_m.host == "b.y"]
+    assert len(by) == 3  # fr / '' / null-lang groups, all 2025-01
+    assert int(by[by.lang == "fr"].n_tokens.iloc[0]) == 2  # null text = 0
+    assert (got_m[got_m.host == ""].period_us < 0).any()  # null-ts bucket
+
+
+def test_corpus_composition_unknown_period_raises(ray_session):
+    import pytest as _pytest
+
+    from shaclapi_ray.pipelines.profile import corpus_composition
+
+    with _pytest.raises(ValueError):
+        corpus_composition(None, period="week")
