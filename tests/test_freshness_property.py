@@ -257,3 +257,52 @@ def test_outlink_profile_matches_duckdb(ray_session, pages):
     got = got[cols].sort_values(cols).reset_index(drop=True)
     exp = exp[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
+_COMP_TS = st.one_of(
+    st.none(),
+    st.integers(min_value=-40_000_000_000_000, max_value=2_000_000_000_000_000),
+)
+_COMP_LANG = st.sampled_from([None, "", "en", "de", "xx"])
+_COMP_URLS = st.sampled_from(
+    [None, "", "http://a.x/1", "https://B.y:8/2", "rel/p", "http://a.x/1"]
+)
+_COMP_ROWS = st.lists(
+    st.tuples(_COMP_URLS, _COMP_TS, _TEXTS, _COMP_LANG), min_size=1, max_size=16
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(rows=_COMP_ROWS, period=st.sampled_from(["month", "day"]))
+def test_corpus_composition_matches_duckdb(ray_session, rows, period):
+    """Calendar-truncation parity guard: polars dt.truncate and DuckDB
+    date_trunc must bucket the same — including pre-1970 negative
+    epochs — with the same host/lang/null grouping and token sums."""
+    from shaclapi_ray.oracles import corpus_composition_sql
+    from shaclapi_ray.pipelines.profile import corpus_composition
+
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [r[1] for r in rows], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    d = os.path.join(_TMP_ROOT, uuid.uuid4().hex)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/part-0.parquet")
+    exp = duckdb.connect().execute(corpus_composition_sql(d, period)).df()
+    got = corpus_composition(
+        ray.data.read_parquet(d).repartition(2), period=period
+    ).to_pandas()
+    key = ["host", "period_us", "lang", "n_docs", "n_tokens"]
+    a = _norm(got[key])
+    b = _norm(exp[key])
+    assert len(a) == len(b), (len(a), len(b))
+    for c in key:
+        assert (
+            a[c].fillna("__na__").tolist() == b[c].fillna("__na__").tolist()
+        ), c
