@@ -4,7 +4,9 @@ everything else — the Common-Crawl monthly-snapshot scenario, where a
 new crawl shares most of its rows with the previous one and a full
 revalidation wastes the cluster on unchanged data. The data-side twin
 is ``pipelines.dedup.dedup_incremental`` (same persisted bucketed-state
-idea, applied to verdicts instead of content hashes).
+idea, applied to verdicts instead of content hashes); the QUERYABLE
+per-url delta report between two snapshots (added/removed/changed/
+unchanged rows, SQL-oracle-checked) is ``freshness.snapshot_delta``.
 
 Correctness scope — exact for COLUMN-ONLY shape DAGs: predicate/OR
 constraints are row-local, so an unchanged row's verdict cannot change
