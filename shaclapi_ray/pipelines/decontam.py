@@ -31,6 +31,8 @@ import pyarrow as pa
 
 from shaclapi_ray.stages.hashset import hash_strings
 
+from shaclapi_ray.pipelines.textstats import TOKEN_RE
+
 N_GRAM = 3
 EVAL_MOD = 37  # default eval set: doc_id % EVAL_MOD == 0 (deterministic)
 
@@ -42,7 +44,7 @@ def _doc_grams(batch: pa.Table, n: int):
 
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
     ex = (
-        df.with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
+        df.with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
         .drop("text")
         .explode("t")
     )

@@ -30,6 +30,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min
 
+from shaclapi_ray.pipelines.textstats import TOKEN_RE
+
 MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -1093,7 +1095,7 @@ class SimHasher:
             else batch["text"]
         ).fill_null("")
         toks = (
-            pl.DataFrame({"row": pl.int_range(len(s), eager=True), "t": s.str.extract_all(r"\S+")})
+            pl.DataFrame({"row": pl.int_range(len(s), eager=True), "t": s.str.extract_all(TOKEN_RE)})
             .explode("t")
             .drop_nulls()
         )

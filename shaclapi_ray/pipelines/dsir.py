@@ -45,6 +45,8 @@ import pyarrow as pa
 
 import ray
 
+from shaclapi_ray.pipelines.textstats import TOKEN_RE
+
 DSIR_BUCKETS_DEFAULT = 4096
 _GUMBEL_MOD = 1 << 53  # exactly representable in float64
 
@@ -61,7 +63,7 @@ def _gram_frame(batch: pa.Table, extra_cols: tuple = ()):
     df = (
         pl.from_arrow(batch.select(["doc_id", *extra_cols, "text"]))
         .with_columns(
-            pl.col("text").fill_null("").str.extract_all(r"\S+").alias("toks")
+            pl.col("text").fill_null("").str.extract_all(TOKEN_RE).alias("toks")
         )
         .select("doc_id", *extra_cols, "toks")
     )

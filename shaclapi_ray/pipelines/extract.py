@@ -22,7 +22,12 @@ import pyarrow.compute as pc
 from shaclapi_ray.stages.links import _decode_lossy
 
 TAG_RE = r"<[^>]*>"
-WS_RE = r"\s+"
+# explicit class, not \s+: polars' Rust-regex \s is Unicode-aware while
+# the DuckDB oracle's RE2 \s is exactly [\t\n\f\r ] — a literal \s+
+# would collapse NBSP/U+3000 runs on the Ray side only (the TOKEN_RE
+# rule in pipelines/textstats.py; cross-engine equality property-tested
+# in tests/test_pred_property.py)
+WS_RE = r"[ \t\n\f\r]+"
 
 
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"

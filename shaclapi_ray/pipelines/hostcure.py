@@ -41,6 +41,8 @@ from shaclapi_ray.stages.aggregates import (
 )
 from shaclapi_ray.stages.links import HOST_RE
 
+from shaclapi_ray.pipelines.textstats import TOKEN_RE
+
 # blocked-host broadcast ceiling (entries are 8 B sorted uint64): far
 # above any real web corpus's *blocked* host count; loud above it.
 HOST_BROADCAST_LIMIT = 50_000_000
@@ -66,7 +68,7 @@ def _doc_partials(pages_ds, url_col: str, text_col: str):
         s = pl.from_arrow(batch[text_col]).fill_null("")
         if isinstance(s, pl.DataFrame):  # single-column frame on old polars
             s = s.to_series()
-        n_tok = s.str.count_matches(r"\S+").cast(pl.Int64)
+        n_tok = s.str.count_matches(TOKEN_RE).cast(pl.Int64)
         t = pa.table(
             {
                 "h1": pa.array(s.hash(seed=17).to_numpy().view(np.int64)),

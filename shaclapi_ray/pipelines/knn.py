@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from shaclapi_ray.pipelines.textstats import TOKEN_RE
+
 
 def _to_matrix(col) -> np.ndarray:
     """Arrow list<float> column -> (n, dim) float64 matrix, zero-copy.
@@ -610,7 +612,7 @@ class TextEmbedder:
         df = pl.from_arrow(batch.select(["doc_id", "text"]))
         ex = (
             df.with_row_index("row")
-            .with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
+            .with_columns(pl.col("text").str.extract_all(TOKEN_RE).alias("t"))
             .drop("text")
             .explode("t")
             .filter(pl.col("t").is_not_null())

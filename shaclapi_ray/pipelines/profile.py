@@ -26,6 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from shaclapi_ray.pipelines.textstats import TOKEN_RE
+
 HOST_RE = r"^https?://([^/]+)"
 
 # profiled pages columns -> kind: how min/max/len are computed
@@ -427,7 +429,7 @@ def corpus_composition(pages_ds, *, period: str = "month",
                     else batch[ts_col]
                 ),
                 "n_tok": pl.from_arrow(batch[text_col])
-                .str.count_matches(r"\S+")
+                .str.count_matches(TOKEN_RE)
                 .fill_null(0)
                 .cast(pl.Int64),
                 "lang": pl.from_arrow(batch[lang_col]),

@@ -14,7 +14,14 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-TOKEN_RE = r"\S+"
+# Whitespace-token runs, written as an EXPLICIT class instead of \S+:
+# RE2 (pyarrow kernels, every DuckDB oracle) treats \s as exactly
+# [\t\n\f\r ] while polars' Rust regex \s is Unicode-aware (adds \v,
+# NBSP, U+2000.., U+3000 — all common in real web text), so a literal
+# \S+ silently tokenizes differently per engine. This class IS RE2's
+# \S (verified empirically), so polars/pyarrow/DuckDB agree on every
+# input; SQL mirrors may keep '\S+' — identical by construction.
+TOKEN_RE = r"[^ \t\n\f\r]+"
 # GPT-2-style pretokenizer, restricted to RE2 (no lookahead): contraction
 # tails, space-prefixed letter/digit runs, space-prefixed punctuation runs
 BPE_TOKEN_RE = r"'[a-z]+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
@@ -292,7 +299,7 @@ def repetition_signals(docs_ds):
     def fn(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(["doc_id", "text"]))
         lines = pl.col("text").str.split("\n")
-        words = pl.col("text").str.extract_all(r"\S+")
+        words = pl.col("text").str.extract_all(TOKEN_RE)
         out = df.select(
             pl.col("doc_id"),
             lines.list.len().cast(pl.Int64).alias("n_lines"),

@@ -250,3 +250,48 @@ def test_url_quality_filter_oracle_parity_adversarial(ray_session, tmp_path):
         assert out[c].fillna("__na__").tolist() == duck[c].fillna(
             "__na__"
         ).tolist(), c
+
+
+def test_extract_text_unicode_whitespace_parity(ray_session, tmp_path):
+    """WS_RE is the explicit RE2 \\s class: NBSP / ideographic-space
+    runs must survive (not collapse) identically on the polars side
+    and in the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from shaclapi_ray.oracles import extract_text_sql
+    from shaclapi_ray.pipelines.extract import extract_text
+
+    htmls = [
+        b"<p>a\xc2\xa0b  c</p>",  # NBSP stays, double space collapses
+        "<p>x　y</p>".encode(),  # ideographic space stays
+        b"<p>tab\there\r\nnext</p>",
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([f"https://h/{i}" for i in range(len(htmls))]),
+            "warc_ts": pa.array([1] * len(htmls), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(["-"] * len(htmls)),
+            "lang": pa.array(["en"] * len(htmls)),
+        }
+    )
+    pq.write_table(t, tmp_path / "part-0.parquet")
+    got = (
+        extract_text(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(extract_text_sql(str(tmp_path)))
+        .df()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["n_text_chars"].tolist() == want["n_text_chars"].tolist()
+    assert got["text"].tolist()[0] == "a\xa0b c"
+    assert got["text"].tolist()[1] == "x　y"

@@ -147,3 +147,49 @@ def test_url_quality_frame_matches_duckdb(urls, max_digit_pct, max_slashes):
     a = got[key].sort_values(key, na_position="first").reset_index(drop=True)
     b = want[key].sort_values(key, na_position="first").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["a", "b9", "日本", " ", "\t", "\n", "\f", "\r", "\v",
+                 " ", " ", "　", ""]
+            ),
+            min_size=0,
+            max_size=10,
+        ).map("".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_token_re_agrees_across_engines(texts):
+    """TOKEN_RE must tokenize identically in polars (Rust regex),
+    pyarrow (RE2) and DuckDB (RE2) — including \\v and the Unicode
+    spaces (NBSP, thin space, ideographic space) where Rust's \\S and
+    RE2's \\S genuinely differ. TOKEN_RE is the explicit RE2-\\S class,
+    and the SQL mirrors' '\\S+' must equal it too."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from shaclapi_ray.pipelines.textstats import TOKEN_RE
+
+    arr = pa.array(texts, pa.string())
+    pl_counts = pl.Series(texts).str.count_matches(TOKEN_RE).to_list()
+    pa_counts = pc.count_substring_regex(arr, TOKEN_RE).to_pylist()
+    con = duckdb.connect()
+    con.register("t", pa.table({"text": arr}))
+    duck_tok = [
+        r[0]
+        for r in con.execute(
+            f"SELECT length(regexp_extract_all(text, '{TOKEN_RE}')) FROM t"
+        ).fetchall()
+    ]
+    duck_s = [
+        r[0]
+        for r in con.execute(
+            "SELECT length(regexp_extract_all(text, '\\S+')) FROM t"
+        ).fetchall()
+    ]
+    assert pl_counts == pa_counts == duck_tok == duck_s, texts
