@@ -377,6 +377,22 @@ DELTA_CHANGE = 0
 # different rule mix at each scale (CLEAN_LINES_KW rationale);
 # integer-exact rules, no float thresholds
 URLQ_KW = dict(max_len=2048, max_digit_pct=16, max_slashes=8)
+# robots profile for the extract_canonicalize slot's kind='robots'
+# part: fixture paths are "/p/{i}" with host = i%10, so "/p/1" on host1
+# disallows i=1,11,1x1..(prefix growth) while the longer allow "/p/11"
+# re-admits the 11-prefixed subset (longest-match override exercised at
+# every scale); host4's "/" blocks the whole host; host7 mixes both
+# rules AND carries the planted scheme-less urls (i%100==27 -> host
+# index 7), so the non-absolute -> no-host -> allowed branch is live.
+# Non-degenerate at sf0.001 and sf0.01 in both directions
+# (tests/test_robots.py pins it).
+ROBOTS_RULES = (
+    ("host1.example.org", "disallow", "/p/1"),
+    ("host1.example.org", "allow", "/p/11"),
+    ("host4.example.org", "disallow", "/"),
+    ("host7.example.org", "disallow", "/p/7"),
+    ("host7.example.org", "allow", "/p/77"),
+)
 
 
 DSIR_K = 150
@@ -1028,9 +1044,10 @@ def _q_extract_canonicalize(sf_dir: str):
     + latest_snapshot (recrawl freshness dedup: newest capture per url)
     + anchor_text_profile (per-target inbound anchor aggregation)
     + url_quality_filter (RefinedWeb-style pre-fetch URL gate, URLQ_KW
-    profile) as a kind-tagged union (a join on url would mis-multiply:
-    the fixture plants duplicate urls, and anchor targets are a
-    different key set)."""
+    profile) + robots_filter (longest-match allow/disallow prefix gate,
+    ROBOTS_RULES profile) as a kind-tagged union (a join on url would
+    mis-multiply: the fixture plants duplicate urls, and anchor targets
+    are a different key set)."""
     import pandas as pd
     import ray.data
 
@@ -1140,6 +1157,19 @@ def _q_extract_canonicalize(sf_dir: str):
             + sd["new_cnt"].astype(str),
         }
     )
+    from shaclapi_ray.pipelines.robots import robots_filter
+
+    rb = robots_filter(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url"]), ROBOTS_RULES
+    ).to_pandas()
+    part8 = pd.DataFrame(
+        {
+            "url": rb["url"],
+            "kind": "robots",
+            "value": rb["allowed"].map({True: "true", False: "false"}),
+            "extra": rb["path"] + "|" + rb["rule"],
+        }
+    )
     uq = url_quality_filter(
         ray.data.read_parquet(_pages(sf_dir), columns=["url"]), **URLQ_KW
     ).to_pandas()
@@ -1157,7 +1187,7 @@ def _q_extract_canonicalize(sf_dir: str):
     )
     return _sorted(
         pd.concat(
-            [part1, part2, part3, part4, part5, part6, part7],
+            [part1, part2, part3, part4, part5, part6, part7, part8],
             ignore_index=True,
         ),
         ["url", "kind", "value"],
@@ -1773,6 +1803,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 f"old_ts || '|' || new_ts || '|' || old_cnt || '|' || "
                 f"new_cnt AS extra "
                 f"FROM ({o.snapshot_delta_sql(_delta_old_src(pages_dir), _delta_new_src(pages_dir))})",
+            ),
+            (
+                "robots",
+                f"SELECT url, CASE WHEN allowed THEN 'true' ELSE 'false' END "
+                f"AS value, path || '|' || rule AS extra "
+                f"FROM ({o.robots_sql(pages_dir, ROBOTS_RULES)})",
             ),
         ],
         tag_col="kind",

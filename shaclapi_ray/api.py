@@ -342,6 +342,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "url_canonicalize": "shaclapi_ray.pipelines.extract:url_canonicalize",
     "filter_hosts": "shaclapi_ray.pipelines.extract:filter_hosts",
     "url_quality_filter": "shaclapi_ray.pipelines.extract:url_quality_filter",
+    "robots_filter": "shaclapi_ray.pipelines.robots:robots_filter",
     "host_curation": "shaclapi_ray.pipelines.hostcure:host_curation",
     "latest_snapshot": "shaclapi_ray.pipelines.freshness:latest_snapshot",
     "snapshot_delta": "shaclapi_ray.pipelines.freshness:snapshot_delta_from",

@@ -159,6 +159,73 @@ FROM p ORDER BY url
 """
 
 
+def robots_sql(pages_dir: str, rules) -> str:
+    """Oracle for pipelines.robots.robots_filter: same host/path parse
+    as url_canonicalize (but the path keeps trailing slashes — robots
+    prefixes are literal), rules joined on exact host, winner by
+    (score DESC, prefix DESC) with score = 2*len(prefix)+is_allow —
+    the identical deterministic order both Ray strategies use."""
+    from shaclapi_ray.pipelines.robots import _norm_rules
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    norm = _norm_rules(rules)
+    host = """CASE WHEN scheme='http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme='https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END"""
+    hp = f"""
+WITH f AS (
+  SELECT url, regexp_replace(url, '#.*$', '') AS frag
+  FROM {pages_rel(pages_dir)} WHERE url IS NOT NULL
+),
+p AS (
+  SELECT url, frag,
+         lower(regexp_extract(frag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(frag, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_replace(frag, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '') AS rawpath
+  FROM f
+),
+hp AS (
+  SELECT url,
+         CASE WHEN scheme IS NULL OR scheme = '' THEN '' ELSE {host} END AS host,
+         CASE WHEN scheme IS NULL OR scheme = '' THEN ''
+              WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
+  FROM p
+)"""
+    if not norm:
+        return f"""{hp}
+SELECT url, host, path, TRUE AS allowed, '' AS rule
+FROM hp ORDER BY url
+"""
+    vals = ",\n         ".join(
+        f"({lit(h)}, {lit(d)}, {lit(px)})" for h, d, px in norm
+    )
+    return f"""{hp},
+r(rhost, directive, prefix) AS (
+  VALUES {vals}
+),
+m AS (
+  SELECT hp.url, r.directive, r.prefix,
+         2*length(r.prefix) + CASE WHEN r.directive='allow' THEN 1 ELSE 0 END AS score
+  FROM hp JOIN r ON hp.host = r.rhost
+  WHERE substr(hp.path, 1, length(r.prefix)) = r.prefix
+),
+w AS (
+  SELECT url, directive, prefix,
+         ROW_NUMBER() OVER (PARTITION BY url
+                            ORDER BY score DESC, prefix DESC) AS rn
+  FROM m
+)
+SELECT hp.url, hp.host, hp.path,
+       (win.url IS NULL OR win.directive = 'allow') AS allowed,
+       CASE WHEN win.url IS NULL THEN ''
+            ELSE win.directive || ':' || win.prefix END AS rule
+FROM hp LEFT JOIN (SELECT * FROM w WHERE rn = 1) win ON hp.url = win.url
+ORDER BY hp.url
+"""
+
+
 def top_hosts_sql(pages_dir: str, k: int = 5) -> str:
     return f"""
 WITH links AS (
