@@ -1045,9 +1045,11 @@ def _q_extract_canonicalize(sf_dir: str):
     + anchor_text_profile (per-target inbound anchor aggregation)
     + url_quality_filter (RefinedWeb-style pre-fetch URL gate, URLQ_KW
     profile) + robots_filter (longest-match allow/disallow prefix gate,
-    ROBOTS_RULES profile) as a kind-tagged union (a join on url would
-    mis-multiply: the fixture plants duplicate urls, and anchor targets
-    are a different key set)."""
+    ROBOTS_RULES profile) + the WARC sink->source roundtrip (kind='warc':
+    pages -> .warc.gz shards -> pages must be the identity on
+    url/warc_ts/text/lang; html byte-parity is unit-tested) as a
+    kind-tagged union (a join on url would mis-multiply: the fixture
+    plants duplicate urls, and anchor targets are a different key set)."""
     import pandas as pd
     import ray.data
 
@@ -1185,9 +1187,32 @@ def _q_extract_canonicalize(sf_dir: str):
             + uq["n_slashes"].astype(str),
         }
     )
+    import os
+    import shutil
+
+    from shaclapi_ray.pipelines.warc import read_pages_warc, write_warc
+
+    wdir = os.path.join(
+        "/tmp/shaclapi_ray_warc", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wdir, ignore_errors=True)
+    write_warc(ray.data.read_parquet(_pages(sf_dir)), wdir)
+    wp = read_pages_warc(wdir).to_pandas()
+    ts64 = wp["warc_ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    ts_str = pd.Series(ts64.astype(str), index=wp.index).where(
+        wp["warc_ts"].notna(), "-1"
+    )
+    part9 = pd.DataFrame(
+        {
+            "url": wp["url"],
+            "kind": "warc",
+            "value": wp["text"],
+            "extra": ts_str + "|" + wp["lang"].where(wp["lang"].notna(), "∅"),
+        }
+    )
     return _sorted(
         pd.concat(
-            [part1, part2, part3, part4, part5, part6, part7, part8],
+            [part1, part2, part3, part4, part5, part6, part7, part8, part9],
             ignore_index=True,
         ),
         ["url", "kind", "value"],
@@ -1810,6 +1835,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 f"AS value, path || '|' || rule AS extra "
                 f"FROM ({o.robots_sql(pages_dir, ROBOTS_RULES)})",
             ),
+            ("warc", o.warc_roundtrip_sql(pages_dir)),
         ],
         tag_col="kind",
         order="url, kind, value",

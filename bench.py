@@ -388,6 +388,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_docs,
     )
 
+    from shaclapi_ray.pipelines.warc import read_pages_warc, write_warc
+
+    _warc_dir = "/tmp/shaclapi_ray_bench_warc"
+
+    def _warc_roundtrip():
+        import shutil
+
+        shutil.rmtree(_warc_dir, ignore_errors=True)
+        write_warc(read_parquet(pages_dir), _warc_dir)
+        return read_pages_warc(_warc_dir).count()
+
+    timed("warc_roundtrip", _warc_roundtrip, rows=n_docs)
+
     from shaclapi_ray.pipelines.spans import (
         dup_span_coverage,
         pack_sequences,

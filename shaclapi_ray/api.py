@@ -351,6 +351,9 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "anchor_text_profile": "shaclapi_ray.pipelines.anchors:anchor_text_profile",
     "outlink_profile": "shaclapi_ray.pipelines.anchors:outlink_profile",
     "curate_pages": "shaclapi_ray.pipelines.curate:curate_pages",
+    "read_warc": "shaclapi_ray.pipelines.warc:read_warc",
+    "read_pages_warc": "shaclapi_ray.pipelines.warc:read_pages_warc",
+    "write_warc": "shaclapi_ray.pipelines.warc:write_warc",
     # events-table operators
     "tumbling_window": "shaclapi_ray.pipelines.events:tumbling_window",
     "hopping_window": "shaclapi_ray.pipelines.events:hopping_window",

@@ -133,6 +133,23 @@ ORDER BY url
 """
 
 
+def warc_roundtrip_sql(pages_dir: str) -> str:
+    """Identity projection of the pages table: the WARC sink -> source
+    roundtrip (pipelines/warc.py) preserves (url, warc_ts, text, lang)
+    exactly, so its oracle is the table itself. Null fills use explicit
+    CASE (the DuckDB COALESCE-over-parquet epoch_us quirk — CLAUDE.md);
+    html is binary and can't ride the VARCHAR union — its byte equality
+    is pinned by tests/test_warc.py instead."""
+    return f"""
+SELECT url, text AS value,
+       (CASE WHEN warc_ts IS NULL THEN '-1'
+             ELSE CAST(epoch_us(warc_ts) AS VARCHAR) END)
+       || '|' ||
+       (CASE WHEN lang IS NULL THEN '∅' ELSE lang END) AS extra
+FROM {pages_rel(pages_dir)}
+"""
+
+
 def url_canonicalize_sql(pages_dir: str) -> str:
     host = """CASE WHEN scheme='http' THEN regexp_replace(hostport, ':80$', '')
              WHEN scheme='https' THEN regexp_replace(hostport, ':443$', '')

@@ -283,7 +283,12 @@ def robots_filter(pages_ds, rules, *, url_col: str = "url",
         win_nb = drop_empty_blocks(winners)
         if win_nb is None:
             return no_winners(hp)
-        out = hp.join(
+        # LEFT side must be the empty-block-dropped hp_nb too: Ray's hash
+        # shuffle resolves the join schema from whichever bundle a
+        # partition aggregator sees first, and a schema-less empty block
+        # (Repartition emits them) makes FieldRef('url') fail — racily,
+        # per partition. Same rows either way (only 0-row blocks differ).
+        out = hp_nb.join(
             win_nb.rename_columns({"url": "_w_url"}),
             join_type="left_outer",
             num_partitions=clamp_partitions(None),

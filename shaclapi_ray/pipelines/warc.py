@@ -1,0 +1,375 @@
+"""WARC-ish crawl-archive source/sink for the pages table.
+
+The reference consumes SPARQL binding streams as its only source
+(`contactSource`, /root/reference/shaclapi/multiprocessing/contactSource.py:15);
+a webtext recast needs the crawl-archive seam instead: WARC (ISO 28500)
+is the interchange format of web crawls (CommonCrawl, Heritrix), so this
+module closes the loop ``pages -> .warc.gz -> pages``.
+
+Layout per page row (CommonCrawl's WARC+WET convention collapsed into
+one shard): a ``resource`` record carrying the raw html payload and the
+crawl headers, immediately followed — same file, adjacent — by an
+optional ``conversion`` record carrying the extracted text (absent iff
+text is null). ``lang`` rides a custom ``X-Crawl-Lang`` header (WARC
+permits extension fields). Null-vs-empty round-trips exactly:
+
+* url   null -> no ``WARC-Target-URI`` header; ``''`` -> empty value
+* warc_ts null -> no ``WARC-Date``; else ISO-8601 with microseconds
+* html  null -> ``X-Payload-Null: 1`` on the resource record
+* text  null -> no conversion record; ``''`` -> empty conversion payload
+* lang  null -> no ``X-Crawl-Lang`` header
+
+Determinism & resumability: records serialize with a fixed header
+order; each record is its own gzip member (the spec's seekable layout,
+``mtime=0``); the shard NAME is the md5 of the UNCOMPRESSED record
+bytes, so a retried block rewrites the same file with the same content
+(atomic tmp+rename) and compressed bytes never need golden-pinning
+(zlib builds differ across machines — see CLAUDE.md on the compression
+goldens).
+
+Scale: the writer emits one shard per input block — no shuffle; block
+size is Ray's target block size, the analog of CommonCrawl's ~1 GB
+shard convention. The reader is one task per shard
+(``read_binary_files`` + a per-file parse): records are
+length-delimited, so parsing is a bounded loop over *records* (payload
+slicing is bulk bytes, never a byte loop), and resource->conversion
+pairing is adjacency within the shard — no groupby anywhere. Shard
+bytes are held in one worker's heap while parsing: keep shards ~1 GB,
+same as every WARC toolchain.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+GZIP_LEVEL = 6  # speed/size tradeoff; content-hash naming is pre-compression
+
+_PAGE_COLS = ("url", "warc_ts", "html", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# record serialization
+# ---------------------------------------------------------------------------
+
+
+def _iso_us(ts_us: int) -> str:
+    return str(np.datetime64(int(ts_us), "us")) + "Z"
+
+
+def _parse_iso_us(v: str) -> int:
+    return int(np.datetime64(v.rstrip("Z"), "us").astype("int64"))
+
+
+def _check_header_value(v: str) -> str:
+    # WARC header values are CRLF-delimited; a bare CR/LF would corrupt
+    # the record frame. Fail loudly rather than write an unreadable shard.
+    if "\r" in v or "\n" in v:
+        raise ValueError(f"WARC header value contains CR/LF: {v[:60]!r}")
+    return v
+
+
+def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = "".join(f"{k}: {_check_header_value(v)}\r\n" for k, v in headers)
+    return (
+        b"WARC/1.0\r\n"
+        + head.encode("utf-8")
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+def _page_records(url, ts_us, html, text, lang) -> list[bytes]:
+    """resource record (+ adjacent conversion record iff text is not null)
+    for one pages row. Record IDs are deterministic content digests
+    (the spec only asks for a unique URI; ``urn:md5:`` keeps regenerated
+    shards byte-identical)."""
+    payload = b"" if html is None else html
+    rid = "urn:md5:" + hashlib.md5(
+        repr((url, ts_us, lang, html is None, len(payload))).encode("utf-8")
+        + payload
+    ).hexdigest()
+    h = [("WARC-Type", "resource"), ("WARC-Record-ID", rid)]
+    if url is not None:
+        h.append(("WARC-Target-URI", url))
+    if ts_us is not None:
+        h.append(("WARC-Date", _iso_us(ts_us)))
+    h.append(("Content-Type", "text/html"))
+    if lang is not None:
+        h.append(("X-Crawl-Lang", lang))
+    if html is None:
+        h.append(("X-Payload-Null", "1"))
+    recs = [_record(h, payload)]
+    if text is not None:
+        h2 = [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", rid + ":wet"),
+            ("WARC-Refers-To", rid),
+        ]
+        if url is not None:
+            h2.append(("WARC-Target-URI", url))
+        if ts_us is not None:
+            h2.append(("WARC-Date", _iso_us(ts_us)))
+        h2.append(("Content-Type", "text/plain; charset=utf-8"))
+        recs.append(_record(h2, text.encode("utf-8")))
+    return recs
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+
+class _WarcBlockWriter:
+    """One ``.warc[.gz]`` shard per input block; emits a manifest row.
+
+    Serialization is necessarily per-record (WARC is a record-framed
+    byte format — every public WARC writer loops records); the per-row
+    work is header formatting + one bytes join, payloads move as bulk
+    buffers."""
+
+    def __init__(self, out_dir: str, compress: bool):
+        self.out_dir = out_dir
+        self.compress = compress
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _manifest_table([], [], [], [])
+        cols = {}
+        for c in _PAGE_COLS:
+            if c in batch.column_names:
+                col = batch[c]
+                if c == "warc_ts":
+                    col = col.cast(pa.int64())
+                cols[c] = col.to_pylist()
+            else:
+                cols[c] = [None] * batch.num_rows
+        parts: list[bytes] = []
+        for row in zip(
+            cols["url"], cols["warc_ts"], cols["html"], cols["text"], cols["lang"]
+        ):
+            parts.extend(_page_records(*row))
+        raw = b"".join(parts)
+        name = hashlib.md5(raw).hexdigest()
+        if self.compress:
+            # one gzip member per record (ISO 28500 annex: the seekable
+            # layout); mtime=0 keeps members deterministic per zlib build
+            data = b"".join(
+                gzip.compress(r, GZIP_LEVEL, mtime=0) for r in parts
+            )
+            path = os.path.join(self.out_dir, f"part-{name}.warc.gz")
+        else:
+            data = raw
+            path = os.path.join(self.out_dir, f"part-{name}.warc")
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic: a retried block rewrites in place
+        return _manifest_table(
+            [path], [batch.num_rows], [len(parts)], [len(data)]
+        )
+
+
+def _manifest_table(paths, n_pages, n_records, n_bytes) -> pa.Table:
+    return pa.table(
+        {
+            "path": pa.array(paths, pa.string()),
+            "n_pages": pa.array(n_pages, pa.int64()),
+            "n_records": pa.array(n_records, pa.int64()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+        }
+    )
+
+
+def write_warc(pages_ds, out_dir: str, *, compress: bool = True):
+    """Write the pages Dataset as a directory of WARC shards; executes
+    (sink semantics, like ``Dataset.write_parquet``) and returns the
+    manifest as a pyarrow Table (path, n_pages, n_records, n_bytes) —
+    one row per shard, driver-small."""
+    mani = pages_ds.map_batches(
+        _WarcBlockWriter(out_dir, compress),
+        batch_format="pyarrow",
+        batch_size=None,  # one shard per block
+        zero_copy_batch=True,
+    )
+    import ray
+
+    blocks = [ray.get(r) for r in mani.materialize().to_arrow_refs()]
+    out = pa.concat_tables([t for t in blocks if t.num_rows] or
+                           [_manifest_table([], [], [], [])])
+    return out.sort_by("path")
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def _decompress(data: bytes, path: str) -> bytes:
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)  # handles concatenated members
+    return data
+
+
+def _parse_records(data: bytes, path: str) -> list[tuple[dict, bytes]]:
+    """(lowercased-header dict, payload) per record. Length-delimited:
+    the loop advances record by record with bulk slices."""
+    out: list[tuple[dict, bytes]] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        eol = data.index(b"\r\n", pos)
+        if not data[pos:eol].startswith(b"WARC/"):
+            raise ValueError(
+                f"{path}: expected WARC/ version line at byte {pos}, "
+                f"got {data[pos:eol][:40]!r}"
+            )
+        pos = eol + 2
+        hdrs: dict[str, str] = {}
+        while True:
+            eol = data.index(b"\r\n", pos)
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            if v[:1] == b" ":  # exactly one separator space; the value
+                v = v[1:]      # itself may start/end with whitespace
+            hdrs[k.decode("utf-8").lower()] = v.decode("utf-8")
+        ln = int(hdrs["content-length"])
+        payload = data[pos : pos + ln]
+        pos += ln
+        if data[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError(f"{path}: missing record terminator at byte {pos}")
+        pos += 4
+        out.append((hdrs, payload))
+    return out
+
+
+def warc_paths(path: str) -> list[str]:
+    """Expand a shard file or a shard directory into a sorted file list."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".warc", ".warc.gz"))
+        )
+        if not files:
+            raise ValueError(f"no .warc/.warc.gz shards under {path!r}")
+        return files
+    return [path]
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def read_warc(path: str):
+    """Record-level source: Dataset of (url, warc_ts, rec_type,
+    content_type, payload, rec_id, refers_to) — one row per WARC record,
+    one parse task per shard."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(warc_paths(path), include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "url", "warc_ts", "rec_type", "content_type",
+                "payload", "rec_id", "refers_to",
+            )
+        }
+        for pth, data in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            for hdrs, payload in _parse_records(_decompress(data, pth), pth):
+                d = hdrs.get("warc-date")
+                cols["url"].append(hdrs.get("warc-target-uri"))
+                cols["warc_ts"].append(None if d is None else _parse_iso_us(d))
+                cols["rec_type"].append(hdrs.get("warc-type"))
+                cols["content_type"].append(hdrs.get("content-type"))
+                cols["payload"].append(
+                    None if hdrs.get("x-payload-null") == "1" else payload
+                )
+                cols["rec_id"].append(hdrs.get("warc-record-id"))
+                cols["refers_to"].append(hdrs.get("warc-refers-to"))
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "warc_ts": pa.array(cols["warc_ts"], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "rec_type": pa.array(cols["rec_type"], pa.string()),
+                "content_type": pa.array(cols["content_type"], pa.string()),
+                "payload": pa.array(cols["payload"], pa.binary()),
+                "rec_id": pa.array(cols["rec_id"], pa.string()),
+                "refers_to": pa.array(cols["refers_to"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_pages_warc(path: str):
+    """Pages-table source: re-pairs each resource record with its
+    adjacent conversion record inside the same parse task (the writer
+    guarantees adjacency within a shard) and yields the PAGES_SCHEMA
+    contract (url, warc_ts, html, text, lang)."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(warc_paths(path), include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        url, ts, html, text, lang = [], [], [], [], []
+        for pth, data in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            recs = _parse_records(_decompress(data, pth), pth)
+            i = 0
+            while i < len(recs):
+                hdrs, payload = recs[i]
+                if hdrs.get("warc-type") != "resource":
+                    raise ValueError(
+                        f"{pth}: expected a resource record, got "
+                        f"{hdrs.get('warc-type')!r} (record {i})"
+                    )
+                d = hdrs.get("warc-date")
+                url.append(hdrs.get("warc-target-uri"))
+                ts.append(None if d is None else _parse_iso_us(d))
+                html.append(
+                    None if hdrs.get("x-payload-null") == "1" else payload
+                )
+                lang.append(hdrs.get("x-crawl-lang"))
+                t = None
+                if (
+                    i + 1 < len(recs)
+                    and recs[i + 1][0].get("warc-type") == "conversion"
+                ):
+                    h2, p2 = recs[i + 1]
+                    if h2.get("warc-refers-to") != hdrs.get("warc-record-id"):
+                        raise ValueError(
+                            f"{pth}: conversion record {i + 1} does not "
+                            f"refer to the preceding resource record"
+                        )
+                    t = p2.decode("utf-8")
+                    i += 1
+                text.append(t)
+                i += 1
+        return pa.table(
+            {
+                "url": pa.array(url, pa.string()),
+                "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array(html, pa.binary()),
+                "text": pa.array(text, pa.string()),
+                "lang": pa.array(lang, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -1,0 +1,205 @@
+"""WARC-ish source/sink: exact pages roundtrip (null-vs-empty matrix,
+binary html, adversarial payloads), record-level read, determinism /
+idempotency of the shard writer, and framing-level property tests."""
+
+import os
+import shutil
+import tempfile
+
+import hypothesis.strategies as st
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+
+from shaclapi_ray.pipelines.warc import (
+    _page_records,
+    _parse_records,
+    read_pages_warc,
+    read_warc,
+    write_warc,
+)
+
+_TMP_ROOT = tempfile.mkdtemp(prefix="warc_test_")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_tmp_root():
+    yield
+    shutil.rmtree(_TMP_ROOT, ignore_errors=True)
+
+
+def _dir(name: str) -> str:
+    d = os.path.join(_TMP_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+_PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def _pages_table(rows) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df[_PAGE_COLS].sort_values(
+        _PAGE_COLS, na_position="first", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _roundtrip(table: pa.Table, name: str, **kw) -> pd.DataFrame:
+    import ray.data
+
+    d = _dir(name)
+    write_warc(ray.data.from_arrow(table).repartition(2), d, **kw)
+    return read_pages_warc(d).to_pandas()
+
+
+def test_roundtrip_fixture(ray_session, small_pages_dir):
+    """Full pages fixture (planted null/empty urls and langs, binary
+    html with anchors) survives write -> read exactly."""
+    import ray.data
+
+    pages = ray.data.read_parquet(small_pages_dir)
+    d = _dir("fixture")
+    mani = write_warc(pages, d)
+    assert sum(mani["n_pages"].to_pylist()) == 600
+    # every page yields a resource + a conversion record (text non-null)
+    assert sum(mani["n_records"].to_pylist()) == 1200
+    out = read_pages_warc(d).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(pages.to_pandas()))
+
+
+NULL_EMPTY_ROWS = [
+    # (url, ts_us, html, text, lang) — the full null-vs-empty matrix
+    ("https://a.x/p", 1_700_000_000_000_000, b"<html>x</html>", "body", "en"),
+    (None, 1_700_000_000_000_001, b"h", "t", "de"),  # null url
+    ("", 1_700_000_000_000_002, b"h", "t", "de"),  # empty url
+    ("https://a.x/q", None, b"h", "t", "fr"),  # null ts
+    ("https://a.x/r", 3, None, "t", "es"),  # null html
+    ("https://a.x/s", 4, b"", "t", "es"),  # empty html
+    ("https://a.x/t", 5, b"h", None, "pt"),  # null text -> no conversion rec
+    ("https://a.x/u", 6, b"h", "", "pt"),  # empty text
+    ("https://a.x/v", 7, b"h", "t", None),  # null lang
+    ("https://a.x/w", 8, b"h", "t", ""),  # empty lang
+    ("https://a.x/w", 8, b"h", "t", ""),  # exact duplicate row
+]
+
+
+def test_null_empty_matrix(ray_session):
+    out = _roundtrip(_pages_table(NULL_EMPTY_ROWS), "nulls")
+    exp = _pages_table(NULL_EMPTY_ROWS).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp))
+
+
+def test_adversarial_payloads(ray_session):
+    """Framing is length-delimited: payloads that LOOK like WARC records
+    or terminators must not confuse the parser."""
+    rows = [
+        ("https://a.x/1", 1, b"\r\n\r\nWARC/1.0\r\n\r\n", "WARC/1.0\r\nContent-Length: 0\r\n\r\nfake\r\n\r\n", "en"),
+        ("https://a.x/2", 2, bytes(range(256)), "nbsp ideo　joy\U0001f600", "zh"),
+        ("https://a.x/3", 3, b"h", "x" * 100_000, "en"),
+    ]
+    out = _roundtrip(_pages_table(rows), "adversarial")
+    pd.testing.assert_frame_equal(_norm(out), _norm(_pages_table(rows).to_pandas()))
+
+
+def test_plain_uncompressed(ray_session):
+    import ray.data
+
+    t = _pages_table(NULL_EMPTY_ROWS)
+    d = _dir("plain")
+    mani = write_warc(ray.data.from_arrow(t), d, compress=False)
+    assert all(p.endswith(".warc") for p in mani["path"].to_pylist())
+    out = read_pages_warc(d).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(t.to_pandas()))
+
+
+def test_writer_idempotent(ray_session):
+    """Content-hash shard names: rewriting the same blocks lands on the
+    same file set with the same bytes (the retry contract)."""
+    import ray.data
+
+    t = _pages_table(NULL_EMPTY_ROWS)
+    d = _dir("idem")
+    m1 = write_warc(ray.data.from_arrow(t).repartition(2), d)
+    files1 = {p: open(p, "rb").read() for p in m1["path"].to_pylist()}
+    m2 = write_warc(ray.data.from_arrow(t).repartition(2), d)
+    files2 = {p: open(p, "rb").read() for p in m2["path"].to_pylist()}
+    assert files1 == files2
+    assert sorted(os.listdir(d)) == sorted(
+        os.path.basename(p) for p in files1
+    )
+
+
+def test_record_level_read(ray_session):
+    import ray.data
+
+    t = _pages_table(NULL_EMPTY_ROWS)
+    d = _dir("records")
+    write_warc(ray.data.from_arrow(t), d)
+    recs = read_warc(d).to_pandas()
+    n_text = sum(r[3] is not None for r in NULL_EMPTY_ROWS)
+    assert (recs["rec_type"] == "resource").sum() == len(NULL_EMPTY_ROWS)
+    assert (recs["rec_type"] == "conversion").sum() == n_text
+    conv = recs[recs["rec_type"] == "conversion"]
+    res_ids = set(recs.loc[recs["rec_type"] == "resource", "rec_id"])
+    assert set(conv["refers_to"]) <= res_ids
+    # html-null row reads back a null payload, empty-html row b''
+    res = recs[recs["rec_type"] == "resource"].set_index("url", drop=False)
+    assert res.loc["https://a.x/r", "payload"] is None
+    assert res.loc["https://a.x/s", "payload"] == b""
+
+
+def test_header_crlf_rejected(ray_session):
+    import ray.data
+
+    t = _pages_table([("https://a.x/\r\nX: 1", 1, b"h", "t", "en")])
+    with pytest.raises(Exception, match="CR/LF"):
+        write_warc(ray.data.from_arrow(t), _dir("crlf"))
+
+
+# ---------------------------------------------------------------------------
+# framing-level property tests (no Ray: serialize -> parse roundtrip)
+# ---------------------------------------------------------------------------
+
+_TEXTS = st.one_of(st.none(), st.text(max_size=300))
+_BLOBS = st.one_of(st.none(), st.binary(max_size=300))
+_URLS = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_characters="\r\n", blacklist_categories=("Cs",)),
+        max_size=80,
+    ),
+)
+_TS = st.one_of(st.none(), st.integers(min_value=-(2**52), max_value=2**52))
+
+
+@settings(max_examples=200, deadline=None)
+@given(url=_URLS, ts=_TS, html=_BLOBS, text=_TEXTS, lang=_URLS)
+def test_framing_roundtrip(url, ts, html, text, lang):
+    data = b"".join(_page_records(url, ts, html, text, lang))
+    recs = _parse_records(data, "<mem>")
+    assert len(recs) == (2 if text is not None else 1)
+    hdrs, payload = recs[0]
+    assert hdrs.get("warc-target-uri") == url
+    assert hdrs.get("x-crawl-lang") == lang
+    if html is None:
+        assert hdrs.get("x-payload-null") == "1" and payload == b""
+    else:
+        assert payload == html
+    if ts is None:
+        assert "warc-date" not in hdrs
+    if text is not None:
+        assert recs[1][1].decode("utf-8") == text
