@@ -354,6 +354,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "read_warc": "shaclapi_ray.pipelines.warc:read_warc",
     "read_pages_warc": "shaclapi_ray.pipelines.warc:read_pages_warc",
     "write_warc": "shaclapi_ray.pipelines.warc:write_warc",
+    "read_cdx": "shaclapi_ray.pipelines.warc:read_cdx",
     # events-table operators
     "tumbling_window": "shaclapi_ray.pipelines.events:tumbling_window",
     "hopping_window": "shaclapi_ray.pipelines.events:hopping_window",

@@ -131,12 +131,22 @@ class _WarcBlockWriter:
     Serialization is necessarily per-record (WARC is a record-framed
     byte format — every public WARC writer loops records); the per-row
     work is header formatting + one bytes join, payloads move as bulk
-    buffers."""
+    buffers.
 
-    def __init__(self, out_dir: str, compress: bool):
+    ``index=True`` additionally writes a CDX-style sidecar parquet per
+    shard (``cdx/part-<hash>.parquet``): one row per record with the
+    shard path and the record's (offset, length) — the byte span of its
+    gzip MEMBER in compressed shards — plus the payload md5. That is
+    CommonCrawl's CDX(J) index recast columnar: any record is then one
+    ranged read away (``fetch_warc_record``) with no shard scan."""
+
+    def __init__(self, out_dir: str, compress: bool, index: bool):
         self.out_dir = out_dir
         self.compress = compress
+        self.index = index
         os.makedirs(out_dir, exist_ok=True)
+        if index:
+            os.makedirs(os.path.join(out_dir, "cdx"), exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -151,26 +161,61 @@ class _WarcBlockWriter:
             else:
                 cols[c] = [None] * batch.num_rows
         parts: list[bytes] = []
+        idx_rows: list[tuple] = []  # (url, ts, rec_type, digest)
         for row in zip(
             cols["url"], cols["warc_ts"], cols["html"], cols["text"], cols["lang"]
         ):
-            parts.extend(_page_records(*row))
+            recs = _page_records(*row)
+            parts.extend(recs)
+            if self.index:
+                url, ts_us, html, text, _ = row
+                idx_rows.append(
+                    (url, ts_us, "resource",
+                     hashlib.md5(b"" if html is None else html).hexdigest())
+                )
+                if text is not None:
+                    idx_rows.append(
+                        (url, ts_us, "conversion",
+                         hashlib.md5(text.encode("utf-8")).hexdigest())
+                    )
         raw = b"".join(parts)
         name = hashlib.md5(raw).hexdigest()
         if self.compress:
             # one gzip member per record (ISO 28500 annex: the seekable
             # layout); mtime=0 keeps members deterministic per zlib build
-            data = b"".join(
-                gzip.compress(r, GZIP_LEVEL, mtime=0) for r in parts
-            )
+            members = [gzip.compress(r, GZIP_LEVEL, mtime=0) for r in parts]
+            data = b"".join(members)
             path = os.path.join(self.out_dir, f"part-{name}.warc.gz")
+            lengths = [len(m) for m in members]
         else:
             data = raw
             path = os.path.join(self.out_dir, f"part-{name}.warc")
+            lengths = [len(r) for r in parts]
         tmp = f"{path}.tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)  # atomic: a retried block rewrites in place
+        if self.index:
+            offs = np.concatenate([[0], np.cumsum(lengths[:-1], dtype=np.int64)])
+            idx = pa.table(
+                {
+                    "url": pa.array([r[0] for r in idx_rows], pa.string()),
+                    "warc_ts": pa.array(
+                        [r[1] for r in idx_rows], pa.int64()
+                    ).cast(pa.timestamp("us")),
+                    "rec_type": pa.array([r[2] for r in idx_rows], pa.string()),
+                    "digest": pa.array([r[3] for r in idx_rows], pa.string()),
+                    "path": pa.array([path] * len(idx_rows), pa.string()),
+                    "offset": pa.array(offs, pa.int64()),
+                    "length": pa.array(lengths, pa.int64()),
+                }
+            )
+            import pyarrow.parquet as pq
+
+            ipath = os.path.join(self.out_dir, "cdx", f"part-{name}.parquet")
+            itmp = f"{ipath}.tmp{os.getpid()}"
+            pq.write_table(idx, itmp)
+            os.replace(itmp, ipath)
         return _manifest_table(
             [path], [batch.num_rows], [len(parts)], [len(data)]
         )
@@ -187,13 +232,16 @@ def _manifest_table(paths, n_pages, n_records, n_bytes) -> pa.Table:
     )
 
 
-def write_warc(pages_ds, out_dir: str, *, compress: bool = True):
+def write_warc(pages_ds, out_dir: str, *, compress: bool = True,
+               index: bool = False):
     """Write the pages Dataset as a directory of WARC shards; executes
     (sink semantics, like ``Dataset.write_parquet``) and returns the
     manifest as a pyarrow Table (path, n_pages, n_records, n_bytes) —
-    one row per shard, driver-small."""
+    one row per shard, driver-small. ``index=True`` also writes the
+    CDX sidecar parquet per shard (see ``read_cdx`` /
+    ``fetch_warc_record``)."""
     mani = pages_ds.map_batches(
-        _WarcBlockWriter(out_dir, compress),
+        _WarcBlockWriter(out_dir, compress, index),
         batch_format="pyarrow",
         batch_size=None,  # one shard per block
         zero_copy_batch=True,
@@ -315,6 +363,35 @@ def read_warc(path: str):
         )
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_cdx(out_dir: str):
+    """The CDX sidecar index of a ``write_warc(..., index=True)`` output
+    as a Dataset (url, warc_ts, rec_type, digest, path, offset, length).
+    Driver-narrow: ~100 B/record vs the shard's payload bytes — the
+    lookup side of targeted re-processing (join urls of interest against
+    it, then ``fetch_warc_record`` only those spans)."""
+    import ray.data
+
+    cdx = os.path.join(out_dir, "cdx")
+    if not os.path.isdir(cdx):
+        raise ValueError(
+            f"{out_dir!r} has no cdx/ sidecar — write_warc(index=True)"
+        )
+    return ray.data.read_parquet(cdx)
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> tuple[dict, bytes]:
+    """One ranged read: the record at (offset, length) per the CDX index
+    — a seek + read of exactly the record's gzip member (or raw span),
+    never a shard scan. Returns (lowercased headers, payload)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(length)
+    [(hdrs, payload)] = _parse_records(_decompress(data, path), path)
+    if hdrs.get("x-payload-null") == "1":
+        payload = b""
+    return hdrs, payload
 
 
 def read_pages_warc(path: str):

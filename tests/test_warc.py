@@ -162,6 +162,56 @@ def test_record_level_read(ray_session):
     assert res.loc["https://a.x/s", "payload"] == b""
 
 
+@pytest.mark.parametrize("compress", [True, False])
+def test_cdx_index_ranged_fetch(ray_session, compress):
+    """CDX sidecar: every record addressable by one (offset, length)
+    ranged read; digests match payload md5; spans tile each shard."""
+    import hashlib
+
+    import ray.data
+
+    from shaclapi_ray.pipelines.warc import fetch_warc_record, read_cdx
+
+    t = _pages_table(NULL_EMPTY_ROWS)
+    d = _dir(f"cdx_{compress}")
+    write_warc(
+        ray.data.from_arrow(t).repartition(2), d,
+        compress=compress, index=True,
+    )
+    idx = read_cdx(d).to_pandas()
+    n_text = sum(r[3] is not None for r in NULL_EMPTY_ROWS)
+    assert len(idx) == len(NULL_EMPTY_ROWS) + n_text
+    for _, r in idx.iterrows():
+        hdrs, payload = fetch_warc_record(r["path"], r["offset"], r["length"])
+        assert hdrs.get("warc-type") == r["rec_type"]
+        assert hdrs.get("warc-target-uri") == (
+            None if pd.isna(r["url"]) else r["url"]
+        )
+        raw = payload if hdrs.get("x-payload-null") != "1" else b""
+        assert hashlib.md5(raw).hexdigest() == r["digest"]
+    # spans tile the shard exactly: per path, offsets sorted, contiguous,
+    # summing to the file size
+    for path, g in idx.groupby("path"):
+        g = g.sort_values("offset")
+        assert g["offset"].iloc[0] == 0
+        assert (
+            g["offset"].iloc[1:].to_numpy()
+            == (g["offset"] + g["length"]).iloc[:-1].to_numpy()
+        ).all()
+        assert g["offset"].iloc[-1] + g["length"].iloc[-1] == os.path.getsize(path)
+
+
+def test_cdx_missing_raises(ray_session):
+    import ray.data
+
+    from shaclapi_ray.pipelines.warc import read_cdx
+
+    d = _dir("noidx")
+    write_warc(ray.data.from_arrow(_pages_table(NULL_EMPTY_ROWS)), d)
+    with pytest.raises(ValueError, match="cdx"):
+        read_cdx(d)
+
+
 def test_header_crlf_rejected(ray_session):
     import ray.data
 
