@@ -1045,7 +1045,9 @@ def _q_extract_canonicalize(sf_dir: str):
     + anchor_text_profile (per-target inbound anchor aggregation)
     + url_quality_filter (RefinedWeb-style pre-fetch URL gate, URLQ_KW
     profile) + robots_filter (longest-match allow/disallow prefix gate,
-    ROBOTS_RULES profile) + the WARC sink->source roundtrip (kind='warc':
+    ROBOTS_RULES profile) + registrable_domain (eTLD+1 via the embedded
+    public-suffix subset, kind='domain') + the WARC sink->source
+    roundtrip (kind='warc':
     pages -> .warc.gz shards -> pages must be the identity on
     url/warc_ts/text/lang; html byte-parity is unit-tested) as a
     kind-tagged union (a join on url would mis-multiply: the fixture
@@ -1187,6 +1189,19 @@ def _q_extract_canonicalize(sf_dir: str):
             + uq["n_slashes"].astype(str),
         }
     )
+    from shaclapi_ray.pipelines.domains import registrable_domain
+
+    rd = registrable_domain(
+        ray.data.read_parquet(_pages(sf_dir), columns=["url"])
+    ).to_pandas()
+    part10 = pd.DataFrame(
+        {
+            "url": rd["url"],
+            "kind": "domain",
+            "value": rd["domain"],
+            "extra": rd["suffix"] + "|" + rd["host"],
+        }
+    )
     import os
     import shutil
 
@@ -1212,7 +1227,8 @@ def _q_extract_canonicalize(sf_dir: str):
     )
     return _sorted(
         pd.concat(
-            [part1, part2, part3, part4, part5, part6, part7, part8, part9],
+            [part1, part2, part3, part4, part5, part6, part7, part8,
+             part9, part10],
             ignore_index=True,
         ),
         ["url", "kind", "value"],
@@ -1836,6 +1852,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 f"FROM ({o.robots_sql(pages_dir, ROBOTS_RULES)})",
             ),
             ("warc", o.warc_roundtrip_sql(pages_dir)),
+            (
+                "domain",
+                f"SELECT url, domain AS value, suffix || '|' || host AS extra "
+                f"FROM ({o.registrable_domain_sql(pages_dir)})",
+            ),
         ],
         tag_col="kind",
         order="url, kind, value",

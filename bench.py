@@ -388,6 +388,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_docs,
     )
 
+    from shaclapi_ray.pipelines.domains import registrable_domain
+
+    timed(
+        "registrable_domain",
+        lambda: registrable_domain(
+            read_parquet(pages_dir, columns=["url"])
+        ).count(),
+        rows=n_docs,
+    )
+
     from shaclapi_ray.pipelines.warc import read_pages_warc, write_warc
 
     _warc_dir = "/tmp/shaclapi_ray_bench_warc"

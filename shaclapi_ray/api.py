@@ -355,6 +355,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "read_pages_warc": "shaclapi_ray.pipelines.warc:read_pages_warc",
     "write_warc": "shaclapi_ray.pipelines.warc:write_warc",
     "read_cdx": "shaclapi_ray.pipelines.warc:read_cdx",
+    "registrable_domain": "shaclapi_ray.pipelines.domains:registrable_domain",
     # events-table operators
     "tumbling_window": "shaclapi_ray.pipelines.events:tumbling_window",
     "hopping_window": "shaclapi_ray.pipelines.events:hopping_window",

@@ -133,6 +133,51 @@ ORDER BY url
 """
 
 
+def registrable_domain_sql(pages_dir: str, suffixes=None) -> str:
+    """(url, host, suffix, domain) mirroring pipelines/domains.py:
+    longest matching suffix on a label boundary, PSL default last-label
+    rule, ''-suffix for empty/IPv4 hosts, domain = suffix + one label
+    ('' when the host IS a suffix). Builds on url_canonicalize_sql so
+    host parsing agrees by construction; any :port is stripped first."""
+    from shaclapi_ray.pipelines.domains import DEFAULT_SUFFIXES
+
+    if suffixes is None:
+        suffixes = DEFAULT_SUFFIXES
+    vals = ", ".join(
+        "('" + s.lower().strip(".").replace("'", "''") + "')" for s in suffixes
+    )
+    return f"""
+WITH dom_canon AS ({url_canonicalize_sql(pages_dir)}),
+dom_hosts AS (
+  SELECT url, regexp_replace(host, ':[0-9]+$', '') AS host FROM dom_canon
+),
+dom_best AS (
+  SELECT url, host,
+         (SELECT s FROM (VALUES {vals}) AS sfx(s)
+          WHERE dom_hosts.host = s OR dom_hosts.host LIKE '%.' || s
+          ORDER BY length(s) DESC, s LIMIT 1) AS msfx
+  FROM dom_hosts
+),
+dom_sfx AS (
+  SELECT url, host,
+         CASE WHEN host = '' THEN ''
+              WHEN regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$') THEN ''
+              WHEN msfx IS NOT NULL THEN msfx
+              ELSE regexp_extract(host, '[^.]*$') END AS suffix
+  FROM dom_best
+)
+SELECT url, host, suffix,
+       CASE WHEN suffix = '' OR host = suffix THEN ''
+            ELSE array_to_string(
+                   list_slice(string_split(host, '.'),
+                              len(string_split(host, '.'))
+                                - len(string_split(suffix, '.')),
+                              len(string_split(host, '.'))), '.') END AS domain
+FROM dom_sfx
+ORDER BY url
+"""
+
+
 def warc_roundtrip_sql(pages_dir: str) -> str:
     """Identity projection of the pages table: the WARC sink -> source
     roundtrip (pipelines/warc.py) preserves (url, warc_ts, text, lang)
