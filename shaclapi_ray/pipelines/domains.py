@@ -131,7 +131,11 @@ def registrable_domain(pages_ds, *, url_col: str = "url",
         sfx[bad] = ""
         klab[bad] = 0
         domain = np.full(len(host), "", dtype=object)
-        reg = ~bad & (host != sfx.astype(str))
+        # sfx == '' also happens for a trailing-dot host ('a.b.' -> empty
+        # last label): no registrable domain, same as the SQL's
+        # suffix='' branch
+        sfx_s = sfx.astype(str)
+        reg = ~bad & (sfx_s != "") & (host != sfx_s)
         for k in [1, *ks]:
             m = reg & (klab == k)
             if m.any():

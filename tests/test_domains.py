@@ -58,6 +58,7 @@ def test_semantics(ray_session):
             "http://192.168.1.10/x",  # IPv4 literal -> no suffix/domain
             "https://H1.Example.ORG:443/q",  # lowercased, port stripped
             "rel/path",  # unparseable -> host ''
+            "https://a.b./x",  # trailing-dot host: empty last label
             None,  # dropped
         ]
     )
@@ -74,7 +75,8 @@ def test_semantics(ray_session):
         "h1.example.org", "org", "example.org"
     )
     assert by["rel/path"] == ("", "", "")
-    assert len(out) == 8  # null url dropped
+    assert by["https://a.b./x"] == ("a.b.", "", "")
+    assert len(out) == 9  # null url dropped
 
 
 def test_custom_suffixes_and_depth(ray_session):
@@ -112,8 +114,11 @@ _URLS = st.one_of(
     st.just(""),
     st.just("rel/path"),
     st.builds(
-        lambda labels, port, path: "https://" + ".".join(labels) + port + path,
+        lambda labels, dot, port, path: (
+            "https://" + ".".join(labels) + dot + port + path
+        ),
         st.lists(_HOST_LABEL, min_size=1, max_size=5),
+        st.sampled_from(["", "."]),  # trailing-dot hosts: empty last label
         st.sampled_from(["", ":443", ":8080"]),
         st.sampled_from(["", "/", "/p/1?q=2#f"]),
     ),
