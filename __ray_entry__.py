@@ -368,6 +368,16 @@ CAP_K = 120
 DELTA_DROP_OLD = 3
 DELTA_DROP_NEW = 7
 DELTA_CHANGE = 0
+# host_boilerplate profile for the exact_dedup slot's hb_* columns: the
+# fixture documents have NO paragraph separators, so the paper-default
+# sep='\n\n' would be a pass-through; sep=' ' makes "paragraphs" = words
+# and the operator per-SOURCE ubiquitous-token removal — at 80%
+# (frac 4/5) roughly half the (source, word) doc-frequency mass falls on
+# each side of the threshold at sf0.001 AND sf0.01 (measured: bands
+# cluster 0.6-0.9), non-degenerate in both directions; integer
+# cross-multiplied threshold, no float ratio (CLEAN_LINES_KW rationale —
+# don't "fix" sep back to the paper default)
+HOSTBP_KW = dict(sep=" ", min_docs=2, frac_num=4, frac_den=5)
 # url-quality profile for the extract_canonicalize slot's kind='urlq'
 # part: fixture urls are "https://host{h}.example.org/p/{i}", so digits
 # grow with the row index while length barely moves — max_digit_pct=16
@@ -1391,8 +1401,10 @@ def _q_exact_dedup_corpus(sf_dir: str):
     paragraph dedup, joined on doc_id (inner: survivor docs only), plus
     an inc_state column from the INCREMENTAL cross-snapshot dedup (even
     doc_ids persisted as the accepted-corpus hash state, odd doc_ids
-    deduped against it: 'state' / 'kept' / 'dup') — four operators' full
-    code paths in one slot."""
+    deduped against it: 'state' / 'kept' / 'dup'), plus hb_* columns from
+    host_boilerplate (per-SOURCE ubiquitous-paragraph removal, HOSTBP_KW
+    fixture profile: sep=' ' so fixture "paragraphs" are words) — five
+    operators' full code paths in one slot."""
     import shutil
     import tempfile
 
@@ -1404,14 +1416,28 @@ def _q_exact_dedup_corpus(sf_dir: str):
         dedup_incremental,
         dedup_paragraphs,
         exact_dedup,
+        host_boilerplate,
         persist_dedup_state,
     )
 
     stats = exact_dedup(_docs(sf_dir)).to_pandas()
     kept = dedup_corpus(_docs(sf_dir)).to_pandas()
     paras = dedup_paragraphs(_docs(sf_dir)).to_pandas()
-    out = stats.merge(kept, on="doc_id", how="inner").merge(
-        paras, on="doc_id", how="inner"
+    hb = (
+        host_boilerplate(_docs(sf_dir), **HOSTBP_KW)
+        .to_pandas()
+        .rename(
+            columns={
+                "clean_text": "hb_text",
+                "n_kept": "hb_kept",
+                "n_dropped": "hb_dropped",
+            }
+        )
+    )
+    out = (
+        stats.merge(kept, on="doc_id", how="inner")
+        .merge(paras, on="doc_id", how="inner")
+        .merge(hb, on="doc_id", how="inner")
     )
 
     def half(rem):
@@ -2050,6 +2076,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 o.dedup_corpus_sql(),
                 dp.dedup_paragraphs_sql(),
                 o.dedup_incremental_sql(),
+                dp.host_boilerplate_sql(
+                    cols=("hb_text", "hb_kept", "hb_dropped"), **HOSTBP_KW
+                ),
             ],
             on="doc_id",
             order="doc_id",

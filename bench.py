@@ -244,9 +244,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=100_000,
     )
 
-    from shaclapi_ray.pipelines.dedup import exact_dedup, minhash_lsh_clusters
+    from shaclapi_ray.pipelines.dedup import (
+        exact_dedup,
+        host_boilerplate,
+        minhash_lsh_clusters,
+    )
 
     timed("exact_dedup", lambda: exact_dedup(docs).count(), rows=n_doc_rows)
+    timed(
+        "host_boilerplate",
+        lambda: host_boilerplate(
+            docs, sep=" ", min_docs=2, frac_num=4, frac_den=5
+        ).count(),
+        rows=n_doc_rows,
+    )
     timed("minhash_clusters", lambda: minhash_lsh_clusters(docs).count(), rows=n_doc_rows)
 
     from shaclapi_ray.fixtures import inverse_schema

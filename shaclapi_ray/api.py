@@ -301,6 +301,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "exact_dedup": "shaclapi_ray.pipelines.dedup:exact_dedup",
     "dedup_corpus": "shaclapi_ray.pipelines.dedup:dedup_corpus",
     "dedup_paragraphs": "shaclapi_ray.pipelines.dedup:dedup_paragraphs",
+    "host_boilerplate": "shaclapi_ray.pipelines.dedup:host_boilerplate",
     "minhash_clusters": "shaclapi_ray.pipelines.dedup:minhash_lsh_clusters",
     "simhash_signatures": "shaclapi_ray.pipelines.dedup:simhash_signatures",
     # text stats / quality

@@ -246,9 +246,8 @@ def _paragraphs_join(docs_ds, sep: str, text_col: str):
     LOSERS (key != win — proportional to duplicate occurrences, not the
     corpus) collapse to one (doc_id, drop-idx-list) row per affected doc,
     and the (doc_id, text) corpus rejoins those lists through exactly one
-    keyed exchange. Output-identical to the broadcast path (tested)."""
-    import polars as pl
-
+    keyed exchange (``_rebuild_from_drop_keys``). Output-identical to the
+    broadcast path (tested)."""
     from shaclapi_ray.stages.joins import drop_empty_blocks
     from shaclapi_ray.stages.referential import clamp_partitions
 
@@ -287,6 +286,25 @@ def _paragraphs_join(docs_ds, sep: str, text_col: str):
         if occ is not None
         else None
     )
+    return _rebuild_from_drop_keys(docs_ds, losers, sep, text_col)
+
+
+def _rebuild_from_drop_keys(docs_ds, drop_keys, sep: str, text_col: str):
+    """Shared tail of every partition-join paragraph-removal path: given a
+    distributed set of packed occurrence keys to REMOVE (a Dataset with an
+    int64 ``key`` column, key = doc_id * 2^PARA_IDX_BITS + idx; None means
+    nothing drops), collapse the keys to one (doc_id, sorted drop-idx list)
+    row per affected doc and rejoin the (doc_id, text) corpus through
+    exactly one keyed exchange, rebuilding via ``_para_reassemble`` so the
+    output is kernel-identical to the broadcast paths."""
+    import polars as pl
+
+    from shaclapi_ray.stages.joins import drop_empty_blocks
+    from shaclapi_ray.stages.referential import clamp_partitions
+
+    def keep_all(batch: pa.Table) -> pa.Table:
+        df = _split_paras(batch, sep, text_col)
+        return _para_reassemble(df, np.ones(df.height, dtype=bool), sep)
 
     def decode(batch: pa.Table) -> pa.Table:
         keys = batch["key"].to_numpy(zero_copy_only=False)
@@ -310,11 +328,11 @@ def _paragraphs_join(docs_ds, sep: str, text_col: str):
 
     per_doc = (
         drop_empty_blocks(
-            losers.map_batches(decode, batch_format="pyarrow")
+            drop_keys.map_batches(decode, batch_format="pyarrow")
             .groupby("doc_id")
             .map_groups(idx_list, batch_format="pyarrow")
         )
-        if losers is not None
+        if drop_keys is not None
         else None
     )
     if per_doc is None:
@@ -430,6 +448,320 @@ SELECT doc_id,
        COALESCE(string_agg(para, {sep_sql} ORDER BY idx) FILTER (WHERE rn = 1), '') AS clean_text,
        COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
        COUNT(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# host/source-scoped boilerplate removal
+# ---------------------------------------------------------------------------
+
+# drop-set entries are 24 B (group hash + void16 paragraph hash); the set is
+# proportional to boilerplate templates (paragraphs repeated across >= frac of
+# a group's docs), not the corpus — but with 10^7 hosts it can still outgrow
+# the object store; strategy='join' keeps it a Dataset.
+BOILER_BROADCAST_LIMIT = 50_000_000
+# group sizes broadcast as sorted (hash, count) int64 pairs, one per group
+BOILER_GROUPS_LIMIT = 50_000_000
+
+
+def _split_paras_grouped(batch: pa.Table, sep: str, text_col: str, group_col: str):
+    """_split_paras plus the group hash and the packed occurrence key:
+    polars frame (doc_id, g, p, idx, h1, h2, key) with g = 64-bit hash of
+    COALESCE(group_col, '') — null groups collapse to the '' group on both
+    the Ray and SQL sides."""
+    import polars as pl
+
+    def _s(name):
+        col = batch[name]
+        return pl.from_arrow(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+
+    df = pl.DataFrame(
+        {"doc_id": _s("doc_id"), "grp": _s(group_col), "t": _s(text_col).fill_null("")}
+    ).with_columns(
+        pl.col("grp").fill_null("").hash(seed=29).alias("g"),
+        pl.col("t").str.split(sep).alias("p"),
+    )
+    df = (
+        df.drop("t", "grp")
+        .with_columns(pl.int_ranges(0, pl.col("p").list.len()).alias("idx"))
+        .explode(["p", "idx"])
+    )
+    return df.with_columns(
+        pl.col("p").hash(seed=17).alias("h1"),
+        pl.col("p").hash(seed=23).alias("h2"),
+        (
+            pl.col("doc_id").cast(pl.Int64) * (1 << PARA_IDX_BITS)
+            + pl.col("idx").cast(pl.Int64)
+        ).alias("key"),
+    )
+
+
+def _boiler_drops_ds(docs_ds, sep, text_col, group_col, min_docs, frac_num, frac_den):
+    """Distributed drop table (g, h1, h2): paragraphs contained in >=
+    min_docs documents of their group AND in >= frac_num/frac_den of the
+    group's documents (integer cross-multiplication — no float ratio).
+
+    Two narrow combines: per-batch DISTINCT (doc, paragraph) partial counts
+    (a document never straddles batches, so within-batch uniqueness per
+    (doc_id, h1, h2) is exact) summed per (g, h1, h2), plus a tiny docs-per-
+    group combine broadcast as a sorted (hash, n) pair for the threshold."""
+    import polars as pl
+    import ray as _ray
+
+    from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+    narrow = docs_ds.select_columns(["doc_id", text_col, group_col])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = (
+            _split_paras_grouped(batch, sep, text_col, group_col)
+            .unique(subset=["doc_id", "h1", "h2"])
+            .group_by(["g", "h1", "h2"])
+            .len(name="c")
+        )
+        return pa.table(
+            {
+                "g": pa.array(df["g"].to_numpy().view(np.int64)),
+                "h1": pa.array(df["h1"].to_numpy().view(np.int64)),
+                "h2": pa.array(df["h2"].to_numpy().view(np.int64)),
+                "c": pa.array(df["c"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    counts = combine_partials_multi(
+        narrow.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "h1", "h2"],
+        {"c": "sum"},
+    )
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        col = batch[group_col]
+        s = pl.from_arrow(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        df = (
+            pl.DataFrame({"grp": s})
+            .with_columns(pl.col("grp").fill_null("").hash(seed=29).alias("g"))
+            .group_by("g")
+            .len(name="n")
+        )
+        return pa.table(
+            {
+                "g": pa.array(df["g"].to_numpy().view(np.int64)),
+                "n": pa.array(df["n"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    sizes = combine_partials_multi(
+        docs_ds.select_columns([group_col]).map_batches(
+            size_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["g"],
+        {"n": "sum"},
+    )
+    st = [t for t in (_ray.get(r) for r in sizes.to_arrow_refs()) if t.num_rows]
+    if st:
+        sz = pa.concat_tables(st)
+        if sz.num_rows > BOILER_GROUPS_LIMIT:
+            raise ValueError(
+                f"host_boilerplate has {sz.num_rows} distinct groups "
+                f"(> {BOILER_GROUPS_LIMIT}); shard the corpus by group "
+                "hash and run per shard at this scale"
+            )
+        gh = sz["g"].combine_chunks().to_numpy()
+        gn = sz["n"].combine_chunks().to_numpy()
+        order = np.argsort(gh)
+        sizes_ref = _ray.put((gh[order], gn[order]))
+    else:
+        sizes_ref = _ray.put(
+            (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        gh_s, gn_s = _ray.get(sizes_ref)
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        n = gn_s[np.searchsorted(gh_s, g)] if gh_s.size else np.zeros_like(c)
+        m = (c >= min_docs) & (c * frac_den >= frac_num * n)
+        return batch.select(["g", "h1", "h2"]).filter(pa.array(m))
+
+    return counts.map_batches(over_threshold, batch_format="pyarrow")
+
+
+def _boiler_void24(g, h1, h2) -> np.ndarray:
+    """Pack aligned (g, h1, h2) int64 arrays as contiguous 24-byte voids
+    for sorted-array membership probes (stages/hashset.py doctrine: zero
+    per-task hash builds, np.searchsorted only)."""
+    hv = np.empty((len(g), 3), dtype=np.int64)
+    hv[:, 0] = g
+    hv[:, 1] = h1
+    hv[:, 2] = h2
+    return np.ascontiguousarray(hv).view(np.dtype((np.void, 24))).ravel()
+
+
+def host_boilerplate(
+    docs_ds,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_docs: int = 2,
+    frac_num: int = 1,
+    frac_den: int = 2,
+    strategy: str = "broadcast",
+):
+    """(doc_id, clean_text, n_kept, n_dropped): GROUP-scoped boilerplate
+    removal — a paragraph is dropped from EVERY document of a group (host /
+    source / domain) when it appears in >= ``min_docs`` documents of that
+    group and in >= ``frac_num/frac_den`` of the group's documents. The
+    per-domain frequency filter of CCNet/RefinedWeb-class pipelines
+    (site-wide headers, footers, cookie banners, navigation repeated on
+    most pages of a host vanish from ALL copies — unlike
+    ``dedup_paragraphs``, which keeps the corpus-wide first occurrence).
+
+    Scale shape: paragraph TEXT never enters an exchange — per-batch
+    partials count DISTINCT (doc, paragraph) pairs per (group-hash, 128-bit
+    paragraph hash), one narrow combine sums them, and a tiny docs-per-group
+    combine provides the threshold denominator. The drop set (proportional
+    to boilerplate templates, not the corpus) broadcasts as a sorted
+    24-byte-void array (loud BOILER_BROADCAST_LIMIT); ``strategy='join'``
+    keeps it a Dataset and resolves drops through the shared
+    ``_rebuild_from_drop_keys`` keyed-join tail instead — output-identical
+    (tested). Thresholding uses integer cross-multiplication
+    (c * frac_den >= frac_num * n), exact on both the Ray and SQL sides.
+
+    Reference analog: the engine's own scale contract (no reference file) —
+    the operator family is /root/reference-independent training-data
+    curation; see dedup_paragraphs for the corpus-wide variant."""
+    import ray as _ray
+
+    drops = _boiler_drops_ds(
+        docs_ds, sep, text_col, group_col, min_docs, frac_num, frac_den
+    )
+    narrow = docs_ds.select_columns(["doc_id", text_col, group_col])
+
+    if strategy == "join":
+        from shaclapi_ray.stages.joins import drop_empty_blocks
+        from shaclapi_ray.stages.referential import clamp_partitions
+
+        drops_nb = drop_empty_blocks(drops)
+
+        def keep_all(batch: pa.Table) -> pa.Table:
+            df = _split_paras(batch, sep, text_col)
+            return _para_reassemble(df, np.ones(df.height, dtype=bool), sep)
+
+        if drops_nb is None:
+            return narrow.map_batches(
+                keep_all, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        def occurrences(batch: pa.Table) -> pa.Table:
+            df = _split_paras_grouped(batch, sep, text_col, group_col)
+            return pa.table(
+                {
+                    "g": pa.array(df["g"].to_numpy().view(np.int64)),
+                    "h1": pa.array(df["h1"].to_numpy().view(np.int64)),
+                    "h2": pa.array(df["h2"].to_numpy().view(np.int64)),
+                    "key": pa.array(df["key"].to_numpy(), type=pa.int64()),
+                }
+            )
+
+        occ = drop_empty_blocks(
+            narrow.map_batches(
+                occurrences, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        hits = (
+            occ.join(
+                drops_nb,
+                join_type="inner",
+                num_partitions=clamp_partitions(None),
+                on=("g", "h1", "h2"),
+            )
+            if occ is not None
+            else None
+        )
+        return _rebuild_from_drop_keys(docs_ds, hits, sep, text_col)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown host_boilerplate strategy {strategy!r}")
+
+    tables = [t for t in (_ray.get(r) for r in drops.to_arrow_refs()) if t.num_rows]
+    if tables:
+        dt = pa.concat_tables(tables)
+        if dt.num_rows > BOILER_BROADCAST_LIMIT:
+            raise ValueError(
+                f"host_boilerplate drop set has {dt.num_rows} entries "
+                f"(> {BOILER_BROADCAST_LIMIT}); pass strategy='join' to "
+                "resolve drops with a hash-partitioned join at this scale"
+            )
+        voids = _boiler_void24(
+            dt["g"].combine_chunks().to_numpy(),
+            dt["h1"].combine_chunks().to_numpy(),
+            dt["h2"].combine_chunks().to_numpy(),
+        )
+        lookup = np.sort(voids)
+    else:
+        lookup = np.empty(0, dtype=np.dtype((np.void, 24)))
+    lookup_ref = _ray.put(lookup)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        sorted_d = _ray.get(lookup_ref)
+        df = _split_paras_grouped(batch, sep, text_col, group_col)
+        if sorted_d.size:
+            voids = _boiler_void24(
+                df["g"].to_numpy().view(np.int64),
+                df["h1"].to_numpy().view(np.int64),
+                df["h2"].to_numpy().view(np.int64),
+            )
+            pos = np.minimum(np.searchsorted(sorted_d, voids), sorted_d.size - 1)
+            keep = sorted_d[pos] != voids
+        else:
+            keep = np.ones(df.height, dtype=bool)
+        return _para_reassemble(df, keep, sep)
+
+    return narrow.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def host_boilerplate_sql(
+    sep: str = "\n\n",
+    min_docs: int = 2,
+    frac_num: int = 1,
+    frac_den: int = 2,
+    src: str = "documents",
+    group_col: str = "source",
+    cols: tuple[str, str, str] = ("clean_text", "n_kept", "n_dropped"),
+) -> str:
+    """DuckDB oracle for host_boilerplate (same integer threshold rule;
+    ``cols`` renames the output columns so the slot union can carry this
+    next to dedup_paragraphs' identically-named outputs)."""
+    sep_sql = "||".join(f"chr({ord(c)})" for c in sep)
+    c_text, c_kept, c_drop = cols
+    return f"""
+WITH parts AS (
+  SELECT doc_id, COALESCE({group_col}, '') AS g,
+         string_split(COALESCE(text, ''), {sep_sql}) AS ps
+  FROM {src}
+), p AS (
+  SELECT doc_id, g, unnest(ps) AS para,
+         unnest(generate_series(0, len(ps) - 1)) AS idx
+  FROM parts
+), gsz AS (
+  SELECT g, COUNT(*) AS n FROM parts GROUP BY g
+), cnt AS (
+  SELECT g, para, COUNT(DISTINCT doc_id) AS c FROM p GROUP BY g, para
+), dr AS (
+  SELECT cnt.g, cnt.para FROM cnt JOIN gsz USING (g)
+  WHERE c >= {min_docs} AND c * {frac_den} >= {frac_num} * n
+), k AS (
+  SELECT p.doc_id, p.idx, p.para, (dr.para IS NULL) AS keep
+  FROM p LEFT JOIN dr ON p.g = dr.g AND p.para = dr.para
+)
+SELECT doc_id,
+       COALESCE(string_agg(para, {sep_sql} ORDER BY idx) FILTER (WHERE keep), '') AS {c_text},
+       COUNT(*) FILTER (WHERE keep) AS {c_kept},
+       COUNT(*) FILTER (WHERE NOT keep) AS {c_drop}
 FROM k GROUP BY doc_id ORDER BY doc_id
 """
 

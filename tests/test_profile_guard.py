@@ -83,3 +83,43 @@ def test_urlq_profile_not_degenerate(ray_session):
         f"digit rule never fires at sf0.01 ({by}) — blocked count should "
         "far exceed the 3% planted violations"
     )
+
+
+def test_hostbp_profile_not_degenerate(ray_session):
+    """HOSTBP_KW (sep=' ', frac 4/5) must drop some per-source
+    ubiquitous words and keep others at BOTH driver scales — the fixture
+    documents have no paragraph separators, so reverting sep to the
+    paper-default '\\n\\n' silently turns the hb_* columns into a
+    pass-through. Checked via the SQL side alone at sf0.01 (no 20k-row
+    Ray pass in the guard)."""
+    import duckdb
+
+    from __ray_entry__ import HOSTBP_KW
+    from shaclapi_ray.pipelines.dedup import host_boilerplate, host_boilerplate_sql
+
+    from shaclapi_ray.io import read_table_split
+
+    out = host_boilerplate(
+        read_table_split(f"{SF}/documents.parquet"), **HOSTBP_KW
+    ).to_pandas()
+    dropped, kept = int(out["n_dropped"].sum()), int(out["n_kept"].sum())
+    assert dropped > 0 and kept > 0, (
+        f"HOSTBP_KW is degenerate at sf0.001 (kept={kept}, "
+        f"dropped={dropped}) — did someone revert sep to '\\n\\n'? the "
+        "fixture documents are single-line"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    row = con.execute(
+        "SELECT sum(n_kept), sum(n_dropped) FROM ("
+        + host_boilerplate_sql(**HOSTBP_KW)
+        + ")"
+    ).fetchone()
+    assert row[0] > 0 and row[1] > 0, (
+        f"HOSTBP_KW is degenerate at sf0.01 (kept={row[0]}, "
+        f"dropped={row[1]}) — the 4/5 threshold must sit inside the "
+        "fixture's per-source word doc-frequency band"
+    )
