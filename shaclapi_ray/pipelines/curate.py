@@ -76,10 +76,15 @@ def curate_pages(pages_ds, *, cap_k: int, max_dup_pct: int = 10,
         min_mean_tokens=min_mean_tokens,
         min_docs=min_docs,
     ).materialize()
-    s2 = _boundary(
-        filter_by_host(s1, verdicts, strategy=host_strategy),
-        checkpoint_dir,
-        "s2_hosts",
-        resume,
-    )
+    s2 = filter_by_host(s1, verdicts, strategy=host_strategy)
+    if checkpoint_dir is not None or host_strategy != "broadcast":
+        # checkpointed runs keep the s2 dir as the cross-run resume unit;
+        # the join path materializes because consuming a lazy join twice
+        # would re-execute the whole keyed exchange per cap pass
+        s2 = _boundary(s2, checkpoint_dir, "s2_hosts", resume)
+    # else FUSED (the preprocess stages-2+3 pattern): filter_by_host's
+    # broadcast form is row-local with its blocked set built once at call
+    # time, so cap_per_host's two passes (rank, filter) re-run the cheap
+    # host filter over s1's materialized blocks instead of paying a full
+    # filtered-corpus materialization between the stages
     return cap_per_host(s2, cap_k, strategy=cap_strategy)
