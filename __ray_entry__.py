@@ -231,11 +231,44 @@ def _q_drift_verdicts(sf_dir: str):
 
 
 def _q_profile_columns(sf_dir: str):
+    """Column profile (kind='stat') + Deequ-style constraint suggestions
+    derived from it (kind='suggest': not_null / unique / low_card /
+    value_range rows with -1 / '' stat fills) as a kind-tagged union —
+    the profiler and its forward companion to the reference's schema
+    reduction in one slot."""
+    import pandas as pd
     import ray.data
 
-    from shaclapi_ray.pipelines.profile import profile_columns
+    from shaclapi_ray.pipelines.profile import profile_columns, suggest_constraints
 
-    return profile_columns(ray.data.read_parquet(_pages(sf_dir)))
+    prof = profile_columns(ray.data.read_parquet(_pages(sf_dir)))
+    stat = prof.assign(kind="stat", rule="", param="")
+    sugg = suggest_constraints(prof).assign(
+        kind="suggest",
+        n_rows=-1,
+        n_nulls=-1,
+        n_distinct=-1,
+        min_v="",
+        max_v="",
+        avg_len=-1.0,
+    )
+    cols = [
+        "kind",
+        "column",
+        "rule",
+        "param",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_v",
+        "max_v",
+        "avg_len",
+    ]
+    return (
+        pd.concat([stat[cols], sugg[cols]], ignore_index=True)
+        .sort_values(["kind", "column", "rule"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_psi_drift(sf_dir: str):
@@ -1674,9 +1707,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _profile_sql(pages_dir: str) -> str:
-    from shaclapi_ray.pipelines.profile import profile_columns_sql
+    from shaclapi_ray.pipelines.profile import (
+        profile_columns_sql,
+        suggest_constraints_sql,
+    )
 
-    return profile_columns_sql(pages_dir)
+    return f"""
+SELECT 'stat' AS kind, "column", '' AS rule, '' AS param,
+       n_rows, n_nulls, n_distinct, min_v, max_v, avg_len
+FROM ({profile_columns_sql(pages_dir)})
+UNION ALL
+SELECT 'suggest' AS kind, "column", rule, param,
+       -1 AS n_rows, -1 AS n_nulls, -1 AS n_distinct,
+       '' AS min_v, '' AS max_v, -1.0 AS avg_len
+FROM ({suggest_constraints_sql(pages_dir)})
+ORDER BY kind, "column", rule
+"""
 
 
 def _psi_sql(pages_dir: str) -> str:

@@ -348,6 +348,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "latest_snapshot": "shaclapi_ray.pipelines.freshness:latest_snapshot",
     "snapshot_delta": "shaclapi_ray.pipelines.freshness:snapshot_delta_from",
     "corpus_composition": "shaclapi_ray.pipelines.profile:corpus_composition",
+    "profile_suggest": "shaclapi_ray.pipelines.profile:profile_and_suggest",
     "cap_per_host": "shaclapi_ray.pipelines.freshness:cap_per_host",
     "anchor_text_profile": "shaclapi_ray.pipelines.anchors:anchor_text_profile",
     "outlink_profile": "shaclapi_ray.pipelines.anchors:outlink_profile",

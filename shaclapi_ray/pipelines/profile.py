@@ -208,6 +208,140 @@ def profile_columns_sql(pages_dir: str, columns: dict[str, str] | None = None) -
 
 
 # ---------------------------------------------------------------------------
+# Constraint suggestion (Deequ-style) from the column profile
+# ---------------------------------------------------------------------------
+
+SUGGEST_LOW_CARD_MAX = 16
+
+
+def suggest_constraints(profile_df, low_card_max: int = SUGGEST_LOW_CARD_MAX):
+    """(column, rule, param): deterministic Deequ-style constraint
+    suggestions derived from a ``profile_columns`` frame — the profiler's
+    forward companion to the reference's schema REDUCTION (reduce takes a
+    schema and prunes it; suggest takes data and proposes one). Rules are
+    integer-exact over the profile stats, so the suggestion set is
+    reproducible across runs/layouts and SQL-mirrorable:
+
+    - ``not_null``     n_nulls == 0 (and n_rows > 0 — no vacuous
+                       suggestions from an empty column)
+    - ``unique``       n_distinct == n_rows - n_nulls (> 0 non-nulls;
+                       nulls excluded exactly like COUNT(DISTINCT))
+    - ``low_card``     1 <= n_distinct <= low_card_max (membership-check
+                       candidate; param = the observed cardinality)
+    - ``value_range``  min_v non-null (param = 'min..max' — epoch-micros
+                       for timestamps, lexicographic bounds for strings)
+
+    Driver-side over the tiny |columns|-row profile — the distributed
+    work is profile_columns itself. ``suggestions_to_shape`` turns the
+    output into a runnable Shape for the validation engine."""
+    import pandas as pd
+
+    rows = []
+    for r in profile_df.itertuples():
+        nn = int(r.n_rows) - int(r.n_nulls)
+        if int(r.n_rows) > 0 and int(r.n_nulls) == 0:
+            rows.append((r.column, "not_null", ""))
+        if 1 <= int(r.n_distinct) <= low_card_max:
+            rows.append((r.column, "low_card", str(int(r.n_distinct))))
+        if nn > 0 and int(r.n_distinct) == nn:
+            rows.append((r.column, "unique", ""))
+        if pd.notna(r.min_v) and r.min_v is not None:
+            mx = r.max_v if (pd.notna(r.max_v) and r.max_v is not None) else ""
+            rows.append((r.column, "value_range", f"{r.min_v}..{mx}"))
+    return (
+        pd.DataFrame(rows, columns=["column", "rule", "param"])
+        .sort_values(["column", "rule"])
+        .reset_index(drop=True)
+    )
+
+
+def suggest_constraints_sql(
+    pages_dir: str,
+    columns: dict[str, str] | None = None,
+    low_card_max: int = SUGGEST_LOW_CARD_MAX,
+) -> str:
+    """DuckDB oracle for suggest_constraints — the same integer rules as
+    a CTE over profile_columns_sql."""
+    prof = profile_columns_sql(pages_dir, columns)
+    return f"""
+WITH prof AS ({prof})
+SELECT * FROM (
+  SELECT "column", 'not_null' AS rule, '' AS param FROM prof
+  WHERE n_rows > 0 AND n_nulls = 0
+  UNION ALL
+  SELECT "column", 'low_card' AS rule, CAST(n_distinct AS VARCHAR) AS param
+  FROM prof WHERE n_distinct BETWEEN 1 AND {low_card_max}
+  UNION ALL
+  SELECT "column", 'unique' AS rule, '' AS param FROM prof
+  WHERE n_rows - n_nulls > 0 AND n_distinct = n_rows - n_nulls
+  UNION ALL
+  SELECT "column", 'value_range' AS rule, min_v || '..' || COALESCE(max_v, '') AS param
+  FROM prof WHERE min_v IS NOT NULL
+) ORDER BY "column", rule
+"""
+
+
+def profile_and_suggest(
+    pages_ds,
+    columns: dict[str, str] | None = None,
+    low_card_max: int = SUGGEST_LOW_CARD_MAX,
+):
+    """pages -> suggestion rows as a Dataset (the CLI-composable form of
+    profile_columns + suggest_constraints; the result is |columns|-scale
+    tiny, so the driver-side from_pandas is free)."""
+    import ray.data
+
+    return ray.data.from_pandas(
+        suggest_constraints(profile_columns(pages_ds, columns), low_card_max)
+    )
+
+
+def suggestions_to_shape(
+    sugg_df,
+    shape_id: str = "SuggestedShape",
+    columns: dict[str, str] | None = None,
+):
+    """Compile a suggestion frame into a runnable ``Shape``: not_null ->
+    not-null predicates, unique -> UniqueConstraint (sketch stage),
+    timestamp value_range -> an exact range predicate (epoch-micros
+    bounds round-trip losslessly through ISO microsecond strings).
+    low_card and string/binary value_range rows are advisory (they name
+    a candidate check but not its value set) and compile to nothing."""
+    from shaclapi_ray.shapes.ir import (
+        PredicateConstraint,
+        Shape,
+        UniqueConstraint,
+    )
+
+    columns = columns or PAGE_COLUMNS
+    cons = []
+    for r in sugg_df.itertuples():
+        if r.rule == "not_null":
+            cons.append(
+                PredicateConstraint(
+                    name=f"{r.column}_not_null",
+                    pred={"op": "not_null", "column": r.column},
+                )
+            )
+        elif r.rule == "unique":
+            cons.append(UniqueConstraint(name=f"{r.column}_unique", column=r.column))
+        elif r.rule == "value_range" and columns.get(r.column) == "timestamp":
+            lo_us, hi_us = (int(v) for v in r.param.split(".."))
+            cons.append(
+                PredicateConstraint(
+                    name=f"{r.column}_range",
+                    pred={
+                        "op": "range",
+                        "column": r.column,
+                        "min": str(np.datetime64(lo_us, "us")),
+                        "max": str(np.datetime64(hi_us, "us")),
+                    },
+                )
+            )
+    return Shape(shape_id=shape_id, target=None, constraints=cons)
+
+
+# ---------------------------------------------------------------------------
 # Exact PSI drift
 # ---------------------------------------------------------------------------
 
