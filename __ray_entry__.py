@@ -230,6 +230,39 @@ def _q_drift_verdicts(sf_dir: str):
     return _sorted(res.verdicts().select_columns(["url", "valid"]), ["url", "valid"])
 
 
+# the DELTA fixture srcs carry only these three columns; the profile-drift
+# slot part profiles exactly them on both sides
+DRIFT_PROFILE_COLUMNS = {"url": "string", "warc_ts": "timestamp", "text": "string"}
+
+
+def _delta_side_ds(sf_dir: str, which: str):
+    """The snapshot-delta fixture's derived crawls as Datasets: old drops
+    len(text)%10==DELTA_DROP_OLD rows, new drops ==DELTA_DROP_NEW and
+    appends ' v2' to ==DELTA_CHANGE texts (null text drops from both —
+    matching the SQL srcs' WHERE NULL semantics). Shared by the
+    kind='delta' part of extract_canonicalize and the kind='profile'
+    part of psi_drift."""
+    import polars as pl
+    import ray.data
+
+    def fn(batch):
+        df = pl.from_arrow(batch)
+        ln = pl.col("text").str.len_chars().cast(pl.Int64)
+        if which == "old":
+            return df.filter((ln % 10 != DELTA_DROP_OLD).fill_null(False)).to_arrow()
+        df = df.filter((ln % 10 != DELTA_DROP_NEW).fill_null(False))
+        return df.with_columns(
+            pl.when(ln % 10 == DELTA_CHANGE)
+            .then(pl.col("text") + " v2")
+            .otherwise(pl.col("text"))
+            .alias("text")
+        ).to_arrow()
+
+    return ray.data.read_parquet(
+        _pages(sf_dir), columns=["url", "warc_ts", "text"]
+    ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_profile_columns(sf_dir: str):
     """Column profile (kind='stat') + Deequ-style constraint suggestions
     derived from it (kind='suggest': not_null / unique / low_card /
@@ -272,12 +305,42 @@ def _q_profile_columns(sf_dir: str):
 
 
 def _q_psi_drift(sf_dir: str):
+    """Per-host PSI of the text-length distribution (kind='psi') +
+    Deequ-style profile anomaly detection between the DELTA fixture's two
+    derived crawls (kind='profile': row_count / null_rate /
+    distinct_ratio / range_expansion per column with exact
+    cross-multiplied tolerances) — value-level and schema-level drift in
+    one slot."""
+    import pandas as pd
     import ray.data
 
-    from shaclapi_ray.pipelines.profile import psi_drift
+    from shaclapi_ray.pipelines.profile import profile_drift, psi_drift
 
-    return psi_drift(
+    p = psi_drift(
         ray.data.read_parquet(_pages(sf_dir), columns=["url", "warc_ts", "text"])
+    ).assign(kind="psi", check="", old_v="", new_v="")
+    p = p.rename(columns={"host": "name"})
+    d = profile_drift(
+        _delta_side_ds(sf_dir, "old"),
+        _delta_side_ds(sf_dir, "new"),
+        columns=DRIFT_PROFILE_COLUMNS,
+    ).assign(kind="profile", n_ref=-1, n_cur=-1, psi=-1.0)
+    d = d.rename(columns={"column": "name"})
+    cols = [
+        "kind",
+        "name",
+        "check",
+        "n_ref",
+        "n_cur",
+        "psi",
+        "drifted",
+        "old_v",
+        "new_v",
+    ]
+    return (
+        pd.concat([p[cols], d[cols]], ignore_index=True)
+        .sort_values(["kind", "name", "check"])
+        .reset_index(drop=True)
     )
 
 
@@ -1167,29 +1230,9 @@ def _q_extract_canonicalize(sf_dir: str):
     )
     from shaclapi_ray.pipelines.freshness import snapshot_delta
 
-    def _delta_side(which: str):
-        import polars as pl
-
-        def fn(batch):
-            df = pl.from_arrow(batch)
-            ln = pl.col("text").str.len_chars().cast(pl.Int64)
-            if which == "old":
-                return df.filter(
-                    (ln % 10 != DELTA_DROP_OLD).fill_null(False)
-                ).to_arrow()
-            df = df.filter((ln % 10 != DELTA_DROP_NEW).fill_null(False))
-            return df.with_columns(
-                pl.when(ln % 10 == DELTA_CHANGE)
-                .then(pl.col("text") + " v2")
-                .otherwise(pl.col("text"))
-                .alias("text")
-            ).to_arrow()
-
-        return ray.data.read_parquet(
-            _pages(sf_dir), columns=["url", "warc_ts", "text"]
-        ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-    sd = snapshot_delta(_delta_side("old"), _delta_side("new")).to_pandas()
+    sd = snapshot_delta(
+        _delta_side_ds(sf_dir, "old"), _delta_side_ds(sf_dir, "new")
+    ).to_pandas()
     part7 = pd.DataFrame(
         {
             "url": sd["url"],
@@ -1726,9 +1769,23 @@ ORDER BY kind, "column", rule
 
 
 def _psi_sql(pages_dir: str) -> str:
-    from shaclapi_ray.pipelines.profile import psi_drift_sql
+    from shaclapi_ray.pipelines.profile import profile_drift_sql, psi_drift_sql
 
-    return psi_drift_sql(pages_dir)
+    drift = profile_drift_sql(
+        _delta_old_src(pages_dir),
+        _delta_new_src(pages_dir),
+        columns=DRIFT_PROFILE_COLUMNS,
+    )
+    return f"""
+SELECT 'psi' AS kind, host AS name, '' AS "check",
+       n_ref, n_cur, psi, drifted, '' AS old_v, '' AS new_v
+FROM ({psi_drift_sql(pages_dir)})
+UNION ALL
+SELECT 'profile' AS kind, "column" AS name, "check",
+       -1 AS n_ref, -1 AS n_cur, -1.0 AS psi, drifted, old_v, new_v
+FROM ({drift})
+ORDER BY kind, name, "check"
+"""
 
 
 def _pagerank_sql(pages_dir: str) -> str:

@@ -175,15 +175,21 @@ def profile_columns(pages_ds, columns: dict[str, str] | None = None):
     )
 
 
-def profile_columns_sql(pages_dir: str, columns: dict[str, str] | None = None) -> str:
+def profile_columns_sql(
+    pages_dir: str | None = None,
+    columns: dict[str, str] | None = None,
+    rel: str | None = None,
+) -> str:
     """DuckDB oracle for profile_columns — same stats per column.
 
     Timestamp min/max via epoch_us (exact integer parity with the Arrow
     int64 cast); distinct via COUNT(DISTINCT value) (the Ray side hashes
     — equality holds absent 64-bit collisions, guaranteed at gate scale).
-    """
+    ``rel`` overrides the parquet scan with any relation expression (the
+    profile_drift oracle profiles derived snapshot views)."""
     columns = columns or PAGE_COLUMNS
-    rel = f"read_parquet('{pages_dir}/part-*.parquet')"
+    if rel is None:
+        rel = f"read_parquet('{pages_dir}/part-*.parquet')"
     parts = []
     for name, kind in columns.items():
         if kind == "string":
@@ -294,6 +300,180 @@ def profile_and_suggest(
     return ray.data.from_pandas(
         suggest_constraints(profile_columns(pages_ds, columns), low_card_max)
     )
+
+
+# drift tolerances as exact rationals (num, den) — cross-multiplied, never
+# a float ratio, so the Ray and SQL verdicts agree bit-for-bit
+DRIFT_ROW_DELTA = (1, 2)  # row count moved by > 50%
+DRIFT_NULLRATE_DELTA = (1, 20)  # null rate moved by > 5 points
+DRIFT_DISTINCT_DELTA = (1, 2)  # distinct/non-null ratio moved by > 50 points
+
+
+def profile_drift(
+    old_pages_ds,
+    new_pages_ds,
+    columns: dict[str, str] | None = None,
+    row_delta: tuple[int, int] = DRIFT_ROW_DELTA,
+    nullrate_delta: tuple[int, int] = DRIFT_NULLRATE_DELTA,
+    distinct_delta: tuple[int, int] = DRIFT_DISTINCT_DELTA,
+):
+    """(column, check, drifted, old_v, new_v): Deequ-style anomaly
+    detection between two crawl snapshots' column profiles — the
+    schema-level companion to the value-level ``psi_drift`` and the
+    row-level ``snapshot_delta``. Four checks per column:
+
+    - ``row_count``      |n_new - n_old| * den > num * n_old
+                         (n_old == 0: any new rows drift)
+    - ``null_rate``      |nulls_new*rows_old - nulls_old*rows_new| * den
+                         > num * rows_old * rows_new (skipped when either
+                         side is empty)
+    - ``distinct_ratio`` the same cross-multiplied rule over
+                         n_distinct / non-null count
+    - ``range_expansion`` the new [min, max] escapes the old one
+                         (numeric for timestamps, lexicographic for
+                         strings; a bound appearing where the old side
+                         had none is drift; binary columns skip)
+
+    All arithmetic is driver-side exact Python ints over the two
+    |columns|-row profiles (no int64 overflow at 10^12 rows); the
+    distributed work is the two profile_columns passes."""
+    import pandas as pd
+
+    columns = columns or PAGE_COLUMNS
+    po = profile_columns(old_pages_ds, columns).set_index("column")
+    pn = profile_columns(new_pages_ds, columns).set_index("column")
+    rn, rd = row_delta
+    nn_, nd = nullrate_delta
+    dn, dd = distinct_delta
+    rows = []
+    for col in sorted(columns):
+        o, n = po.loc[col], pn.loc[col]
+        o_rows, n_rows = int(o.n_rows), int(n.n_rows)
+        o_nulls, n_nulls = int(o.n_nulls), int(n.n_nulls)
+        o_nn, n_nn = o_rows - o_nulls, n_rows - n_nulls
+
+        drift = abs(n_rows - o_rows) * rd > rn * o_rows
+        rows.append((col, "row_count", drift, str(o_rows), str(n_rows)))
+
+        if o_rows > 0 and n_rows > 0:
+            drift = abs(n_nulls * o_rows - o_nulls * n_rows) * nd > nn_ * o_rows * n_rows
+        else:
+            drift = False
+        rows.append(
+            (col, "null_rate", drift, f"{o_nulls}/{o_rows}", f"{n_nulls}/{n_rows}")
+        )
+
+        if o_nn > 0 and n_nn > 0:
+            drift = (
+                abs(int(n.n_distinct) * o_nn - int(o.n_distinct) * n_nn) * dd
+                > dn * o_nn * n_nn
+            )
+        else:
+            drift = False
+        rows.append(
+            (
+                col,
+                "distinct_ratio",
+                drift,
+                f"{int(o.n_distinct)}/{o_nn}",
+                f"{int(n.n_distinct)}/{n_nn}",
+            )
+        )
+
+        if columns[col] == "binary":
+            drift, ov, nv = False, "", ""
+        else:
+            omin = o.min_v if pd.notna(o.min_v) else None
+            omax = o.max_v if pd.notna(o.max_v) else None
+            nmin = n.min_v if pd.notna(n.min_v) else None
+            nmax = n.max_v if pd.notna(n.max_v) else None
+            if columns[col] == "timestamp":
+                conv = int
+            else:
+                conv = str
+            if nmin is None:
+                drift = False
+            elif omin is None:
+                drift = True
+            else:
+                drift = conv(nmin) < conv(omin) or conv(nmax) > conv(omax)
+            ov = "" if omin is None else f"{omin}..{omax}"
+            nv = "" if nmin is None else f"{nmin}..{nmax}"
+        rows.append((col, "range_expansion", drift, ov, nv))
+    return (
+        pd.DataFrame(rows, columns=["column", "check", "drifted", "old_v", "new_v"])
+        .sort_values(["column", "check"])
+        .reset_index(drop=True)
+    )
+
+
+def profile_drift_sql(
+    old_rel: str,
+    new_rel: str,
+    columns: dict[str, str] | None = None,
+    row_delta: tuple[int, int] = DRIFT_ROW_DELTA,
+    nullrate_delta: tuple[int, int] = DRIFT_NULLRATE_DELTA,
+    distinct_delta: tuple[int, int] = DRIFT_DISTINCT_DELTA,
+) -> str:
+    """DuckDB oracle for profile_drift: the same cross-multiplied integer
+    rules over two profile_columns CTEs (HUGEINT casts keep the products
+    exact at any row count). ``old_rel`` / ``new_rel`` are relation
+    expressions (parenthesized SELECTs or table names)."""
+    columns = columns or PAGE_COLUMNS
+    rn, rd = row_delta
+    nn_, nd = nullrate_delta
+    dn, dd = distinct_delta
+    h = "CAST({} AS HUGEINT)"
+    ts_cols = ", ".join(f"'{c}'" for c, k in columns.items() if k == "timestamp")
+    bin_cols = ", ".join(f"'{c}'" for c, k in columns.items() if k == "binary")
+    range_old = "CASE WHEN o_min IS NULL THEN '' ELSE o_min || '..' || o_max END"
+    range_new = "CASE WHEN n_min IS NULL THEN '' ELSE n_min || '..' || n_max END"
+    return f"""
+WITH po AS ({profile_columns_sql(columns=columns, rel=old_rel)}),
+     pn AS ({profile_columns_sql(columns=columns, rel=new_rel)}),
+     j AS (SELECT o."column" AS col, o.n_rows AS o_rows, n.n_rows AS n_rows,
+                  o.n_nulls AS o_nulls, n.n_nulls AS n_nulls,
+                  o.n_distinct AS o_d, n.n_distinct AS n_d,
+                  o.min_v AS o_min, o.max_v AS o_max,
+                  n.min_v AS n_min, n.max_v AS n_max
+           FROM po o JOIN pn n ON o."column" = n."column")
+SELECT * FROM (
+  SELECT col AS "column", 'row_count' AS "check",
+         abs({h.format('n_rows')} - o_rows) * {rd} > {rn} * {h.format('o_rows')} AS drifted,
+         CAST(o_rows AS VARCHAR) AS old_v, CAST(n_rows AS VARCHAR) AS new_v
+  FROM j
+  UNION ALL
+  SELECT col, 'null_rate',
+         CASE WHEN o_rows > 0 AND n_rows > 0 THEN
+           abs({h.format('n_nulls')} * o_rows - {h.format('o_nulls')} * n_rows) * {nd}
+             > {nn_} * {h.format('o_rows')} * n_rows
+         ELSE FALSE END,
+         o_nulls || '/' || o_rows, n_nulls || '/' || n_rows
+  FROM j
+  UNION ALL
+  SELECT col, 'distinct_ratio',
+         CASE WHEN o_rows - o_nulls > 0 AND n_rows - n_nulls > 0 THEN
+           abs({h.format('n_d')} * (o_rows - o_nulls) - {h.format('o_d')} * (n_rows - n_nulls)) * {dd}
+             > {dn} * {h.format('(o_rows - o_nulls)')} * (n_rows - n_nulls)
+         ELSE FALSE END,
+         o_d || '/' || (o_rows - o_nulls), n_d || '/' || (n_rows - n_nulls)
+  FROM j
+  UNION ALL
+  SELECT col, 'range_expansion',
+         CASE
+           WHEN col IN ({bin_cols or "''"}) THEN FALSE
+           WHEN n_min IS NULL THEN FALSE
+           WHEN o_min IS NULL THEN TRUE
+           WHEN col IN ({ts_cols or "''"}) THEN
+             CAST(n_min AS HUGEINT) < CAST(o_min AS HUGEINT)
+             OR CAST(n_max AS HUGEINT) > CAST(o_max AS HUGEINT)
+           ELSE n_min < o_min OR n_max > o_max
+         END,
+         CASE WHEN col IN ({bin_cols or "''"}) THEN '' ELSE {range_old} END,
+         CASE WHEN col IN ({bin_cols or "''"}) THEN '' ELSE {range_new} END
+  FROM j
+) ORDER BY "column", "check"
+"""
 
 
 def suggestions_to_shape(
