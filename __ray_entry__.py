@@ -188,11 +188,27 @@ def _q_unique_url_verdicts(sf_dir: str):
 
 
 def _q_verdict_counts(sf_dir: str):
+    """Per-shape valid/invalid counts (kind='counts') + the per-HOST
+    violation rollup (kind='host': which hosts produce the violations,
+    per shape — the ops-dashboard view) as a kind-tagged union over ONE
+    engine run's verdict stream."""
+    import pandas as pd
+
     from shaclapi_ray.engine import JobConfig, ValidationEngine
     from shaclapi_ray.fixtures import column_schema
 
     res = ValidationEngine(column_schema(), JobConfig()).run(_pages(sf_dir))
-    return _sorted(res.verdict_counts(), ["shape_id", "valid"])
+    c = res.verdict_counts().to_pandas().assign(kind="counts", host="")
+    c["valid"] = c["valid"].map({True: "true", False: "false"})
+    c["n_valid"] = -1
+    c["n_invalid"] = -1
+    r = res.verdict_rollup().to_pandas().assign(kind="host", valid="", n=-1)
+    cols = ["kind", "shape_id", "host", "valid", "n", "n_valid", "n_invalid"]
+    return (
+        pd.concat([c[cols], r[cols]], ignore_index=True)
+        .sort_values(["kind", "shape_id", "host", "valid"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_reduce_schema(sf_dir: str):
@@ -2080,7 +2096,17 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),
         "inverse_linked_verdicts": o.inverse_linked_verdicts_sql(pages_dir),
         "unique_url_verdicts": o.unique_url_verdicts_sql(pages_dir),
-        "verdict_counts": o.verdict_counts_sql(o.all_column_shapes(), pages_dir),
+        "verdict_counts": f"""
+SELECT 'counts' AS kind, shape_id, '' AS host,
+       CASE WHEN valid THEN 'true' ELSE 'false' END AS valid,
+       n, -1 AS n_valid, -1 AS n_invalid
+FROM ({o.verdict_counts_sql(o.all_column_shapes(), pages_dir)})
+UNION ALL
+SELECT 'host' AS kind, shape_id, host, '' AS valid,
+       -1 AS n, n_valid, n_invalid
+FROM ({o.verdict_rollup_sql(o.all_column_shapes(), pages_dir)})
+ORDER BY kind, shape_id, host, valid
+""",
         "reduce_schema": o.reduce_schema_sql(["LinkedPageShape", "TargetPageShape"]),
         "annotated_pages": o.annotated_pages_sql(pages_dir),
         "profile_columns": _profile_sql(pages_dir),

@@ -157,6 +157,55 @@ class ValidationResult:
         )
         return _collect(ds).sort_by([("shape_id", "ascending"), ("valid", "ascending")])
 
+    def verdict_rollup(self) -> pa.Table:
+        """(host, shape_id, n_valid, n_invalid): the ops-dashboard view of
+        the verdict stream — which HOSTS produce the violations, per shape.
+        Host = the repo-standard regex over the verdict's url (nulls and
+        non-absolute urls roll into ''); the engine's partition-level
+        'host:...' verdict rows are EXCLUDED (they aggregate other rows —
+        including them would double-count, and the SQL oracle computes
+        verdicts from pages directly). One per-batch pre-aggregated
+        (host, shape_id) partial pass + the unified combine — the exchange
+        is |hosts|×|shapes| rows, never the verdict stream."""
+        from shaclapi_ray.pipelines.hostcure import _host_expr
+        from shaclapi_ray.stages.aggregates import combine_partials_multi
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keep = pc.invert(
+                pc.starts_with(pc.fill_null(batch["url"], ""), "host:")
+            )
+            t = batch.filter(keep)
+            valid_i = pc.cast(t["valid"], pa.int64())
+            g = pa.table(
+                {
+                    "host": _host_expr(t["url"]),
+                    "shape_id": t["shape_id"],
+                    "n_valid": valid_i,
+                    "n_invalid": pc.subtract(pa.scalar(1, pa.int64()), valid_i),
+                }
+            ).group_by(["host", "shape_id"]).aggregate(
+                [("n_valid", "sum"), ("n_invalid", "sum")]
+            )
+            return pa.table(
+                {
+                    "host": g["host"],
+                    "shape_id": g["shape_id"],
+                    "n_valid": g["n_valid_sum"],
+                    "n_invalid": g["n_invalid_sum"],
+                }
+            )
+
+        ds = combine_partials_multi(
+            self.verdicts().map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["host", "shape_id"],
+            ["n_valid", "n_invalid"],
+        )
+        return _collect(ds).sort_by(
+            [("host", "ascending"), ("shape_id", "ascending")]
+        )
+
     def annotate(self, pages_ds: ray.data.Dataset, num_partitions: int = 32):
         """pages ⟕ target-shape verdicts on url — the Xgoptional left-outer
         join (/root/reference/shaclapi/multiprocessing/Xgoptional/

@@ -758,6 +758,26 @@ def verdict_counts_sql(shapes: list[Shape], pages_dir: str) -> str:
     )
 
 
+def verdict_rollup_sql(shapes: list[Shape], pages_dir: str) -> str:
+    """DuckDB oracle for ValidationResult.verdict_rollup: per (host,
+    shape_id) valid/invalid counts, host = the repo-standard regex with
+    '' for null/non-absolute urls."""
+    host = "COALESCE(regexp_extract(url, '^https?://([^/]+)', 1), '') AS host"
+    branches = [
+        f"SELECT {host}, '{s.shape_id}' AS shape_id, "
+        f"{_shape_valid_sql(s)} AS valid\n"
+        f"FROM {pages_rel(pages_dir)} WHERE {pred_to_sql(s.target, COL_MAP)}"
+        for s in shapes
+    ]
+    u = "\nUNION ALL\n".join(branches)
+    return (
+        f"SELECT host, shape_id, "
+        "CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, "
+        "CAST(SUM(CASE WHEN valid THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid "
+        f"FROM (\n{u}\n) GROUP BY host, shape_id ORDER BY host, shape_id"
+    )
+
+
 def annotated_pages_sql(pages_dir: str) -> str:
     s = fresh_page_shape()
     return f"""

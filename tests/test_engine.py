@@ -233,3 +233,34 @@ def test_pass_a_actor_pool(ray_session, small_pages_dir):
     assert _engine_verdicts(task_res, "UrlShape") == _engine_verdicts(
         actor_res, "UrlShape"
     )
+
+
+def test_verdict_rollup_matches_counts_and_oracle(column_result, small_pages_dir):
+    """verdict_rollup: per-(host, shape_id) valid/invalid counts must (a)
+    re-sum to verdict_counts exactly, (b) bucket null/''/scheme-less urls
+    into host '', and (c) match the DuckDB oracle row-for-row."""
+    import duckdb
+
+    from shaclapi_ray.oracles import all_column_shapes, verdict_rollup_sql
+
+    roll = column_result.verdict_rollup().to_pandas()
+    counts = column_result.verdict_counts().to_pandas()
+    for shape_id, g in roll.groupby("shape_id"):
+        c = counts[counts.shape_id == shape_id]
+        want_valid = int(c[c.valid]["n"].sum())
+        want_invalid = int(c[~c.valid]["n"].sum())
+        assert int(g["n_valid"].sum()) == want_valid
+        assert int(g["n_invalid"].sum()) == want_invalid
+    # the planted ''/null/scheme-less urls all land in host ''
+    assert (roll["host"] == "").any()
+    assert roll[roll["host"] == ""]["n_valid"].sum() > 0
+    exp = duckdb.sql(
+        verdict_rollup_sql(all_column_shapes(), small_pages_dir)
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        roll.sort_values(["host", "shape_id"]).reset_index(drop=True),
+        exp.sort_values(["host", "shape_id"]).reset_index(drop=True),
+        check_dtype=False,
+    )
