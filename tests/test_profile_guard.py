@@ -123,3 +123,35 @@ def test_hostbp_profile_not_degenerate(ray_session):
         f"dropped={row[1]}) — the 4/5 threshold must sit inside the "
         "fixture's per-source word doc-frequency band"
     )
+
+
+def test_profile_drift_slot_not_degenerate():
+    """The psi_drift slot's kind='profile' part must have SOME drifted
+    and SOME clean checks on the DELTA-derived fixture crawls at both
+    driver scales — a DELTA_* rule change that equalizes the two sides
+    (or a tolerance change that fires everywhere) would keep the hash
+    green while gutting the check. SQL-side only (no Ray pass)."""
+    import duckdb
+
+    from __ray_entry__ import (
+        DRIFT_PROFILE_COLUMNS,
+        _delta_new_src,
+        _delta_old_src,
+    )
+    from shaclapi_ray.pagegen import ensure_pages
+    from shaclapi_ray.pipelines.profile import profile_drift_sql
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        pages_dir = ensure_pages(sf)
+        df = duckdb.sql(
+            profile_drift_sql(
+                _delta_old_src(pages_dir),
+                _delta_new_src(pages_dir),
+                columns=DRIFT_PROFILE_COLUMNS,
+            )
+        ).df()
+        n_drift = int(df["drifted"].sum())
+        assert 0 < n_drift < len(df), (
+            f"profile-drift verdicts degenerate at {sf}: "
+            f"{n_drift}/{len(df)} drifted"
+        )
