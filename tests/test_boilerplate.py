@@ -136,3 +136,13 @@ def test_null_group_collapses_to_empty_string(ray_session):
 def test_unknown_strategy_raises(ray_session):
     with pytest.raises(ValueError, match="strategy"):
         host_boilerplate(ray.data.from_arrow(_fixture()), strategy="nope")
+
+
+def test_broadcast_ceiling_raises_loudly(ray_session, monkeypatch):
+    import shaclapi_ray.pipelines.dedup as dd
+
+    monkeypatch.setattr(dd, "BOILER_BROADCAST_LIMIT", 1)
+    with pytest.raises(ValueError, match="strategy='join'"):
+        dd.host_boilerplate(
+            ray.data.from_arrow(_fixture()), min_docs=2, frac_num=1, frac_den=2
+        )
