@@ -7,12 +7,14 @@ bytes; `decode_stub='error'` raises NotImplementedError exactly where a
 real decoder (PIL/torchaudio/ffmpeg) would plug in. Two REAL paths:
 `decode_stub='bmp'` decodes/resizes/re-encodes uncompressed 24-bit BMP
 payloads with the in-repo numpy codec (no dependencies — see
-encode_bmp/decode_bmp), and `decode_stub='real'` is the PIL ACTIVATION
-PATH for compressed formats: with pillow installed (`pip install
-pillow`) the same stages handle JPEG/PNG unchanged (the import is
-try-gated). Everything Ray-side — schema, actor-pool stage shape, batch
-sizing for large binary payloads, output layout — is real and tested in
-every mode.
+encode_bmp/decode_bmp), `decode_stub='wav'` featurizes 16-bit PCM WAV
+audio with the stdlib `wave` module + numpy (rate/channels/frames/rms/
+peak/zero-crossings/duration — see encode_wav/decode_wav), and
+`decode_stub='real'` is the PIL ACTIVATION PATH for compressed image
+formats: with pillow installed (`pip install pillow`) the same stages
+handle JPEG/PNG unchanged (the import is try-gated). Everything
+Ray-side — schema, actor-pool stage shape, batch sizing for large
+binary payloads, output layout — is real and tested in every mode.
 """
 
 from __future__ import annotations
@@ -85,6 +87,78 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     return rgb[::-1] if h > 0 else rgb  # positive height = bottom-up
 
 
+# --------------------------------------------------------------------------
+# Real WAV (PCM) codec — stdlib `wave` + numpy, no external audio library.
+# Upgrades the AUDIO side of the decode seam the same way BMP upgraded the
+# image side: 16-bit PCM WAV payloads featurize for real in this
+# environment; compressed audio (mp3/ogg/flac) still needs an external
+# decoder behind the 'error' stub.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 samples -> 16-bit PCM WAV bytes (the
+    in-repo fixture generator for the real audio decode path)."""
+    import io
+    import wave
+
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(s.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(rate))
+        w.writeframes(np.ascontiguousarray(s, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """16-bit PCM WAV bytes -> ((frames, channels) int16 array, rate).
+    Raises ValueError on non-PCM-16 payloads (compressed audio belongs to
+    an external decoder)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(raw), "rb") as w:
+            rate, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            data = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a WAV payload: {e}") from e
+    if sw != 2:
+        raise ValueError("only 16-bit PCM WAV is decodable without audio libs")
+    return np.frombuffer(data, dtype="<i2").reshape(-1, nch), rate
+
+
+def _wav_features(raw: bytes) -> np.ndarray:
+    """REAL audio features from a PCM WAV payload: [rate, channels,
+    frames, rms, mean, peak, zero_crossings, duration_ms] — FEATURE_DIM
+    wide like the image paths."""
+    x, rate = decode_wav(raw)
+    mono = x.astype(np.float64).mean(axis=1) if x.size else np.zeros(0)
+    if mono.size:
+        rms = float(np.sqrt(np.mean(mono * mono)))
+        zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        mean, peak = float(mono.mean()), float(np.abs(mono).max())
+    else:
+        rms = zc = mean = peak = 0
+    return np.array(
+        [
+            rate,
+            x.shape[1] if x.size else 0,
+            x.shape[0],
+            rms,
+            mean,
+            peak,
+            zc,
+            x.shape[0] * 1000.0 / rate if rate else 0.0,
+        ],
+        dtype=np.float64,
+    )
+
+
 def _gray(rgb: np.ndarray) -> np.ndarray:
     """ITU-R 601 luma, float64."""
     return rgb @ np.array([0.299, 0.587, 0.114])
@@ -131,6 +205,10 @@ class MediaFeaturizer:
     def _decode(self, raw: bytes) -> np.ndarray:
         if self.mode == "error":
             raise NotImplementedError("decoder stub: no media libs installed")
+        if self.mode == "wav":
+            # REAL audio decode (stdlib wave + numpy): rate/channels/
+            # frames/rms/mean/peak/zero-crossings/duration features
+            return _wav_features(raw)
         if self.mode == "bmp":
             # REAL decode (in-repo codec): same feature contract as the
             # PIL path — 16x16 gray resample stats + true dimensions

@@ -161,3 +161,63 @@ def test_bmp_real_resize_pipeline(ray_session):
     out = decode_bmp(df["media"][0])
     assert (df["width"][0], df["height"][0]) == (8, 6)
     np.testing.assert_array_equal(out, _nn_resize(rgb, 8, 6))
+
+
+def test_wav_roundtrip_stereo():
+    import numpy as np
+
+    from shaclapi_ray.pipelines.multimodal import decode_wav, encode_wav
+
+    s = np.stack(
+        [np.arange(-50, 50, dtype=np.int16), np.arange(50, -50, -1, dtype=np.int16)],
+        axis=1,
+    )
+    x, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000 and x.shape == (100, 2)
+    assert (x == s).all()
+
+
+def test_wav_rejects_non_wav():
+    import pytest
+
+    from shaclapi_ray.pipelines.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="WAV"):
+        decode_wav(b"definitely not audio")
+
+
+def test_wav_real_features(ray_session):
+    """decode_stub='wav' extracts REAL signal statistics: a 440 Hz sine
+    second has rms amp/sqrt(2), ~2*440 zero crossings and exact
+    rate/frames/duration; silence has rms 0."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.multimodal import encode_wav, featurize_media
+
+    rate, amp = 8000, 10000
+    t = np.arange(rate, dtype=np.float64) / rate
+    sine = (amp * np.sin(2 * math.pi * 440 * t)).astype(np.int16)
+    silence = np.zeros(rate // 2, dtype=np.int16)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["sine", "silence"],
+                "html": pa.array(
+                    [encode_wav(sine, rate), encode_wav(silence, rate)], pa.binary()
+                ),
+            }
+        )
+    )
+    df = featurize_media(ds, decode_stub="wav").to_pandas().set_index("url")
+    f_sine = df.loc["sine", "feature"]
+    # [rate, channels, frames, rms, mean, peak, zero_crossings, duration_ms]
+    assert f_sine[0] == rate and f_sine[1] == 1 and f_sine[2] == rate
+    assert abs(f_sine[3] - amp / math.sqrt(2)) / amp < 0.01
+    assert abs(f_sine[6] - 2 * 440) <= 2
+    assert f_sine[7] == 1000.0
+    f_sil = df.loc["silence", "feature"]
+    assert f_sil[3] == 0.0 and f_sil[6] == 0 and f_sil[7] == 500.0
