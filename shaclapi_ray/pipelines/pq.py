@@ -80,6 +80,13 @@ def pq_train(
     smat = _sample_matrix(emb_ds, sample_size, seed, vec_col, id_col)
     if len(smat) == 0:
         raise ValueError("pq_train: empty embedding dataset")
+    return _fit_codebooks(smat, m, k, iters, seed)
+
+
+def _fit_codebooks(smat: np.ndarray, m: int, k: int, iters: int, seed: int) -> dict:
+    """Per-subspace k-means over an in-memory training matrix — shared by
+    pq_train (raw normalized vectors) and the residual IVF-PQ build
+    (vectors minus their coarse centroid)."""
     dim = smat.shape[1]
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
@@ -274,6 +281,7 @@ def build_ivf_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     verify: bool = True,
+    residual: bool = False,
 ):
     """IVF-PQ index: bucket-partitioned parquet of (vec_id, code, b) —
     the canonical 100-TB ANN layout (FAISS IVFADC): probes read ONLY the
@@ -281,7 +289,15 @@ def build_ivf_pq_index(
     uint8 codes per vector instead of the float32 vector (PQ's 32×
     compression), so probe I/O shrinks by BOTH factors. Idempotent per
     content fingerprint (same stamp discipline as knn.build_ivf_index).
-    Returns (coarse_centroids, pq_model)."""
+    Returns (coarse_centroids, pq_model).
+
+    ``residual=True`` is the full FAISS-IVFADC encoding: codebooks are
+    fit on (vector - coarse centroid) residuals and codes quantize the
+    residual, which is smaller-normed and better resolved by the same
+    256-entry codebooks. The inner-product score decomposes additively
+    (q·v = q·c_b + q·r), so the probe stays one LUT pass plus a scalar
+    per-candidate bucket constant — no per-bucket LUTs. Off by default:
+    the raw encoding is the golden-pinned driver path."""
     import json
     import os
 
@@ -301,6 +317,7 @@ def build_ivf_pq_index(
         "k": int(k),
         "seed": int(seed),
         "sample_size": int(sample_size),
+        "residual": bool(residual),
     }
     manifest = os.path.join(index_dir, "_IVF_PQ_MANIFEST.json")
     cent_path = os.path.join(index_dir, "_centroids.npy")
@@ -309,7 +326,12 @@ def build_ivf_pq_index(
         # probe-time fast path: no corpus scan (see knn.build_ivf_index)
         if _structural_reuse(manifest, [cent_path, books_path], structural):
             books = np.load(books_path)
-            model = {"codebooks": books, "m": int(m), "dsub": books.shape[2]}
+            model = {
+                "codebooks": books,
+                "m": int(m),
+                "dsub": books.shape[2],
+                "residual": bool(residual),
+            }
             return np.load(cent_path), model
 
     rows_total, fp_total = content_fingerprint(emb_ds)
@@ -322,7 +344,12 @@ def build_ivf_pq_index(
         with open(manifest) as f:
             if json.load(f) == stamp:
                 books = np.load(books_path)
-                model = {"codebooks": books, "m": int(m), "dsub": books.shape[2]}
+                model = {
+                    "codebooks": books,
+                    "m": int(m),
+                    "dsub": books.shape[2],
+                    "residual": bool(residual),
+                }
                 return np.load(cent_path), model
         import shutil
 
@@ -330,16 +357,25 @@ def build_ivf_pq_index(
     os.makedirs(index_dir, exist_ok=True)
 
     cent = _train_centroids(emb_ds, n_centroids, sample_size, seed)
-    model = pq_train(
-        emb_ds,
-        m=m,
-        k=k,
-        seed=seed,
-        sample_size=sample_size,
-        vec_col=vec_col,
-        id_col=id_col,
-    )
-    cent_ref = ray.put(np.ascontiguousarray(cent, dtype=np.float32))
+    c32 = np.ascontiguousarray(cent, dtype=np.float32)
+    if residual:
+        smat = _sample_matrix(emb_ds, sample_size, seed, vec_col, id_col)
+        if len(smat) == 0:
+            raise ValueError("build_ivf_pq_index: empty embedding dataset")
+        near = np.argmax(smat @ c32.T, axis=1)
+        model = _fit_codebooks(smat - c32[near], m, k, iters=20, seed=seed)
+    else:
+        model = pq_train(
+            emb_ds,
+            m=m,
+            k=k,
+            seed=seed,
+            sample_size=sample_size,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    model["residual"] = bool(residual)
+    cent_ref = ray.put(c32)
     books_ref = ray.put(np.ascontiguousarray(model["codebooks"]))
     dsub = model["dsub"]
 
@@ -353,6 +389,8 @@ def build_ivf_pq_index(
             if mat.size
             else np.empty(0, np.int64)
         )
+        if residual and mat.size:
+            mat = mat - c[bucket]  # codes quantize the residual
         codes = np.zeros((n, m), dtype=np.uint8)
         for j in range(m):
             cb = books[j]
@@ -395,13 +433,17 @@ def knn_ivf_pq(
     id_col: str = "vec_id",
     verify_index: bool = True,
     query_vectors=None,
+    residual: bool = False,
 ):
     """(query_id, neighbor_id, rank): IVF-pruned ADC search over the PQ
     index — reads only the probed buckets' code files, scores each
     candidate with m table lookups, merges with the shared knn top-k
     contract. Recall loses to both the probe miss (as knn_ivf) and PQ
     quantization (rank by coarse neighborhoods; rerank the top window
-    with exact vectors when fine order matters)."""
+    with exact vectors when fine order matters). ``residual=True``
+    probes a residual-encoded index (see build_ivf_pq_index): the score
+    adds the candidate's q·centroid constant to the residual LUT sum —
+    same I/O, tighter quantization."""
     import ray
     import ray.data
 
@@ -413,7 +455,8 @@ def knn_ivf_pq(
     )
 
     if index_dir is None:
-        index_dir = f"/tmp/shaclapi_ray_ivfpq/c{n_centroids}_m{m}_s{seed}"
+        suffix = "_res" if residual else ""
+        index_dir = f"/tmp/shaclapi_ray_ivfpq/c{n_centroids}_m{m}_s{seed}{suffix}"
     cent, model = build_ivf_pq_index(
         emb_ds,
         index_dir,
@@ -424,6 +467,7 @@ def knn_ivf_pq(
         vec_col=vec_col,
         id_col=id_col,
         verify=verify_index,
+        residual=residual,
     )
     dsub = model["dsub"]
     books = model["codebooks"]
@@ -451,12 +495,19 @@ def knn_ivf_pq(
         return _final_topk_driver(ray.data.from_arrow(empty), k)
     Q = len(q_ids)
     lut = np.einsum("qjd,jkd->qjk", q_mat.reshape(Q, m, dsub), books)
+    # residual decomposition: q·v = q·c_b + q·r — one (Q, n_centroids)
+    # constant matrix, added per candidate by its bucket (no per-bucket LUTs)
+    q_cent = (
+        np.ascontiguousarray(q_mat @ cent.T.astype(np.float32), dtype=np.float32)
+        if residual
+        else None
+    )
     probe_ref = ray.put(
-        (q_ids, np.ascontiguousarray(lut, dtype=np.float32), q_buckets)
+        (q_ids, np.ascontiguousarray(lut, dtype=np.float32), q_buckets, q_cent)
     )
 
     def probe_topk(batch: pa.Table) -> pa.Table:
-        p_ids, p_lut, p_buckets = ray.get(probe_ref)
+        p_ids, p_lut, p_buckets, p_qcent = ray.get(probe_ref)
         ids = _ids(batch[id_col])
         buckets = _ids(batch["b"])
         col = batch["code"]
@@ -466,6 +517,8 @@ def knn_ivf_pq(
         scores = np.zeros((len(p_ids), n), dtype=np.float32)
         for j in range(m):
             scores += p_lut[:, j, cmat[:, j]]
+        if p_qcent is not None:
+            scores += p_qcent[:, buckets]
         out = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi, qid in enumerate(p_ids):
             mask = np.isin(buckets, p_buckets[int(qid)]) & (ids != qid)

@@ -194,3 +194,61 @@ def test_rerank_restores_exact_order():
     assert rset >= (eset & wset)
     assert len(rset & eset) >= len(pset & eset)
     assert len(rset & eset) / len(eset) >= 0.8
+
+
+def test_residual_encoding_beats_raw_recall(ray_session, tmp_path):
+    """FAISS-IVFADC residual encoding: codes quantize (v - centroid), so
+    the same 256-entry codebooks resolve finer structure — on clustered
+    data recall@10 must be at least the raw encoding's (and the score
+    decomposition q.v = q.c_b + q.r must not disturb determinism across
+    block layouts)."""
+    import pandas as pd
+
+    from shaclapi_ray.pipelines.pq import knn_ivf_pq
+
+    rng = np.random.default_rng(0)
+    centers, per, dim = 12, 80, 32
+    cent = rng.normal(size=(centers, dim))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    vecs = np.repeat(cent, per, axis=0) + 0.15 * rng.normal(
+        size=(centers * per, dim)
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    n = len(vecs)
+    ds = rd.from_arrow(_emb(vecs)).repartition(6)
+    qids = list(range(0, n, 97))[:10]
+    exact = {}
+    for q in qids:
+        s = vecs @ vecs[q]
+        s[q] = -9
+        exact[q] = set(np.argsort(-s)[:10].tolist())
+
+    def run(residual, d, parts=6):
+        out = knn_ivf_pq(
+            rd.from_arrow(_emb(vecs)).repartition(parts),
+            qids,
+            k=10,
+            n_centroids=16,
+            nprobe=6,
+            m=8,
+            index_dir=str(d),
+            residual=residual,
+        )
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        hits = sum(
+            len(set(df[df["query_id"] == q]["neighbor_id"]) & exact[q])
+            for q in qids
+        )
+        return hits / (10 * len(qids)), df
+
+    raw, _ = run(False, tmp_path / "raw")
+    res, df1 = run(True, tmp_path / "res")
+    assert res >= raw, (res, raw)
+    assert res >= 0.7
+    # layout invariance: rebuilt residual index, different block count
+    res2, df2 = run(True, tmp_path / "res2", parts=2)
+    assert res2 == res
+    pd.testing.assert_frame_equal(
+        df1.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True),
+        df2.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True),
+    )
