@@ -1601,39 +1601,73 @@ def _q_event_attribution(sf_dir: str):
 
 def _media_feat_part(sf_dir: str):
     """featurize_media exploded to (url, kind='feat', idx, value) — the
-    golden-backed half of media_features."""
+    golden-backed half of media_features: kind='feat' (deterministic
+    byte-stats stub over html) + kind='wav' (the REAL stdlib WAV decode
+    path over audio synthesized deterministically from each row's html —
+    int16 view of the first 4000 bytes at 8 kHz — so the audio seam is
+    driver-golden-checked like IVF-PQ). Sort includes 'value' so the
+    order is total across duplicate-url rows (the transform_media
+    advice-fix rationale)."""
     import numpy as np
     import pandas as pd
     import ray.data
 
-    from shaclapi_ray.pipelines.multimodal import featurize_media
+    from shaclapi_ray.pipelines.multimodal import encode_wav, featurize_media
 
-    pages = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
-    rows = []
-    for b in featurize_media(pages).iter_batches(batch_format="pyarrow"):
-        feats = b["feature"]
-        n = len(feats)
-        if n == 0:
-            continue
-        flat = feats.combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        dim = flat.size // n
-        rows.append(
-            pd.DataFrame(
-                {
-                    "url": np.repeat(b["url"].to_numpy(zero_copy_only=False), dim),
-                    "kind": "feat",
-                    "idx": np.tile(np.arange(dim, dtype=np.int64), n),
-                    "value": flat.astype(np.float64),
-                }
+    def pages():
+        return ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+
+    def to_wav(batch):
+        import pyarrow as _pa
+
+        outs = []
+        for raw in batch["html"].to_pylist():
+            b = (raw or b"")[:4000]
+            if len(b) % 2:
+                b = b[:-1]
+            s = (
+                np.frombuffer(b, dtype="<i2")
+                if b
+                else np.zeros(1, dtype=np.int16)
             )
-        )
+            outs.append(encode_wav(s, 8000))
+        return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
+
+    def explode(feat_ds, kind):
+        rows = []
+        for b in feat_ds.iter_batches(batch_format="pyarrow"):
+            feats = b["feature"]
+            n = len(feats)
+            if n == 0:
+                continue
+            flat = feats.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            dim = flat.size // n
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "url": np.repeat(b["url"].to_numpy(zero_copy_only=False), dim),
+                        "kind": kind,
+                        "idx": np.tile(np.arange(dim, dtype=np.int64), n),
+                        "value": flat.astype(np.float64),
+                    }
+                )
+            )
+        return rows
+
+    rows = explode(featurize_media(pages()), "feat") + explode(
+        featurize_media(
+            pages().map_batches(to_wav, batch_format="pyarrow", zero_copy_batch=True),
+            decode_stub="wav",
+        ),
+        "wav",
+    )
     out = (
         pd.concat(rows, ignore_index=True)
         if rows
         else pd.DataFrame({"url": [], "kind": [], "idx": [], "value": []})
     )
     return out.sort_values(
-        ["url", "kind", "idx"], na_position="first", kind="mergesort"
+        ["url", "kind", "idx", "value"], na_position="first", kind="mergesort"
     ).reset_index(drop=True)
 
 
@@ -1658,7 +1692,7 @@ def _q_media_features(sf_dir: str):
     part1["idx"] = part1["idx"].astype("int64")
     out = pd.concat([part1, _media_feat_part(sf_dir)], ignore_index=True)
     return out.sort_values(
-        ["url", "kind", "idx"], na_position="first", kind="mergesort"
+        ["url", "kind", "idx", "value"], na_position="first", kind="mergesort"
     ).reset_index(drop=True)
 
 
@@ -2021,7 +2055,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "\nUNION ALL\n"
         f"SELECT url, kind, idx, value FROM "
         f"read_parquet('{golden_path(sf_dir, 'media_features_feat')}')"
-        ") ORDER BY url NULLS FIRST, kind, idx"
+        ") ORDER BY url NULLS FIRST, kind, idx, value"
     )
     event_attr_sql = (
         f"SELECT event_id, k, COALESCE(matched_event_id, -1) AS matched_event_id, "
