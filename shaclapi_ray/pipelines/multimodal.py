@@ -4,15 +4,18 @@ Compressed image/audio decode libraries are not available in this
 environment, so the DEFAULT decode step is a stub (clearly marked):
 `decode_stub='fake'` produces a deterministic feature vector from the
 bytes; `decode_stub='error'` raises NotImplementedError exactly where a
-real decoder (PIL/torchaudio/ffmpeg) would plug in. Two REAL paths:
+real decoder (PIL/torchaudio/ffmpeg) would plug in. Three REAL paths:
 `decode_stub='bmp'` decodes/resizes/re-encodes uncompressed 24-bit BMP
 payloads with the in-repo numpy codec (no dependencies — see
-encode_bmp/decode_bmp), `decode_stub='wav'` featurizes 16-bit PCM WAV
+encode_bmp/decode_bmp), `decode_stub='png'` does the same for PNG —
+a COMPRESSED format — via the in-repo stdlib-zlib + numpy codec
+(pngcodec.py: all 5 scanline filters, color types 0/2/3/4/6, CRC
+verification), `decode_stub='wav'` featurizes 16-bit PCM WAV
 audio with the stdlib `wave` module + numpy (rate/channels/frames/rms/
 peak/zero-crossings/duration — see encode_wav/decode_wav), and
-`decode_stub='real'` is the PIL ACTIVATION PATH for compressed image
+`decode_stub='real'` is the PIL ACTIVATION PATH for the remaining
 formats: with pillow installed (`pip install pillow`) the same stages
-handle JPEG/PNG unchanged (the import is try-gated). Everything
+handle JPEG/GIF/WebP unchanged (the import is try-gated). Everything
 Ray-side — schema, actor-pool stage shape, batch sizing for large
 binary payloads, output layout — is real and tested in every mode.
 """
@@ -24,6 +27,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from shaclapi_ray.pipelines.pngcodec import decode_png, encode_png  # noqa: F401
 
 FEATURE_DIM = 8
 
@@ -209,10 +214,12 @@ class MediaFeaturizer:
             # REAL audio decode (stdlib wave + numpy): rate/channels/
             # frames/rms/mean/peak/zero-crossings/duration features
             return _wav_features(raw)
-        if self.mode == "bmp":
-            # REAL decode (in-repo codec): same feature contract as the
-            # PIL path — 16x16 gray resample stats + true dimensions
-            rgb = decode_bmp(raw)
+        if self.mode in ("bmp", "png"):
+            # REAL decode (in-repo codecs): same feature contract as the
+            # PIL path — 16x16 gray resample stats + true dimensions.
+            # 'png' handles the compressed case via stdlib zlib + numpy
+            # (pngcodec.py: all 5 filters, color types 0/2/3/4/6)
+            rgb = decode_bmp(raw) if self.mode == "bmp" else decode_png(raw)
             px = _gray(_nn_resize(rgb, 16, 16))
             return np.array(
                 [
@@ -304,6 +311,11 @@ class MediaResizer:
         if self.mode == "bmp":
             # REAL decode -> nearest-neighbor resize -> re-encode
             return encode_bmp(_nn_resize(decode_bmp(raw), self.w, self.h))
+        if self.mode == "png":
+            # REAL compressed-format path (pngcodec.py): inflate +
+            # unfilter -> resize -> refilter + deflate. Output bytes are
+            # zlib-build-dependent — compare decoded pixels, not bytes.
+            return encode_png(_nn_resize(decode_png(raw), self.w, self.h))
         if self.mode == "real":  # pragma: no cover - pillow absent here
             import io
 
