@@ -1605,14 +1605,22 @@ def _media_feat_part(sf_dir: str):
     byte-stats stub over html) + kind='wav' (the REAL stdlib WAV decode
     path over audio synthesized deterministically from each row's html —
     int16 view of the first 4000 bytes at 8 kHz — so the audio seam is
-    driver-golden-checked like IVF-PQ). Sort includes 'value' so the
-    order is total across duplicate-url rows (the transform_media
-    advice-fix rationale)."""
+    driver-golden-checked like IVF-PQ) + kind='png' (the REAL zlib+numpy
+    PNG decode path — pngcodec.py — over 16x16 RGB images synthesized
+    from the first 768 html bytes and Paeth-encoded; decode recovers
+    exact pixels regardless of zlib build, so the features are
+    golden-safe even though the intermediate compressed bytes are not).
+    Sort includes 'value' so the order is total across duplicate-url
+    rows (the transform_media advice-fix rationale)."""
     import numpy as np
     import pandas as pd
     import ray.data
 
-    from shaclapi_ray.pipelines.multimodal import encode_wav, featurize_media
+    from shaclapi_ray.pipelines.multimodal import (
+        encode_png,
+        encode_wav,
+        featurize_media,
+    )
 
     def pages():
         return ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
@@ -1654,12 +1662,37 @@ def _media_feat_part(sf_dir: str):
             )
         return rows
 
-    rows = explode(featurize_media(pages()), "feat") + explode(
-        featurize_media(
-            pages().map_batches(to_wav, batch_format="pyarrow", zero_copy_batch=True),
-            decode_stub="wav",
-        ),
-        "wav",
+    def to_png(batch):
+        import pyarrow as _pa
+
+        outs = []
+        for raw in batch["html"].to_pylist():
+            b = (raw or b"")[:768]
+            b += b"\x00" * (768 - len(b))
+            rgb = np.frombuffer(b, dtype=np.uint8).reshape(16, 16, 3)
+            outs.append(encode_png(rgb, filter_type=4))
+        return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
+
+    rows = (
+        explode(featurize_media(pages()), "feat")
+        + explode(
+            featurize_media(
+                pages().map_batches(
+                    to_wav, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                decode_stub="wav",
+            ),
+            "wav",
+        )
+        + explode(
+            featurize_media(
+                pages().map_batches(
+                    to_png, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                decode_stub="png",
+            ),
+            "png",
+        )
     )
     out = (
         pd.concat(rows, ignore_index=True)

@@ -180,6 +180,28 @@ def test_resize_png_pipeline(ray_session):
     np.testing.assert_array_equal(got, _nn_resize(img, 8, 6))
 
 
+def test_media_golden_carries_png_kind():
+    # the driver-checked media_features golden must keep all three
+    # decode seams non-degenerate (CLAUDE.md fixture-profile rationale)
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures/goldens/sf0.001/media_features_feat.parquet",
+    )
+    if not os.path.exists(path):
+        pytest.skip("goldens not generated")
+    t = pq.read_table(path)
+    kinds = set(t["kind"].to_pylist())
+    assert {"feat", "wav", "png"} <= kinds
+    vals = np.array(
+        [v for k, v in zip(t["kind"].to_pylist(), t["value"].to_pylist()) if k == "png"]
+    )
+    assert vals.size and vals.std() > 0
+
+
 def test_png_bmp_cross_transcode():
     img = _img(11, 13, seed=9)
     np.testing.assert_array_equal(decode_bmp(encode_bmp(decode_png(encode_png(img)))), img)
