@@ -1760,7 +1760,41 @@ def _q_transform_media(sf_dir: str):
             "value": [zlib.crc32(f) for f in fr["frame"]],
         }
     )
-    out = pd.concat([part1, part2], ignore_index=True)
+    # kind='png': the REAL zlib+numpy resize path (decode -> nn-resize ->
+    # re-encode, pipelines/pngcodec.py). The golden value is the crc of
+    # the DECODED output pixels — exact and zlib-build-independent —
+    # never of the re-encoded bytes (those vary by zlib build).
+    import numpy as np
+
+    from shaclapi_ray.pipelines.multimodal import decode_png, encode_png
+
+    def to_png(batch):
+        import pyarrow as _pa
+
+        outs = []
+        for raw in batch["html"].to_pylist():
+            b = (raw or b"")[:768]
+            b += b"\x00" * (768 - len(b))
+            rgb = np.frombuffer(b, dtype=np.uint8).reshape(16, 16, 3)
+            outs.append(encode_png(rgb, filter_type=3))
+        return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
+
+    pages3 = ray.data.read_parquet(_pages(sf_dir), columns=["url", "html"])
+    rp = resize_media(
+        pages3.map_batches(to_png, batch_format="pyarrow", zero_copy_batch=True),
+        width=8,
+        height=8,
+        decode_stub="png",
+    ).to_pandas()
+    part3 = pd.DataFrame(
+        {
+            "url": rp["url"],
+            "kind": "png",
+            "idx": 0,
+            "value": [zlib.crc32(decode_png(m).tobytes()) for m in rp["media"]],
+        }
+    )
+    out = pd.concat([part1, part2, part3], ignore_index=True)
     out["idx"] = out["idx"].astype("int64")
     out["value"] = out["value"].astype("int64")
     # 'value' makes the sort key TOTAL: many frame rows share a null/empty

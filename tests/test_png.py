@@ -200,6 +200,17 @@ def test_media_golden_carries_png_kind():
         [v for k, v in zip(t["kind"].to_pylist(), t["value"].to_pylist()) if k == "png"]
     )
     assert vals.size and vals.std() > 0
+    # the resize seam too: transform_media carries kind='png' rows whose
+    # values are crcs of DECODED pixels (zlib-build-independent)
+    t2 = pq.read_table(
+        os.path.join(os.path.dirname(path), "transform_media.parquet")
+    )
+    pv = [
+        v
+        for k, v in zip(t2["kind"].to_pylist(), t2["value"].to_pylist())
+        if k == "png"
+    ]
+    assert pv and len(set(pv)) > 1
 
 
 def test_png_bmp_cross_transcode():
