@@ -6,11 +6,11 @@ format — real too": the container, the DEFLATE stream (zlib is baked into
 this environment) and all five scanline filters are handled in-repo.
 
 Scope (loud ValueError outside it):
-- decode: non-interlaced, 8-bit-per-sample PNGs of every color type —
-  0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — to an
-  (h, w, 3) uint8 RGB array (alpha is dropped, not composited; palette
-  indices resolve through PLTE). Chunk CRCs are verified. Adam7
-  interlace and 16-bit depth are rejected loudly.
+- decode: 8-bit-per-sample PNGs of every color type — 0 (gray), 2
+  (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — both non-interlaced
+  and Adam7-interlaced, to an (h, w, 3) uint8 RGB array (alpha is
+  dropped, not composited; palette indices resolve through PLTE).
+  Chunk CRCs are verified. 16-bit depth is rejected loudly.
 - encode: (h, w, 3) uint8 RGB to a valid RGB PNG. `filter_type`
   selects the per-scanline filter (0..4) so tests can drive every
   unfilter path through a real encode→decode round trip; filtering at
@@ -153,12 +153,43 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out.reshape(h, w, bpp)
 
 
+# Adam7 pass layout: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _deinterlace(pixels: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images scattered onto the
+    full raster. Each pass's scanlines carry their own filter bytes and
+    filter against the PREVIOUS ROW OF THE SAME PASS."""
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        nbytes = ph * (1 + pw * bpp)
+        out[y0::dy, x0::dx] = _unfilter(pixels[pos : pos + nbytes], ph, pw, bpp)
+        pos += nbytes
+    if pos != pixels.size:
+        raise ValueError("PNG pixel data has the wrong length")
+    return out
+
+
 def decode_png(raw: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB.
 
-    Supports non-interlaced 8-bit color types 0/2/3/4/6; verifies chunk
-    CRCs; raises ValueError on anything else (truncation, 16-bit,
-    Adam7, unknown critical chunks)."""
+    Supports 8-bit color types 0/2/3/4/6, both non-interlaced and
+    Adam7-interlaced; verifies chunk CRCs; raises ValueError on
+    anything else (truncation, 16-bit, unknown critical chunks)."""
     if len(raw) < len(_SIG) + 25 or raw[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG payload")
     pos = len(_SIG)
@@ -198,8 +229,8 @@ def decode_png(raw: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if comp or filt:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace:
-        raise ValueError("Adam7-interlaced PNGs are not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     bpp = _CHANNELS[ctype]
@@ -209,7 +240,11 @@ def decode_png(raw: bytes) -> np.ndarray:
         )
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    img = _unfilter(pixels, h, w, bpp)
+    img = (
+        _deinterlace(pixels, h, w, bpp)
+        if interlace
+        else _unfilter(pixels, h, w, bpp)
+    )
     if ctype == 2:
         return img
     if ctype == 0:

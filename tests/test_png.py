@@ -99,8 +99,8 @@ def test_unsupported_variants_rejected_loudly():
     img = np.zeros((2, 2, 3), np.uint8)
     with pytest.raises(ValueError, match="8-bit"):
         decode_png(_raw_png(img, ctype=2, depth=16))
-    with pytest.raises(ValueError, match="Adam7"):
-        decode_png(_raw_png(img, ctype=2, interlace=1))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(_raw_png(img, ctype=2, interlace=2))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"BM" + b"\x00" * 60)
     with pytest.raises(ValueError, match="color type"):
@@ -178,6 +178,71 @@ def test_resize_png_pipeline(ray_session):
     from shaclapi_ray.pipelines.multimodal import _nn_resize
 
     np.testing.assert_array_equal(got, _nn_resize(img, 8, 6))
+
+
+def _interlaced_png(pixels: np.ndarray, ctype: int, filter_type: int = 0):
+    """Independent Adam7 writer: split into the seven passes, filter
+    each pass's rows (filter 0 or 2 — 2 exercises the per-pass
+    prev-row reset), concatenate."""
+    adam7 = [
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    ]
+    h, w = pixels.shape[:2]
+    px3 = pixels if pixels.ndim == 3 else pixels[:, :, None]
+    body = b""
+    for x0, y0, dx, dy in adam7:
+        sub = px3[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        rows = sub.reshape(sub.shape[0], -1).astype(np.int16)
+        if filter_type == 2:
+            filt = rows.copy()
+            filt[1:] -= rows[:-1]
+        else:
+            filt = rows
+        body += b"".join(
+            bytes([filter_type]) + (r % 256).astype(np.uint8).tobytes()
+            for r in filt
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(body))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 2])
+def test_adam7_interlaced_decode(filter_type):
+    for h, w, seed in [(1, 1, 1), (3, 3, 2), (5, 7, 3), (8, 8, 4), (16, 13, 5)]:
+        img = _img(h, w, seed)
+        out = decode_png(_interlaced_png(img, ctype=2, filter_type=filter_type))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_adam7_grayscale():
+    g = np.arange(9 * 11, dtype=np.uint8).reshape(9, 11)
+    out = decode_png(_interlaced_png(g, ctype=0))
+    np.testing.assert_array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_adam7_wrong_length_rejected():
+    # an interlaced stream with trailing junk bytes must fail loudly
+    rebuilt = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="wrong length"):
+        decode_png(rebuilt)
 
 
 def test_media_golden_carries_png_kind():
