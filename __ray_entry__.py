@@ -490,6 +490,17 @@ DELTA_CHANGE = 0
 # cross-multiplied threshold, no float ratio (CLEAN_LINES_KW rationale —
 # don't "fix" sep back to the paper default)
 HOSTBP_KW = dict(sep=" ", min_docs=2, frac_num=4, frac_den=5)
+# bloom (counting-filter) paragraph-dedup profile for the exact_dedup
+# slot's bf_* columns: word-level "paragraphs" are degenerate on this
+# fixture (31-word vocabulary — every word globally duplicated) and
+# whole-doc paragraphs never duplicate (texts are unique), so the
+# separator is the literal ' the ' token — the resulting chunks split
+# ~1200 unique / ~100-130 duplicated occurrences at sf0.001 AND sf0.01
+# (measured), non-degenerate in both directions. m_bits=2^20 is
+# collision-free for ~1300 chunks x k=4 probes (deterministic once
+# verified — pinned by test_bloomdedup + the sf0.01 parity suite), which
+# is what makes the EXACT drop-all SQL a valid oracle for the bloom path
+BLOOM_KW = dict(sep=" the ", m_bits=1 << 20, k=4)
 # url-quality profile for the extract_canonicalize slot's kind='urlq'
 # part: fixture urls are "https://host{h}.example.org/p/{i}", so digits
 # grow with the row index while length barely moves — max_digit_pct=16
@@ -1495,8 +1506,11 @@ def _q_exact_dedup_corpus(sf_dir: str):
     doc_ids persisted as the accepted-corpus hash state, odd doc_ids
     deduped against it: 'state' / 'kept' / 'dup'), plus hb_* columns from
     host_boilerplate (per-SOURCE ubiquitous-paragraph removal, HOSTBP_KW
-    fixture profile: sep=' ' so fixture "paragraphs" are words) — five
-    operators' full code paths in one slot."""
+    fixture profile: sep=' ' so fixture "paragraphs" are words), plus
+    bf_* columns from bloom_dup_paragraphs (the constant-memory
+    counting-bloom drop-all-duplicates pass, BLOOM_KW profile — its SQL
+    is the exact rule, valid because the profile is collision-free on
+    the fixtures) — six operators' full code paths in one slot."""
     import shutil
     import tempfile
 
@@ -1526,10 +1540,24 @@ def _q_exact_dedup_corpus(sf_dir: str):
             }
         )
     )
+    from shaclapi_ray.pipelines.bloomdedup import bloom_dup_paragraphs
+
+    bf = (
+        bloom_dup_paragraphs(_docs(sf_dir), **BLOOM_KW)
+        .to_pandas()
+        .rename(
+            columns={
+                "clean_text": "bf_text",
+                "n_kept": "bf_kept",
+                "n_dropped": "bf_dropped",
+            }
+        )
+    )
     out = (
         stats.merge(kept, on="doc_id", how="inner")
         .merge(paras, on="doc_id", how="inner")
         .merge(hb, on="doc_id", how="inner")
+        .merge(bf, on="doc_id", how="inner")
     )
 
     def half(rem):
@@ -2035,6 +2063,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         url_shape,
     )
     from shaclapi_ray.pipelines import dedup as dp
+    from shaclapi_ray.pipelines.bloomdedup import bloom_dup_paragraphs_sql
     from shaclapi_ray.pipelines import spans as sp
 
     pages_dir = _pages(sf_dir)
@@ -2308,6 +2337,9 @@ ORDER BY kind, shape_id, host, valid
                 o.dedup_incremental_sql(),
                 dp.host_boilerplate_sql(
                     cols=("hb_text", "hb_kept", "hb_dropped"), **HOSTBP_KW
+                ),
+                bloom_dup_paragraphs_sql(
+                    sep=BLOOM_KW["sep"], cols=("bf_text", "bf_kept", "bf_dropped")
                 ),
             ],
             on="doc_id",

@@ -260,6 +260,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     timed("minhash_clusters", lambda: minhash_lsh_clusters(docs).count(), rows=n_doc_rows)
 
+    from shaclapi_ray.pipelines.bloomdedup import bloom_dup_paragraphs
+
+    timed(
+        "bloom_dedup",
+        lambda: bloom_dup_paragraphs(docs, sep=" the ", m_bits=1 << 20).count(),
+        rows=n_doc_rows,
+    )
+
     from shaclapi_ray.fixtures import inverse_schema
 
     timed(
