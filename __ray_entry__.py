@@ -1370,16 +1370,23 @@ def _merge_docs(frames: list, key: str = "doc_id"):
 
 
 BPE_MERGES = 100
+# unigram-LM tokenizer profile for the doc_signals golden part: the
+# 31-word fixture vocabulary trains in milliseconds; vocab_size=64
+# leaves room for multi-char pieces beyond the ~20 fixture characters
+# (non-degenerate: whole frequent words become pieces, so ug_tokens
+# differs from both whitespace and BPE counts)
+UNIGRAM_KW = dict(vocab_size=64, seed_size=400, max_piece_len=8)
 
 
 def _bpe_part(sf_dir: str):
-    """(doc_id, bpe_tokens, bpe_ids_fp): corpus-trained BPE piece counts
-    PLUS a crc32 fingerprint of each doc's actual token-ID sequence
-    (pipelines/bpe.py tokenize_corpus) — the golden-backed part of
-    doc_signals (iterative merge training is not SQL-expressible;
-    semantic correctness in tests/test_bpe.py, including
-    ids-decode-to-pieces equality and pack_token_sequences
-    end-to-end)."""
+    """(doc_id, bpe_tokens, bpe_ids_fp, ug_tokens, ug_ids_fp):
+    corpus-trained BPE piece counts PLUS a crc32 fingerprint of each
+    doc's actual token-ID sequence (pipelines/bpe.py tokenize_corpus),
+    PLUS the same pair from the SentencePiece-family unigram-LM
+    tokenizer (pipelines/unigram.py — EM training + Viterbi apply) —
+    the golden-backed part of doc_signals (iterative training is not
+    SQL-expressible; semantic correctness in tests/test_bpe.py and
+    tests/test_unigram.py)."""
     import pyarrow as _pa
 
     from shaclapi_ray.pipelines.bpe import (
@@ -1415,7 +1422,43 @@ def _bpe_part(sf_dir: str):
     toks = tokenize_corpus(_docs(sf_dir), merges).map_batches(
         fingerprint, batch_format="pyarrow"
     )
-    return _sorted(toks, ["doc_id"])
+
+    from shaclapi_ray.pipelines.unigram import (
+        tokenize_corpus_unigram,
+        train_unigram,
+    )
+
+    vocab = train_unigram(_docs(sf_dir), **UNIGRAM_KW)
+
+    def ug_fingerprint(batch):
+        import zlib
+
+        import numpy as np
+
+        lens, flat = _flatten_id_lists(batch["token_ids"])
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        fps = np.array(
+            [
+                zlib.crc32(flat[offs[i] : offs[i + 1]].tobytes())
+                for i in range(batch.num_rows)
+            ],
+            dtype=np.int64,
+        )
+        return _pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ug_tokens": batch["n_ug_tokens"],
+                "ug_ids_fp": _pa.array(fps),
+            }
+        )
+
+    ug = tokenize_corpus_unigram(_docs(sf_dir), vocab).map_batches(
+        ug_fingerprint, batch_format="pyarrow"
+    )
+    out = _sorted(toks, ["doc_id"]).merge(
+        _sorted(ug, ["doc_id"]), on="doc_id", how="inner"
+    )
+    return _sorted(out, ["doc_id"])
 
 
 def _q_doc_signals(sf_dir: str):
@@ -2374,8 +2417,8 @@ ORDER BY kind, shape_id, host, valid
                 o.fingerprint_sql(),
                 o.nb_classify_sql(),
                 _dsir_part_sql(),
-                "SELECT doc_id, bpe_tokens, bpe_ids_fp FROM "
-                f"read_parquet('{golden_path(sf_dir, 'doc_signals_bpe')}')",
+                "SELECT doc_id, bpe_tokens, bpe_ids_fp, ug_tokens, ug_ids_fp "
+                f"FROM read_parquet('{golden_path(sf_dir, 'doc_signals_bpe')}')",
             ],
             on="doc_id",
             order="doc_id",

@@ -476,6 +476,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         toks = tokenize_corpus(docs, _merges).materialize()
         return pack_token_sequences(toks, budget=512).count()
 
+    from shaclapi_ray.pipelines.unigram import (
+        tokenize_corpus_unigram,
+        train_unigram,
+    )
+
+    def _ug():
+        vocab = train_unigram(docs, vocab_size=64, seed_size=400)
+        return tokenize_corpus_unigram(docs, vocab).count()
+
+    timed("unigram_train_tokenize", _ug, rows=n_doc_rows)
+
     timed(
         "tokenize_pack_ids",
         _tok_pack,
