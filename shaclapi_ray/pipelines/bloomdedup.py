@@ -99,7 +99,7 @@ def _sat_add(acc: np.ndarray, other: np.ndarray) -> np.ndarray:
     return np.minimum(acc + other, 2).astype(np.uint8)
 
 
-def bloom_dup_bitmap(
+def bloom_counts(
     docs_ds,
     m_bits: int = 1 << 24,
     k: int = 4,
@@ -108,9 +108,13 @@ def bloom_dup_bitmap(
     combine: str = "auto",
     tree_groups: int = 32,
 ) -> np.ndarray:
-    """Pass 1: the merged saturating counting bloom, returned as the
-    packed DUP BITMAP (count==2 positions, np.uint8 bit-packed, m/8
-    bytes). Layout-independent by construction (commutative merges)."""
+    """Pass 1: the merged saturating counting bloom as the raw per-bit
+    counts (uint8 values 0..2, length m_bits). This is the MERGEABLE
+    form — min(a+b, 2) over two corpora's counts equals the counts of
+    their union exactly, which is what makes the persisted-state
+    incremental path (save/update/load) identical to a from-scratch
+    build over the combined corpus. Layout-independent by construction
+    (commutative merges)."""
     if m_bits & (m_bits - 1) or m_bits < 64:
         raise ValueError("m_bits must be a power of two >= 64")
     if not 1 <= k <= 16:
@@ -167,7 +171,115 @@ def bloom_dup_bitmap(
     for b in parts.iter_batches(batch_format="pyarrow"):
         for blob in b["part"].to_pylist():
             acc = _sat_add(acc, _unpack2(blob, m_bits))
-    return np.packbits(acc == 2)
+    return acc
+
+
+def bloom_dup_bitmap(
+    docs_ds,
+    m_bits: int = 1 << 24,
+    k: int = 4,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    combine: str = "auto",
+    tree_groups: int = 32,
+) -> np.ndarray:
+    """The packed DUP BITMAP (count==2 positions, np.uint8 bit-packed,
+    m/8 bytes) — the broadcastable probe form of `bloom_counts`."""
+    return np.packbits(
+        bloom_counts(
+            docs_ds,
+            m_bits=m_bits,
+            k=k,
+            sep=sep,
+            text_col=text_col,
+            combine=combine,
+            tree_groups=tree_groups,
+        )
+        == 2
+    )
+
+
+def persist_bloom_state(
+    docs_ds,
+    path: str,
+    m_bits: int = 1 << 24,
+    k: int = 4,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    combine: str = "auto",
+    tree_groups: int = 32,
+) -> None:
+    """Build and persist the saturating counts for ``docs_ds`` — the
+    O(m) cross-snapshot dedup state. One parquet file (packed 2-bit
+    counts + parameters), written atomically."""
+    counts = bloom_counts(
+        docs_ds,
+        m_bits=m_bits,
+        k=k,
+        sep=sep,
+        text_col=text_col,
+        combine=combine,
+        tree_groups=tree_groups,
+    )
+    _write_bloom_state(path, counts, m_bits, k, sep)
+
+
+def _write_bloom_state(
+    path: str, counts: np.ndarray, m_bits: int, k: int, sep: str
+) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "counts": pa.array([_pack2(counts)], pa.binary()),
+            "m_bits": pa.array([m_bits], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "sep": pa.array([sep], pa.string()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
+def load_bloom_state(path: str) -> tuple[np.ndarray, int, int, str]:
+    """(counts uint8[m], m_bits, k, sep) from a persisted state file."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    m_bits = int(t["m_bits"][0].as_py())
+    return (
+        _unpack2(t["counts"][0].as_py(), m_bits),
+        m_bits,
+        int(t["k"][0].as_py()),
+        t["sep"][0].as_py(),
+    )
+
+
+def update_bloom_state(
+    docs_ds,
+    path: str,
+    text_col: str = "text",
+    combine: str = "auto",
+    tree_groups: int = 32,
+) -> None:
+    """Saturating-add a new snapshot's counts into the persisted state.
+    Exactly equivalent to rebuilding over the union of every snapshot
+    ever added (min(a+b,2) is associative/commutative), so incremental
+    maintenance costs one pass over the NEW data only."""
+    old, m_bits, k, sep = load_bloom_state(path)
+    fresh = bloom_counts(
+        docs_ds,
+        m_bits=m_bits,
+        k=k,
+        sep=sep,
+        text_col=text_col,
+        combine=combine,
+        tree_groups=tree_groups,
+    )
+    _write_bloom_state(path, _sat_add(old, fresh), m_bits, k, sep)
 
 
 def bloom_dup_paragraphs(
@@ -179,6 +291,7 @@ def bloom_dup_paragraphs(
     id_col: str = "doc_id",
     combine: str = "auto",
     tree_groups: int = 32,
+    state_path: str | None = None,
 ):
     """(doc_id, clean_text, n_kept, n_dropped): every copy of every
     globally-duplicated paragraph removed, via the constant-memory
@@ -190,8 +303,14 @@ def bloom_dup_paragraphs(
     negatives cannot occur. Size m_bits >= ~8x expected distinct
     paragraphs for a negligible rate, or use dedup.host_boilerplate /
     dedup.dedup_paragraphs when exactness is required and the duplicate
-    set fits their (broadcast or join) state."""
-    dup_bits = bloom_dup_bitmap(
+    set fits their (broadcast or join) state.
+
+    ``state_path``: a persisted prior-snapshot state
+    (persist_bloom_state); its counts merge into this corpus's counts
+    before thresholding, so paragraphs duplicated ACROSS snapshots drop
+    too — identical to running over the union (the saturating merge is
+    exact). The state's parameters must match the call's."""
+    counts = bloom_counts(
         docs_ds,
         m_bits=m_bits,
         k=k,
@@ -200,6 +319,15 @@ def bloom_dup_paragraphs(
         combine=combine,
         tree_groups=tree_groups,
     )
+    if state_path is not None:
+        prior, s_m, s_k, s_sep = load_bloom_state(state_path)
+        if (s_m, s_k, s_sep) != (m_bits, k, sep):
+            raise ValueError(
+                f"bloom state {state_path} was built with (m_bits={s_m}, "
+                f"k={s_k}, sep={s_sep!r}) — call parameters must match"
+            )
+        counts = _sat_add(counts, prior)
+    dup_bits = np.packbits(counts == 2)
     # broadcast the UNPACKED bit array (m bytes of uint8): ray.get is
     # zero-copy from plasma, so probes index it with no per-task setup
     ref = ray.put(np.unpackbits(dup_bits))

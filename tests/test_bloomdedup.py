@@ -154,6 +154,55 @@ def test_param_validation(ray_session):
         bloom_dup_bitmap(_ds(_corpus()), m_bits=64, combine="bogus")
 
 
+def test_incremental_state_equals_union(ray_session, tmp_path):
+    from shaclapi_ray.pipelines.bloomdedup import (
+        load_bloom_state,
+        persist_bloom_state,
+        update_bloom_state,
+    )
+
+    rng = np.random.default_rng(11)
+    mk = lambda lo, hi: [
+        (i, SEP.join(f"q{rng.integers(0, 30)}" for _ in range(3)))
+        for i in range(lo, hi)
+    ]
+    a, b, c = mk(0, 30), mk(30, 55), mk(55, 70)
+    path = str(tmp_path / "bloom_state.parquet")
+    kw = dict(m_bits=1 << 14, k=4, sep=SEP)
+    persist_bloom_state(_ds(a), path, **kw)
+    update_bloom_state(_ds(b), path)
+    # state(A) + B == counts(A ∪ B), exactly
+    from shaclapi_ray.pipelines.bloomdedup import bloom_counts
+
+    union_counts = bloom_counts(_ds(a + b), **kw)
+    np.testing.assert_array_equal(load_bloom_state(path)[0], union_counts)
+    # dedup of C against the persisted state == dedup of C within A∪B∪C
+    got = (
+        bloom_dup_paragraphs(_ds(c), state_path=path, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    full = (
+        bloom_dup_paragraphs(_ds(a + b + c), **kw)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for _, row in got.iterrows():
+        assert row["clean_text"] == full.loc[row["doc_id"], "clean_text"]
+
+
+def test_state_param_mismatch_rejected(ray_session, tmp_path):
+    from shaclapi_ray.pipelines.bloomdedup import persist_bloom_state
+
+    path = str(tmp_path / "s.parquet")
+    persist_bloom_state(_ds(_corpus()), path, m_bits=1 << 10, k=4, sep=SEP)
+    with pytest.raises(ValueError, match="must match"):
+        bloom_dup_paragraphs(
+            _ds(_corpus()), m_bits=1 << 12, k=4, sep=SEP, state_path=path
+        )
+
+
 def test_slot_profile_collision_free_sf0001(ray_session):
     """The driver slot's SQL oracle is the exact drop-all rule; it is
     valid because the slot's m_bits is collision-free on the fixtures.
