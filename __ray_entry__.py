@@ -1680,7 +1680,10 @@ def _media_feat_part(sf_dir: str):
     PNG decode path — pngcodec.py — over 16x16 RGB images synthesized
     from the first 768 html bytes and Paeth-encoded; decode recovers
     exact pixels regardless of zlib build, so the features are
-    golden-safe even though the intermediate compressed bytes are not).
+    golden-safe even though the intermediate compressed bytes are not)
+    + kind='gif' (the REAL from-scratch variable-width LZW decode —
+    gifcodec.py — over 16x16 palette images synthesized from the first
+    256 html bytes; the GIF path has no zlib dependence at all).
     Sort includes 'value' so the order is total across duplicate-url
     rows (the transform_media advice-fix rationale)."""
     import numpy as np
@@ -1688,6 +1691,7 @@ def _media_feat_part(sf_dir: str):
     import ray.data
 
     from shaclapi_ray.pipelines.multimodal import (
+        encode_gif,
         encode_png,
         encode_wav,
         featurize_media,
@@ -1744,6 +1748,18 @@ def _media_feat_part(sf_dir: str):
             outs.append(encode_png(rgb, filter_type=4))
         return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
 
+    def to_gif(batch):
+        import pyarrow as _pa
+
+        outs = []
+        for raw in batch["html"].to_pylist():
+            b = (raw or b"")[:256]
+            b += b"\x00" * (256 - len(b))
+            v = np.frombuffer(b, dtype=np.uint8).reshape(16, 16)
+            rgb = np.stack([v, 255 - v, v ^ 0x55], axis=2)  # <=256 colors
+            outs.append(encode_gif(rgb))
+        return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
+
     rows = (
         explode(featurize_media(pages()), "feat")
         + explode(
@@ -1763,6 +1779,15 @@ def _media_feat_part(sf_dir: str):
                 decode_stub="png",
             ),
             "png",
+        )
+        + explode(
+            featurize_media(
+                pages().map_batches(
+                    to_gif, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                decode_stub="gif",
+            ),
+            "gif",
         )
     )
     out = (

@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from shaclapi_ray.pipelines.gifcodec import decode_gif, encode_gif  # noqa: F401
 from shaclapi_ray.pipelines.pngcodec import decode_png, encode_png  # noqa: F401
 
 FEATURE_DIM = 8
@@ -214,12 +215,15 @@ class MediaFeaturizer:
             # REAL audio decode (stdlib wave + numpy): rate/channels/
             # frames/rms/mean/peak/zero-crossings/duration features
             return _wav_features(raw)
-        if self.mode in ("bmp", "png"):
+        if self.mode in ("bmp", "png", "gif"):
             # REAL decode (in-repo codecs): same feature contract as the
             # PIL path — 16x16 gray resample stats + true dimensions.
-            # 'png' handles the compressed case via stdlib zlib + numpy
-            # (pngcodec.py: all 5 filters, color types 0/2/3/4/6)
-            rgb = decode_bmp(raw) if self.mode == "bmp" else decode_png(raw)
+            # 'png' handles DEFLATE via stdlib zlib + numpy (pngcodec.py:
+            # all 5 filters, color types 0/2/3/4/6, Adam7); 'gif' is the
+            # from-scratch variable-width LZW decoder (gifcodec.py)
+            rgb = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif}[
+                self.mode
+            ](raw)
             px = _gray(_nn_resize(rgb, 16, 16))
             return np.array(
                 [
@@ -316,6 +320,10 @@ class MediaResizer:
             # unfilter -> resize -> refilter + deflate. Output bytes are
             # zlib-build-dependent — compare decoded pixels, not bytes.
             return encode_png(_nn_resize(decode_png(raw), self.w, self.h))
+        if self.mode == "gif":
+            # REAL LZW path (gifcodec.py); nearest-neighbor resize never
+            # invents colors, so the <=256-color encode bound holds
+            return encode_gif(_nn_resize(decode_gif(raw), self.w, self.h))
         if self.mode == "real":  # pragma: no cover - pillow absent here
             import io
 
