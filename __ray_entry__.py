@@ -1683,7 +1683,11 @@ def _media_feat_part(sf_dir: str):
     golden-safe even though the intermediate compressed bytes are not)
     + kind='gif' (the REAL from-scratch variable-width LZW decode —
     gifcodec.py — over 16x16 palette images synthesized from the first
-    256 html bytes; the GIF path has no zlib dependence at all).
+    256 html bytes; the GIF path has no zlib dependence at all)
+    + kind='jpeg' (the REAL from-scratch baseline Huffman+DCT decode —
+    jpegcodec.py — over the SAME synthesized RGB images as the png
+    part, re-encoded lossy at q=85; deterministic float64 8x8 einsum
+    math, no BLAS threading, so the features golden cleanly).
     Sort includes 'value' so the order is total across duplicate-url
     rows (the transform_media advice-fix rationale)."""
     import numpy as np
@@ -1692,6 +1696,7 @@ def _media_feat_part(sf_dir: str):
 
     from shaclapi_ray.pipelines.multimodal import (
         encode_gif,
+        encode_jpeg,
         encode_png,
         encode_wav,
         featurize_media,
@@ -1760,6 +1765,17 @@ def _media_feat_part(sf_dir: str):
             outs.append(encode_gif(rgb))
         return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
 
+    def to_jpeg(batch):
+        import pyarrow as _pa
+
+        outs = []
+        for raw in batch["html"].to_pylist():
+            b = (raw or b"")[:768]
+            b += b"\x00" * (768 - len(b))
+            rgb = np.frombuffer(b, dtype=np.uint8).reshape(16, 16, 3)
+            outs.append(encode_jpeg(rgb, quality=85))
+        return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
+
     rows = (
         explode(featurize_media(pages()), "feat")
         + explode(
@@ -1788,6 +1804,15 @@ def _media_feat_part(sf_dir: str):
                 decode_stub="gif",
             ),
             "gif",
+        )
+        + explode(
+            featurize_media(
+                pages().map_batches(
+                    to_jpeg, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                decode_stub="jpeg",
+            ),
+            "jpeg",
         )
     )
     out = (

@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from shaclapi_ray.pipelines.gifcodec import decode_gif, encode_gif  # noqa: F401
+from shaclapi_ray.pipelines.jpegcodec import decode_jpeg, encode_jpeg  # noqa: F401
 from shaclapi_ray.pipelines.pngcodec import decode_png, encode_png  # noqa: F401
 
 FEATURE_DIM = 8
@@ -215,15 +216,20 @@ class MediaFeaturizer:
             # REAL audio decode (stdlib wave + numpy): rate/channels/
             # frames/rms/mean/peak/zero-crossings/duration features
             return _wav_features(raw)
-        if self.mode in ("bmp", "png", "gif"):
+        if self.mode in ("bmp", "png", "gif", "jpeg"):
             # REAL decode (in-repo codecs): same feature contract as the
             # PIL path — 16x16 gray resample stats + true dimensions.
             # 'png' handles DEFLATE via stdlib zlib + numpy (pngcodec.py:
             # all 5 filters, color types 0/2/3/4/6, Adam7); 'gif' is the
-            # from-scratch variable-width LZW decoder (gifcodec.py)
-            rgb = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif}[
-                self.mode
-            ](raw)
+            # from-scratch variable-width LZW decoder (gifcodec.py);
+            # 'jpeg' the from-scratch baseline Huffman+DCT decoder
+            # (jpegcodec.py: 4:4:4/4:2:2/4:2:0, restart markers)
+            rgb = {
+                "bmp": decode_bmp,
+                "png": decode_png,
+                "gif": decode_gif,
+                "jpeg": decode_jpeg,
+            }[self.mode](raw)
             px = _gray(_nn_resize(rgb, 16, 16))
             return np.array(
                 [
@@ -324,6 +330,10 @@ class MediaResizer:
             # REAL LZW path (gifcodec.py); nearest-neighbor resize never
             # invents colors, so the <=256-color encode bound holds
             return encode_gif(_nn_resize(decode_gif(raw), self.w, self.h))
+        if self.mode == "jpeg":
+            # REAL baseline JPEG path (jpegcodec.py); re-encode is lossy
+            # by nature — pixel-proximity, never byte equality
+            return encode_jpeg(_nn_resize(decode_jpeg(raw), self.w, self.h))
         if self.mode == "real":  # pragma: no cover - pillow absent here
             import io
 

@@ -260,7 +260,7 @@ def test_media_golden_carries_png_kind():
         pytest.skip("goldens not generated")
     t = pq.read_table(path)
     kinds = set(t["kind"].to_pylist())
-    assert {"feat", "wav", "png", "gif"} <= kinds
+    assert {"feat", "wav", "png", "gif", "jpeg"} <= kinds
     vals = np.array(
         [v for k, v in zip(t["kind"].to_pylist(), t["value"].to_pylist()) if k == "png"]
     )
