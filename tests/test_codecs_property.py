@@ -1,0 +1,72 @@
+"""Property tests for the in-repo image codecs: lossless round trips
+for PNG/GIF on arbitrary images, bounded loss for JPEG, and LZW/bit
+-level invariants — randomized by hypothesis on top of the
+hand-crafted spec pins in test_png/test_gif/test_jpeg."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from shaclapi_ray.pipelines.gifcodec import _lzw_decode, _lzw_encode, decode_gif, encode_gif
+from shaclapi_ray.pipelines.jpegcodec import decode_jpeg, encode_jpeg
+from shaclapi_ray.pipelines.pngcodec import decode_png, encode_png
+
+
+@st.composite
+def _rgb(draw, max_side=24, max_colors=None):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if max_colors:
+        pal = rng.integers(0, 256, (draw(st.integers(1, max_colors)), 3)).astype(
+            np.uint8
+        )
+        return pal[rng.integers(0, len(pal), (h, w))]
+    return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_rgb(), f=st.integers(0, 4))
+def test_png_roundtrip_any_image_any_filter(img, f):
+    np.testing.assert_array_equal(decode_png(encode_png(img, filter_type=f)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_rgb(max_colors=256))
+def test_gif_roundtrip_any_palette_image(img):
+    np.testing.assert_array_equal(decode_gif(encode_gif(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(st.integers(0, 15), min_size=1, max_size=3000),
+    min_code=st.integers(4, 8),
+)
+def test_lzw_roundtrip_any_stream(data, min_code):
+    idx = np.array(data, np.uint8)
+    got = _lzw_decode(_lzw_encode(idx, min_code), min_code, idx.size)
+    np.testing.assert_array_equal(got, idx)
+
+
+@settings(max_examples=20, deadline=None)
+@given(img=_rgb(max_side=20), q=st.integers(60, 100))
+def test_jpeg_bounded_loss_and_shape(img, q):
+    out = decode_jpeg(encode_jpeg(img, quality=q))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # JPEG is lossy but bounded: worst-case random noise at q>=60 stays
+    # within a generous-but-real envelope (catches gross desyncs, which
+    # produce ~uniform error of 60+)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 40
+
+
+@settings(max_examples=20, deadline=None)
+@given(img=_rgb(max_side=16))
+def test_jpeg_idempotent_reencode_converges(img):
+    # encode(decode(encode(x))) should not drift far from decode(encode(x))
+    a = decode_jpeg(encode_jpeg(img, quality=90))
+    b = decode_jpeg(encode_jpeg(a, quality=90))
+    assert np.abs(a.astype(int) - b.astype(int)).mean() <= np.abs(
+        img.astype(int) - a.astype(int)
+    ).mean() + 2
