@@ -302,6 +302,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "dedup_corpus": "shaclapi_ray.pipelines.dedup:dedup_corpus",
     "dedup_paragraphs": "shaclapi_ray.pipelines.dedup:dedup_paragraphs",
     "host_boilerplate": "shaclapi_ray.pipelines.dedup:host_boilerplate",
+    "bloom_dup_paragraphs": "shaclapi_ray.pipelines.bloomdedup:bloom_dup_paragraphs",
     "minhash_clusters": "shaclapi_ray.pipelines.dedup:minhash_lsh_clusters",
     "simhash_signatures": "shaclapi_ray.pipelines.dedup:simhash_signatures",
     # text stats / quality
@@ -324,6 +325,7 @@ PIPELINE_REGISTRY: dict[str, str] = {
     "ccnet_buckets": "shaclapi_ray.pipelines.textstats:ccnet_buckets",
     "dsir_scores": "shaclapi_ray.pipelines.dsir:dsir_scores",
     "bpe_tokenize": "shaclapi_ray.pipelines.bpe:bpe_self_tokenize",
+    "unigram_tokenize": "shaclapi_ray.pipelines.unigram:unigram_self_tokenize",
     "rebalance_corpus": "shaclapi_ray.pipelines.textstats:rebalance_corpus",
     "sample_corpus": "shaclapi_ray.pipelines.textstats:sample_corpus",
     "sample_stratified": "shaclapi_ray.pipelines.textstats:sample_stratified",

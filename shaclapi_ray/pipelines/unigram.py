@@ -166,6 +166,15 @@ def train_unigram(
     ]
 
 
+def unigram_self_tokenize(docs_ds, vocab_size: int = 400, seed_size: int = 2000):
+    """train_unigram + tokenize_corpus_unigram over the same corpus —
+    the single-input composition for the config-driven runner / HTTP
+    surface (pass a pre-trained [(piece, logprob)] vocab to
+    tokenize_corpus_unigram directly when reusing one)."""
+    vocab = train_unigram(docs_ds, vocab_size=vocab_size, seed_size=seed_size)
+    return tokenize_corpus_unigram(docs_ds, vocab)
+
+
 def viterbi_segment(word: str, logp: dict[str, float], max_piece_len: int = 8):
     """Best segmentation under the piece log-probs; unknown characters
     become UNK (one per char). Score ties keep the SMALLEST predecessor
