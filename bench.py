@@ -268,6 +268,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows=n_doc_rows,
     )
 
+    # real-codec decode throughput: synthesize a 16x16 PNG per doc inside
+    # the pipeline (map_batches), then run the actor-pool featurize stage
+    # with the in-repo zlib+numpy decoder — measures the decode seam's
+    # Ray-side shape, not just the codec microcost
+    def _media_decode():
+        import numpy as _np
+        import pyarrow as _pa
+
+        from shaclapi_ray.pipelines.multimodal import encode_png, featurize_media
+
+        def synth(batch):
+            outs = []
+            for raw in batch["text"].to_pylist():
+                b = (raw or "").encode()[:768]
+                b += b"\x00" * (768 - len(b))
+                rgb = _np.frombuffer(b, dtype=_np.uint8).reshape(16, 16, 3)
+                outs.append(encode_png(rgb, filter_type=2))
+            return _pa.table(
+                {"url": batch["doc_id"], "html": _pa.array(outs, _pa.binary())}
+            )
+
+        return featurize_media(
+            docs.map_batches(synth, batch_format="pyarrow"), decode_stub="png"
+        ).count()
+
+    timed("media_decode_png", _media_decode, rows=n_doc_rows)
+
     from shaclapi_ray.fixtures import inverse_schema
 
     timed(
