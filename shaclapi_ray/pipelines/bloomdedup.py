@@ -142,8 +142,11 @@ def bloom_counts(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     if combine == "auto":
-        n_parts = parts.count()
-        combine = "tree" if n_parts > TREE_COMBINE_THRESHOLD else "driver"
+        # materialize BEFORE counting: parts is one m/4-byte row per
+        # block (tiny next to the corpus), and count() on the lazy
+        # pipeline would burn a full extra corpus pass before the fold
+        parts = parts.materialize()
+        combine = "tree" if parts.count() > TREE_COMBINE_THRESHOLD else "driver"
     if combine == "tree":
         import zlib
 
