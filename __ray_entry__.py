@@ -2150,6 +2150,7 @@ ORDER BY doc_id
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from shaclapi_ray import oracles as o
     from shaclapi_ray.fixtures import (
+        consistent_page_shape,
         fresh_page_shape,
         lang_shape,
         target_page_shape,
@@ -2164,7 +2165,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     basic_shapes_sql = _tagged_union_sql(
         [
             (s.shape_id, o.shape_verdicts_sql(s, pages_dir))
-            for s in (url_shape(), fresh_page_shape(), lang_shape(), target_page_shape())
+            for s in (url_shape(), fresh_page_shape(), lang_shape(), target_page_shape(), consistent_page_shape())
         ],
         tag_col="shape_id",
         order="shape_id, url, valid",

@@ -81,6 +81,40 @@ def lang_shape() -> Shape:
     )
 
 
+def consistent_page_shape() -> Shape:
+    """SHACL property-PAIR constraint components (sh:lessThanOrEquals /
+    sh:disjoint between two properties of the same focus node —
+    https://www.w3.org/TR/shacl/#core-components-property-pairs),
+    recast as the IR's col_cmp op over two columns of the row: the
+    extracted text must be at least as long as its url (len variant)
+    and must not literally equal the url (value variant). Null on
+    either side fails, per SHACL unbound-value semantics — the planted
+    null url/text rows are the fixture violations (non-degenerate at
+    sf0.001 AND sf0.01: 40/2000 and 20/2000 fail respectively)."""
+    return Shape(
+        shape_id="ConsistentPageShape",
+        target=None,
+        constraints=[
+            PredicateConstraint(
+                name="text_len_ge_url",
+                pred={
+                    "op": "col_cmp",
+                    "column": "text",
+                    "other": "url",
+                    "cmp": "ge",
+                    "len": True,
+                },
+                offending_column="text",
+            ),
+            PredicateConstraint(
+                name="url_text_disjoint",
+                pred={"op": "col_cmp", "column": "url", "other": "text", "cmp": "ne"},
+                offending_column="url",
+            ),
+        ],
+    )
+
+
 def target_page_shape() -> Shape:
     return Shape(
         shape_id="TargetPageShape",
@@ -200,7 +234,13 @@ def full_schema() -> list[Shape]:
 
 def column_schema() -> list[Shape]:
     """Column-only shapes (no shuffle required)."""
-    return [url_shape(), fresh_page_shape(), lang_shape(), target_page_shape()]
+    return [
+        url_shape(),
+        fresh_page_shape(),
+        lang_shape(),
+        target_page_shape(),
+        consistent_page_shape(),
+    ]
 
 
 def referential_schema() -> list[Shape]:

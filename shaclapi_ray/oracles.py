@@ -13,6 +13,7 @@ with read_parquet over the generated directory.
 from __future__ import annotations
 
 from shaclapi_ray.fixtures import (
+    consistent_page_shape,
     fresh_page_shape,
     lang_shape,
     or_shape,
@@ -1707,7 +1708,13 @@ def reduce_schema_sql(shape_ids: list[str]) -> str:
 
 
 def all_column_shapes() -> list[Shape]:
-    return [url_shape(), fresh_page_shape(), lang_shape(), target_page_shape()]
+    return [
+        url_shape(),
+        fresh_page_shape(),
+        lang_shape(),
+        target_page_shape(),
+        consistent_page_shape(),
+    ]
 
 
 def or_shape_verdicts_sql(pages_dir: str) -> str:

@@ -37,6 +37,17 @@ import pyarrow.compute as pc
 
 Pred = dict[str, Any]
 
+# col_cmp comparators (shared by eval_pred; SQL/scan renderings mirror them)
+_COL_CMP_FNS = {
+    "lt": pc.less,
+    "le": pc.less_equal,
+    "gt": pc.greater,
+    "ge": pc.greater_equal,
+    "eq": pc.equal,
+    "ne": pc.not_equal,
+}
+_COL_CMP_SQL = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=", "eq": "=", "ne": "<>"}
+
 # ---------------------------------------------------------------------------
 # predicate evaluation
 # ---------------------------------------------------------------------------
@@ -74,6 +85,25 @@ def eval_pred(pred: Pred | None, batch: pa.Table) -> pa.ChunkedArray | pa.Array:
         return pc.is_null(col)
     if op == "regex":
         m = pc.match_substring_regex(col, pred["pattern"])
+    elif op == "col_cmp":
+        # SHACL property-pair constraint components (sh:lessThan /
+        # sh:lessThanOrEquals / sh:equals / sh:disjoint, T.81-agnostic
+        # gt/ge for symmetry): compare TWO columns of the row; with
+        # len=True compare their utf8/binary lengths instead of values.
+        # Nulls on either side fail (fill_null(False) below), matching
+        # SHACL's unbound-value semantics and SQL's NULL comparison.
+        other = batch[pred["other"]]
+        if pred.get("len"):
+
+            def _ln(c):
+                return (
+                    pc.utf8_length(c)
+                    if pa.types.is_string(c.type)
+                    else pc.binary_length(c)
+                )
+
+            col, other = _ln(col), _ln(other)
+        m = _COL_CMP_FNS[pred["cmp"]](col, other)
     elif op == "in":
         m = pc.is_in(col, value_set=pa.array(pred["values"], type=col.type))
     elif op in ("==", "eq"):
@@ -118,6 +148,8 @@ def pred_columns(pred: Pred | None) -> set[str]:
         return pred_columns(pred["arg"])
     if op == "true":
         return set()
+    if op == "col_cmp":
+        return {pred["column"], pred["other"]}
     return {pred["column"]}
 
 
@@ -185,6 +217,18 @@ def pred_to_scan_expr(pred: Pred | None, schema: pa.Schema | None = None):
                 )
         return v
 
+    if op == "col_cmp":
+        if pred.get("len"):
+            return None  # length() isn't a dataset-expression function
+        g = _pc.field(pred["other"])
+        return {
+            "lt": f < g,
+            "le": f <= g,
+            "gt": f > g,
+            "ge": f >= g,
+            "eq": f == g,
+            "ne": f != g,
+        }[pred["cmp"]]
     if op == "not_null":
         return f.is_valid()
     if op == "is_null":
@@ -236,6 +280,11 @@ def pred_to_sql(
             return "'" + v.replace("'", "''") + "'"
         return str(v)
 
+    if op == "col_cmp":
+        d = pred["other"]
+        d = (col_map or {}).get(d, d)
+        a, b = (f"length({c})", f"length({d})") if pred.get("len") else (c, d)
+        return f"COALESCE({a} {_COL_CMP_SQL[pred['cmp']]} {b}, FALSE)"
     if op == "regex":
         return f"COALESCE(regexp_matches({c}, {lit(pred['pattern'])}), FALSE)"
     if op == "in":
