@@ -111,11 +111,19 @@ def eval_pred(pred: Pred | None, batch: pa.Table) -> pa.ChunkedArray | pa.Array:
     elif op in ("!=", "ne"):
         m = pc.not_equal(col, _coerce_scalar(pred["value"], col.type))
     elif op == "range":
+        # min/max are inclusive (sh:minInclusive/sh:maxInclusive);
+        # min_exclusive/max_exclusive are the SHACL exclusive variants
         m = None
         if pred.get("min") is not None:
             m = pc.greater_equal(col, _coerce_scalar(pred["min"], col.type))
+        if pred.get("min_exclusive") is not None:
+            lo = pc.greater(col, _coerce_scalar(pred["min_exclusive"], col.type))
+            m = lo if m is None else pc.and_(m, lo)
         if pred.get("max") is not None:
             hi = pc.less_equal(col, _coerce_scalar(pred["max"], col.type))
+            m = hi if m is None else pc.and_(m, hi)
+        if pred.get("max_exclusive") is not None:
+            hi = pc.less(col, _coerce_scalar(pred["max_exclusive"], col.type))
             m = hi if m is None else pc.and_(m, hi)
         if m is None:
             m = pa.array([True] * n, type=pa.bool_())
@@ -243,8 +251,14 @@ def pred_to_scan_expr(pred: Pred | None, schema: pa.Schema | None = None):
         out = None
         if pred.get("min") is not None:
             out = f >= coerce(pred["min"])
+        if pred.get("min_exclusive") is not None:
+            lo = f > coerce(pred["min_exclusive"])
+            out = lo if out is None else out & lo
         if pred.get("max") is not None:
             hi = f <= coerce(pred["max"])
+            out = hi if out is None else out & hi
+        if pred.get("max_exclusive") is not None:
+            hi = f < coerce(pred["max_exclusive"])
             out = hi if out is None else out & hi
         return out
     return None
@@ -296,9 +310,13 @@ def pred_to_sql(
         return f"COALESCE({c} <> {lit(pred['value'])}, FALSE)"
     if op == "range":
         parts = []
-        is_ts = isinstance(pred.get("min") or pred.get("max"), str) and "T" in str(
-            pred.get("min") or pred.get("max")
+        bound = (
+            pred.get("min")
+            or pred.get("max")
+            or pred.get("min_exclusive")
+            or pred.get("max_exclusive")
         )
+        is_ts = isinstance(bound, str) and "T" in str(bound)
 
         def rlit(v: Any) -> str:
             if is_ts:
@@ -307,8 +325,12 @@ def pred_to_sql(
 
         if pred.get("min") is not None:
             parts.append(f"{c} >= {rlit(pred['min'])}")
+        if pred.get("min_exclusive") is not None:
+            parts.append(f"{c} > {rlit(pred['min_exclusive'])}")
         if pred.get("max") is not None:
             parts.append(f"{c} <= {rlit(pred['max'])}")
+        if pred.get("max_exclusive") is not None:
+            parts.append(f"{c} < {rlit(pred['max_exclusive'])}")
         return "COALESCE(" + " AND ".join(parts) + ", FALSE)" if parts else "TRUE"
     if op == "len_range":
         parts = []

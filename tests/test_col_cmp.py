@@ -114,6 +114,31 @@ def test_scan_expr_exact_for_value_compare(tmp_path):
     )
 
 
+def test_exclusive_range_bounds():
+    # sh:minExclusive / sh:maxExclusive alongside the inclusive pair
+    b = pa.table({"x": pa.array([1, 2, 3, 4, None], pa.int64())})
+    p = {"op": "range", "column": "x", "min_exclusive": 1, "max_exclusive": 4}
+    assert eval_pred(p, b).to_pylist() == [False, True, True, False, False]
+    con = duckdb.connect()
+    con.register("t1", b.to_pandas())
+    sql_mask = [r[0] for r in con.execute(f"SELECT {pred_to_sql(p)} FROM t1").fetchall()]
+    assert sql_mask == [False, True, True, False, False]
+    # scan expression matches eval exactly here too
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(b, os.path.join(d, "t.parquet"))
+        got = pads.dataset(os.path.join(d, "t.parquet")).to_table(
+            filter=pred_to_scan_expr(p)
+        )
+        assert got.equals(b.filter(eval_pred(p, b)))
+    # mixed inclusive/exclusive
+    p2 = {"op": "range", "column": "x", "min": 2, "max_exclusive": 4}
+    assert eval_pred(p2, b).to_pylist() == [False, True, True, False, False]
+
+
 def test_engine_runs_pair_constraint_shape(ray_session):
     import ray.data
 
