@@ -1161,9 +1161,10 @@ def _q_or_shape_verdicts(sf_dir: str):
 
 
 def _q_basic_shape_verdicts(sf_dir: str):
-    """url/fresh/lang/target column shapes in ONE engine run (they are
-    independent shapes; per-shape verdicts are identical to 4 single-shape
-    runs, which tests/test_engine.py covers)."""
+    """url/fresh/lang/target/consistent column shapes in ONE engine run
+    (they are independent shapes; per-shape verdicts are identical to 5
+    single-shape runs, which tests/test_engine.py covers; the fifth is
+    the col_cmp property-pair shape — fixtures.consistent_page_shape)."""
     from shaclapi_ray.engine import JobConfig, ValidationEngine
     from shaclapi_ray.fixtures import column_schema
 
@@ -1397,30 +1398,36 @@ def _bpe_part(sf_dir: str):
 
     merges = train_bpe(_docs(sf_dir), n_merges=BPE_MERGES)
 
-    def fingerprint(batch):
-        import zlib
+    def make_fingerprint(counts_in, tokens_out, fp_out):
+        # one crc32-over-id-sequence kernel shared by the BPE and
+        # unigram parts so the two golden contracts cannot drift
+        def fingerprint(batch):
+            import zlib
 
-        import numpy as np
+            import numpy as np
 
-        lens, flat = _flatten_id_lists(batch["token_ids"])
-        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-        fps = np.array(
-            [
-                zlib.crc32(flat[offs[i] : offs[i + 1]].tobytes())
-                for i in range(batch.num_rows)
-            ],
-            dtype=np.int64,
-        )
-        return _pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "bpe_tokens": batch["n_bpe_tokens"],
-                "bpe_ids_fp": _pa.array(fps),
-            }
-        )
+            lens, flat = _flatten_id_lists(batch["token_ids"])
+            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            fps = np.array(
+                [
+                    zlib.crc32(flat[offs[i] : offs[i + 1]].tobytes())
+                    for i in range(batch.num_rows)
+                ],
+                dtype=np.int64,
+            )
+            return _pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    tokens_out: batch[counts_in],
+                    fp_out: _pa.array(fps),
+                }
+            )
+
+        return fingerprint
 
     toks = tokenize_corpus(_docs(sf_dir), merges).map_batches(
-        fingerprint, batch_format="pyarrow"
+        make_fingerprint("n_bpe_tokens", "bpe_tokens", "bpe_ids_fp"),
+        batch_format="pyarrow",
     )
 
     from shaclapi_ray.pipelines.unigram import (
@@ -1429,31 +1436,9 @@ def _bpe_part(sf_dir: str):
     )
 
     vocab = train_unigram(_docs(sf_dir), **UNIGRAM_KW)
-
-    def ug_fingerprint(batch):
-        import zlib
-
-        import numpy as np
-
-        lens, flat = _flatten_id_lists(batch["token_ids"])
-        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-        fps = np.array(
-            [
-                zlib.crc32(flat[offs[i] : offs[i + 1]].tobytes())
-                for i in range(batch.num_rows)
-            ],
-            dtype=np.int64,
-        )
-        return _pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "ug_tokens": batch["n_ug_tokens"],
-                "ug_ids_fp": _pa.array(fps),
-            }
-        )
-
     ug = tokenize_corpus_unigram(_docs(sf_dir), vocab).map_batches(
-        ug_fingerprint, batch_format="pyarrow"
+        make_fingerprint("n_ug_tokens", "ug_tokens", "ug_ids_fp"),
+        batch_format="pyarrow",
     )
     out = _sorted(toks, ["doc_id"]).merge(
         _sorted(ug, ["doc_id"]), on="doc_id", how="inner"

@@ -135,7 +135,14 @@ def bloom_counts(
         pos = _positions(
             p.hash(seed=17).to_numpy(), p.hash(seed=23).to_numpy(), k, m_bits
         )
-        counts = np.bincount(pos, minlength=m_bits).clip(0, 2).astype(np.uint8)
+        # NOT np.bincount(minlength=m_bits): that materializes an int64
+        # temp 8x the filter in EVERY task — at the multi-GiB m this
+        # module exists for, that OOMs workers. unique+counts costs
+        # memory ∝ the batch's positions; the uint8 m-array is the one
+        # unavoidable allocation (it IS the partial).
+        uniq, cnt = np.unique(pos, return_counts=True)
+        counts = np.zeros(m_bits, dtype=np.uint8)
+        counts[uniq] = np.minimum(cnt, 2).astype(np.uint8)
         return pa.table({"part": pa.array([_pack2(counts)], pa.binary())})
 
     parts = docs_ds.select_columns([text_col]).map_batches(

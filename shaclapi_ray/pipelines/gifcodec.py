@@ -176,7 +176,21 @@ def encode_gif(rgb: np.ndarray) -> bytes:
 
 
 def decode_gif(raw: bytes) -> np.ndarray:
-    """GIF bytes -> (h, w, 3) uint8 RGB of the first image."""
+    """GIF bytes -> (h, w, 3) uint8 RGB of the first image.
+
+    Loud-ValueError contract: the wrapper converts the stray
+    IndexError/struct.error a truncated container can reach (e.g. cut
+    right after the image descriptor) so every malformed input fails
+    the same way."""
+    try:
+        return _decode_gif_inner(raw)
+    except ValueError:
+        raise
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt GIF stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_gif_inner(raw: bytes) -> np.ndarray:
     if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)

@@ -397,7 +397,22 @@ def _extend(bits: int, cat: int) -> int:
 
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB.
+
+    Loud-ValueError contract: EVERY malformed input fails with
+    ValueError. Parse-time guards catch the structured cases; the
+    wrapper converts the long tail a byte-fuzzer can reach (truncated
+    segment bodies, out-of-range indices) that would otherwise leak
+    IndexError/struct.error/KeyError."""
+    try:
+        return _decode_jpeg_inner(raw)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, ZeroDivisionError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
     if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -473,10 +488,11 @@ def _decode_scan(raw, pos, sof, scan, qtables, htables, restart_interval):
     if ih == 0 or iw == 0:
         raise ValueError("zero-dimension JPEG")
     byid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    for _, hs, vs, _ in comps:
+        if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+            raise ValueError("unsupported JPEG sampling factors")
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
-    if hmax not in (1, 2, 4) or vmax not in (1, 2, 4):
-        raise ValueError("unsupported JPEG sampling factors")
     mcux = -(-iw // (8 * hmax))
     mcuy = -(-ih // (8 * vmax))
     r = _BitReader(raw, pos)
@@ -492,6 +508,8 @@ def _decode_scan(raw, pos, sof, scan, qtables, htables, restart_interval):
             for cid in prev_dc:
                 prev_dc[cid] = 0
         for cid, dc_t, ac_t in scan:
+            if cid not in byid:
+                raise ValueError("JPEG scan names a component absent from SOF")
             hs, vs, _ = byid[cid]
             dct = htables.get((0, dc_t))
             act = htables.get((1, ac_t))

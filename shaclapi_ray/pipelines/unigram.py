@@ -256,6 +256,8 @@ def unigram_token_count(
             .join(per_doc, on="doc_id", how="left")
             .with_columns(pl.col("n_ug_tokens").fill_null(0))
         )
+        if id_col != "doc_id":
+            out = out.rename({"doc_id": id_col})
         return out.to_arrow()
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
@@ -307,7 +309,7 @@ def tokenize_corpus_unigram(
         offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
         return pa.table(
             {
-                "doc_id": batch[id_col],
+                id_col: batch[id_col],
                 "token_ids": _id_list_array(offsets, flat),
                 "n_ug_tokens": pa.array(lens, pa.int64()),
             }

@@ -61,6 +61,36 @@ def test_jpeg_bounded_loss_and_shape(img, q):
     assert err.mean() < 40
 
 
+def test_decoders_loud_valueerror_contract():
+    """EVERY malformed input must fail with ValueError (never
+    IndexError/KeyError/struct.error/ZeroDivisionError) — the contract
+    the featurize/resize seam's callers rely on for bad corpus media."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (12, 10, 3)).astype(np.uint8)
+    payloads = {
+        decode_jpeg: encode_jpeg(img, quality=80),
+        decode_gif: encode_gif(img),
+        decode_png: encode_png(img),
+    }
+    for dec, valid in payloads.items():
+        assert dec(valid).shape == img.shape
+        # every truncation point
+        for cut in range(len(valid)):
+            try:
+                dec(valid[:cut])
+            except ValueError:
+                pass
+        # single-byte flips at every position (decode may also SUCCEED —
+        # some flips land in ignorable bytes — but must not leak)
+        for i in range(len(valid)):
+            bad = bytearray(valid)
+            bad[i] ^= 0xA5
+            try:
+                dec(bytes(bad))
+            except ValueError:
+                pass
+
+
 @settings(max_examples=20, deadline=None)
 @given(img=_rgb(max_side=16))
 def test_jpeg_idempotent_reencode_converges(img):

@@ -165,6 +165,27 @@ def test_pack_integration(ray_session):
     assert packed["n_tokens"].sum() == total_in
 
 
+def test_custom_id_col_round_trips(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {"page_id": pa.array([7, 9], pa.int64()), "body": ["abab ab", "ab"]}
+    )
+    ds = ray.data.from_arrow(t)
+    vocab = train_unigram(_ds(["abab ab"]), vocab_size=16, seed_size=50)
+    toks = tokenize_corpus_unigram(
+        ds, vocab, text_col="body", id_col="page_id"
+    ).to_pandas()
+    assert list(toks.columns) == ["page_id", "token_ids", "n_ug_tokens"]
+    cnts = unigram_token_count(
+        ds, vocab, text_col="body", id_col="page_id"
+    ).to_pandas()
+    assert set(cnts.columns) == {"page_id", "n_ug_tokens"}
+    m = toks.set_index("page_id")["n_ug_tokens"]
+    c = cnts.set_index("page_id")["n_ug_tokens"]
+    assert (m == c[m.index]).all()
+
+
 def test_empty_corpus(ray_session):
     vocab = train_unigram(_ds([None, ""]), vocab_size=8, seed_size=8)
     assert vocab[0] == (UNK, -20.0)
