@@ -9,13 +9,20 @@ implements ITU-T T.81 baseline sequential JPEG from scratch:
   reset, dequantization, inverse zigzag, batched orthonormal IDCT
   (one einsum over all blocks per component), arbitrary chroma
   sampling factors h,v in {1,2,4} (4:4:4 / 4:2:2 / 4:2:0 via
-  nearest-neighbor upsampling), JFIF YCbCr->RGB. Progressive (SOF2),
-  arithmetic coding and 12-bit precision are rejected loudly.
+  nearest-neighbor upsampling), JFIF YCbCr->RGB — AND progressive
+  (SOF2) streams: T.81 Annex G successive approximation with
+  interleaved DC first/refine scans, non-interleaved AC scans, EOBn
+  run coding and the correction-bit refinement algorithm, accumulated
+  in a per-component coefficient store and assembled once at EOI.
+  Arithmetic coding and 12-bit precision are rejected loudly.
 - encode: (h, w, 3) uint8 RGB -> 4:4:4 baseline JPEG with the Annex K
   example quantization tables (quality-scaled, the libjpeg formula)
   and the Annex K typical Huffman tables. Lossy by nature — tests pin
   exact single-block cases and error bounds on smooth images, never
-  byte-for-byte pixel equality.
+  byte-for-byte pixel equality. `encode_jpeg_progressive` emits the
+  SOF2 scan script (spectral selection + optional DC successive
+  approximation) with the SAME coefficients, so progressive-vs-baseline
+  decode equality is testable EXACTLY.
 
 Anti-cancellation testing note (tests/test_jpeg.py): because encoder
 and decoder live in one module, a shared systematic error (e.g. a
@@ -310,6 +317,164 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    rgb: np.ndarray, quality: int = 90, dc_approx: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> PROGRESSIVE (SOF2) 4:4:4 JFIF JPEG.
+
+    Scan script: one interleaved DC scan (split into an Al=1 first pass
+    plus an Ah=1 refinement when ``dc_approx``) followed by one
+    full-band AC scan per component, with consecutive empty bands
+    coalesced into EOBn run codes — so a round trip exercises the
+    decoder's multi-scan accumulation, non-interleaved block order,
+    EOB runs > 1 and (optionally) DC successive approximation.
+    Produces the same pixels as the baseline encoder at the same
+    quality (identical coefficients, different scan order)."""
+    img = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_progressive expects (h, w, 3) RGB")
+    h, w, _ = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension image")
+    ql, qc = _quality_tables(quality)
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    comps = [
+        0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+        -0.168736 * r - 0.331264 * g + 0.5 * b,
+        0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    nby, nbx = hp // 8, wp // 8
+    zz_all = []
+    for ci, plane in enumerate(comps):
+        p = np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        d = np.einsum("ij,yxjk,lk->yxil", _C, blocks, _C)
+        q = (ql if ci == 0 else qc).reshape(8, 8)
+        zz_all.append(
+            np.round(d / q).astype(np.int64).reshape(nby, nbx, 64)[:, :, ZIGZAG]
+        )
+    dc_l = _canonical_codes(*HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*HUFF_AC_LUMA)
+    dc_c = _canonical_codes(*HUFF_DC_CHROMA)
+    ac_c = _canonical_codes(*HUFF_AC_CHROMA)
+
+    def dc_scan_bits(al: int) -> bytes:
+        wtr = _BitWriter()
+        prev = [0, 0, 0]
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    v = int(zz_all[ci][by, bx, 0]) >> al  # arithmetic shift
+                    cat, bits = _magnitude(v - prev[ci])
+                    code, ln = (dc_l if ci == 0 else dc_c)[cat]
+                    wtr.write(code, ln)
+                    if cat:
+                        wtr.write(bits, cat)
+                    prev[ci] = v
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine_bits(al: int) -> bytes:
+        wtr = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    wtr.write((int(zz_all[ci][by, bx, 0]) >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_scan_bits(ci: int) -> bytes:
+        wtr = _BitWriter()
+        codes = ac_l if ci == 0 else ac_c
+        eobrun = 0
+
+        def flush_eobrun():
+            # the Annex K "typical" AC tables define no EOBn symbols
+            # beyond plain EOB (0x00), so runs emit as repeated EOBs;
+            # eobrun > 1 decoding is pinned by a hand-built stream with
+            # a custom DHT in tests/test_jpeg_progressive.py
+            nonlocal eobrun
+            while eobrun > 0:
+                rr = min(eobrun.bit_length() - 1, 14)
+                while rr and (rr << 4) not in codes:
+                    rr -= 1
+                take = min(eobrun, (1 << (rr + 1)) - 1)
+                code, ln = codes[rr << 4]
+                wtr.write(code, ln)
+                if rr:
+                    wtr.write(take - (1 << rr), rr)
+                eobrun -= take
+
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = zz_all[ci][by, bx]
+                last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
+                if last_nz == 0:
+                    eobrun += 1
+                    continue
+                flush_eobrun()
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = codes[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    cat, bits = _magnitude(v)
+                    code, ln = codes[(run << 4) | cat]
+                    wtr.write(code, ln)
+                    wtr.write(bits, cat)
+                    run = 0
+                if last_nz < 63:
+                    eobrun += 1
+        flush_eobrun()
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for cls, tid, (bits_, vals) in (
+        (0, 0, HUFF_DC_LUMA),
+        (0, 1, HUFF_DC_CHROMA),
+        (1, 0, HUFF_AC_LUMA),
+        (1, 1, HUFF_AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits_) + bytes(vals))
+
+    def sos(scomps, ss, se, ah, al) -> bytes:
+        body = bytes([len(scomps)])
+        for cid, tabs in scomps:
+            body += bytes([cid, tabs])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    dc_comps = [(1, 0x00), (2, 0x10), (3, 0x10)]
+    if dc_approx:
+        out += sos(dc_comps, 0, 0, 0, 1) + dc_scan_bits(1)
+        out += sos(dc_comps, 0, 0, 1, 0) + dc_refine_bits(0)
+    else:
+        out += sos(dc_comps, 0, 0, 0, 0) + dc_scan_bits(0)
+    for ci, cid in enumerate((1, 2, 3)):
+        tabs = 0x00 if ci == 0 else 0x01
+        out += sos([(cid, tabs)], 1, 63, 0, 0) + ac_scan_bits(ci)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """MSB-first reader over the entropy-coded segment; handles 0xFF00
     unstuffing and stops at markers (returned via .marker)."""
@@ -420,6 +585,8 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
+    progressive = False
+    store = None  # progressive coefficient accumulator, keyed by cid
     n = len(raw)
     while pos + 4 <= n:
         if raw[pos] != 0xFF:
@@ -449,8 +616,20 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0/SOF1) JPEGs supported")
+        elif marker == 0xC2:
+            prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit-precision JPEGs supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (ih, iw, comps)
+            progressive = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEGs supported"
+            )
         elif marker == 0xC4:
             p = 0
             while p < len(body):
@@ -470,16 +649,37 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cid, tabs >> 4, tabs & 15))
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    raw,
+                    pos + 2 + seglen,
+                    sof,
+                    scan,
+                    qtables,
+                    htables,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if store is None:
+                store = _prog_store(sof)
+            pos = _decode_prog_scan(
                 raw,
                 pos + 2 + seglen,
                 sof,
                 scan,
-                qtables,
                 htables,
                 restart_interval,
+                store,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 15,
             )
+            continue
         pos += 2 + seglen
+    if progressive and store is not None:
+        return _assemble_planes(sof, store, qtables)
     raise ValueError("JPEG contains no scan data")
 
 
@@ -566,6 +766,12 @@ def _decode_scan(raw, pos, sof, scan, qtables, htables, restart_interval):
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes[cid] = plane[:ih, :iw] + 128.0
+    return _color_convert(planes, comps)
+
+
+def _color_convert(planes: dict, comps) -> np.ndarray:
+    """Component planes (level-unshifted, +128 applied) -> uint8 RGB —
+    shared by the baseline and progressive assembly paths."""
     ids = [cid for cid, _, _, _ in comps]
     if len(ids) == 1:
         y = np.clip(planes[ids[0]], 0, 255).astype(np.uint8)
@@ -577,3 +783,216 @@ def _decode_scan(raw, pos, sof, scan, qtables, htables, restart_interval):
     g_ = y - 0.344136 * cb - 0.714136 * cr
     b_ = y + 1.772 * cb
     return np.clip(np.stack([r_, g_, b_], axis=2), 0, 255).astype(np.uint8)
+
+
+def _frame_geometry(sof):
+    """Validated (ih, iw, comps, hmax, vmax, mcux, mcuy)."""
+    ih, iw, comps = sof
+    if ih == 0 or iw == 0:
+        raise ValueError("zero-dimension JPEG")
+    for _, hs, vs, _ in comps:
+        if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+            raise ValueError("unsupported JPEG sampling factors")
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-iw // (8 * hmax))
+    mcuy = -(-ih // (8 * vmax))
+    return ih, iw, comps, hmax, vmax, mcux, mcuy
+
+
+def _prog_store(sof) -> dict:
+    """Per-component zigzag coefficient grids on the MCU-padded block
+    layout (interleaved DC scans code the padding blocks; the
+    non-interleaved AC scans cover the ceil grid subset)."""
+    _, _, comps, _, _, mcux, mcuy = _frame_geometry(sof)
+    return {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for cid, hs, vs, _ in comps
+    }
+
+
+def _refine_nonzero(r: _BitReader, blk: np.ndarray, k: int, al: int) -> None:
+    """One AC-refinement correction bit for a nonzero-history coef."""
+    if r.read_bit() and (int(blk[k]) & (1 << al)) == 0:
+        blk[k] += (1 << al) if blk[k] >= 0 else -(1 << al)
+
+
+def _decode_prog_scan(
+    raw, pos, sof, scan, htables, restart_interval, store, ss, se, ah, al
+):
+    """Decode ONE progressive scan into ``store``; returns the byte
+    offset of the next marker. Implements T.81 Annex G successive
+    approximation: DC first/refine (interleaved), AC first/refine
+    (non-interleaved, EOB-run coding, correction bits)."""
+    ih, iw, comps, hmax, vmax, mcux, mcuy = _frame_geometry(sof)
+    byid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    for cid, _, _ in scan:
+        if cid not in byid:
+            raise ValueError("JPEG scan names a component absent from SOF")
+    r = _BitReader(raw, pos)
+    pred = {cid: 0 for cid, _, _ in scan}
+    eobrun = 0
+    n_units_done = 0
+
+    def maybe_restart() -> None:
+        nonlocal eobrun
+        if restart_interval and n_units_done and n_units_done % restart_interval == 0:
+            mk = r.skip_to_marker()
+            if not 0xD0 <= mk <= 0xD7:
+                raise ValueError("missing JPEG restart marker")
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    if ss == 0:
+        # DC scan (must be the whole DC band)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        tables = {}
+        for cid, dc_t, _ in scan:
+            t = htables.get((0, dc_t))
+            if t is None and ah == 0:
+                raise ValueError("JPEG scan references a missing Huffman table")
+            tables[cid] = t
+
+        def dc_unit(cid, by, bx):
+            blk = store[cid][by, bx]
+            if ah == 0:
+                cat = _read_symbol(r, tables[cid])
+                diff = _extend(r.read_bits(cat), cat) if cat else 0
+                pred[cid] += diff
+                blk[0] = pred[cid] << al
+            else:
+                if r.read_bit():
+                    blk[0] |= 1 << al
+
+        if len(scan) > 1:
+            for _m in range(mcux * mcuy):
+                maybe_restart()
+                my, mx = divmod(_m, mcux)
+                for cid, _, _ in scan:
+                    hs, vs, _ = byid[cid]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            dc_unit(cid, my * vs + byy, mx * hs + bxx)
+                n_units_done += 1
+        else:
+            cid = scan[0][0]
+            hs, vs, _ = byid[cid]
+            cw = -(-iw * hs // hmax)
+            ch = -(-ih * vs // vmax)
+            nbx1, nby1 = -(-cw // 8), -(-ch // 8)
+            for b in range(nbx1 * nby1):
+                maybe_restart()
+                by, bx = divmod(b, nbx1)
+                dc_unit(cid, by, bx)
+                n_units_done += 1
+    else:
+        # AC scan: exactly one component, non-interleaved block order
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if se > 63 or ss > se:
+            raise ValueError("bad progressive spectral band")
+        cid, _, ac_t = scan[0]
+        act = htables.get((1, ac_t))
+        if act is None:
+            raise ValueError("JPEG scan references a missing Huffman table")
+        hs, vs, _ = byid[cid]
+        cw = -(-iw * hs // hmax)
+        ch = -(-ih * vs // vmax)
+        nbx1, nby1 = -(-cw // 8), -(-ch // 8)
+        p1, m1 = 1 << al, -(1 << al)
+        for b in range(nbx1 * nby1):
+            maybe_restart()
+            by, bx = divmod(b, nbx1)
+            blk = store[cid][by, bx]
+            if ah == 0:
+                # AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _read_symbol(r, act)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.read_bits(rr)
+                            break
+                        k += rr
+                        if k > se:
+                            raise ValueError("JPEG AC run overflows the band")
+                        blk[k] = _extend(r.read_bits(s), s) << al
+                        k += 1
+            else:
+                # AC refinement (T.81 G.1.2.3, libjpeg structure)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_symbol(r, act)
+                        rr, s = rs >> 4, rs & 15
+                        coef_new = 0
+                        if s == 0:
+                            if rr < 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.read_bits(rr)
+                                break
+                            # rr == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError("bad AC refinement symbol")
+                            coef_new = p1 if r.read_bit() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                _refine_nonzero(r, blk, k, al)
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if coef_new and k <= se:
+                            blk[k] = coef_new
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            _refine_nonzero(r, blk, k, al)
+                        k += 1
+                    eobrun -= 1
+            n_units_done += 1
+    # advance to the next marker (skip pad bits; stuffed FF00 is data)
+    p = r.pos
+    nn = len(raw)
+    while p + 1 < nn and not (raw[p] == 0xFF and raw[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _assemble_planes(sof, store, qtables) -> np.ndarray:
+    """Progressive assembly: dequantize + batched IDCT per component
+    grid, grid-major placement (no MCU loop needed), upsample, crop."""
+    ih, iw, comps, hmax, vmax, _, _ = _frame_geometry(sof)
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("JPEG frame references a missing quantization table")
+        g = store[cid]
+        nby, nbx = g.shape[0], g.shape[1]
+        nat = np.zeros_like(g.reshape(-1, 64))
+        nat[:, ZIGZAG] = g.reshape(-1, 64)
+        coef = nat.reshape(-1, 8, 8) * q
+        pix = np.einsum("ji,bjk,kl->bil", _C, coef.astype(np.float64), _C)
+        plane = (
+            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes[cid] = plane[:ih, :iw] + 128.0
+    return _color_convert(planes, comps)

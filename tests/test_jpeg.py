@@ -164,10 +164,15 @@ def test_rejections():
     raw = bytearray(encode_jpeg(img))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"GIF87a" + bytes(raw)[6:])
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless — unsupported frame type)
     i = bytes(raw).find(b"\xff\xc0")
+    raw[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF0/SOF1.*SOF2"):
+        decode_jpeg(bytes(raw))
+    # SOF2-labelled stream with a baseline full-band scan header is
+    # malformed progressive (DC scan must have Se == 0) — still loud
     raw[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se == 0"):
         decode_jpeg(bytes(raw))
     with pytest.raises(ValueError, match="quality"):
         encode_jpeg(img, quality=0)
