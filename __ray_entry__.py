@@ -1672,7 +1672,12 @@ def _media_feat_part(sf_dir: str):
     + kind='jpeg' (the REAL from-scratch baseline Huffman+DCT decode —
     jpegcodec.py — over the SAME synthesized RGB images as the png
     part, re-encoded lossy at q=85; deterministic float64 8x8 einsum
-    math, no BLAS threading, so the features golden cleanly).
+    math, no BLAS threading, so the features golden cleanly)
+    + kind='jprog' (the PROGRESSIVE/SOF2 decode path — multi-scan
+    successive approximation incl. DC approx — over the same images
+    via encode_jpeg_progressive(dc_approx=True); its features must
+    EQUAL the kind='jpeg' rows by construction, a cross-check baked
+    into the golden itself).
     Sort includes 'value' so the order is total across duplicate-url
     rows (the transform_media advice-fix rationale)."""
     import numpy as np
@@ -1750,16 +1755,27 @@ def _media_feat_part(sf_dir: str):
             outs.append(encode_gif(rgb))
         return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
 
-    def to_jpeg(batch):
-        import pyarrow as _pa
+    def make_to_jpeg(progressive):
+        def to_jpeg(batch):
+            import pyarrow as _pa
 
-        outs = []
-        for raw in batch["html"].to_pylist():
-            b = (raw or b"")[:768]
-            b += b"\x00" * (768 - len(b))
-            rgb = np.frombuffer(b, dtype=np.uint8).reshape(16, 16, 3)
-            outs.append(encode_jpeg(rgb, quality=85))
-        return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
+            from shaclapi_ray.pipelines.jpegcodec import encode_jpeg_progressive
+
+            outs = []
+            for raw in batch["html"].to_pylist():
+                b = (raw or b"")[:768]
+                b += b"\x00" * (768 - len(b))
+                rgb = np.frombuffer(b, dtype=np.uint8).reshape(16, 16, 3)
+                outs.append(
+                    encode_jpeg_progressive(rgb, quality=85, dc_approx=True)
+                    if progressive
+                    else encode_jpeg(rgb, quality=85)
+                )
+            return _pa.table(
+                {"url": batch["url"], "html": _pa.array(outs, _pa.binary())}
+            )
+
+        return to_jpeg
 
     rows = (
         explode(featurize_media(pages()), "feat")
@@ -1793,11 +1809,20 @@ def _media_feat_part(sf_dir: str):
         + explode(
             featurize_media(
                 pages().map_batches(
-                    to_jpeg, batch_format="pyarrow", zero_copy_batch=True
+                    make_to_jpeg(False), batch_format="pyarrow", zero_copy_batch=True
                 ),
                 decode_stub="jpeg",
             ),
             "jpeg",
+        )
+        + explode(
+            featurize_media(
+                pages().map_batches(
+                    make_to_jpeg(True), batch_format="pyarrow", zero_copy_batch=True
+                ),
+                decode_stub="jpeg",
+            ),
+            "jprog",
         )
     )
     out = (

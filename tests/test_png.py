@@ -260,7 +260,13 @@ def test_media_golden_carries_png_kind():
         pytest.skip("goldens not generated")
     t = pq.read_table(path)
     kinds = set(t["kind"].to_pylist())
-    assert {"feat", "wav", "png", "gif", "jpeg"} <= kinds
+    assert {"feat", "wav", "png", "gif", "jpeg", "jprog"} <= kinds
+    # the progressive rows must EQUAL the baseline-jpeg rows (same
+    # pixels through the SOF2 path — the in-golden cross-check)
+    df = t.to_pandas()
+    j = df[df.kind == "jpeg"].sort_values(["url", "idx", "value"])
+    p = df[df.kind == "jprog"].sort_values(["url", "idx", "value"])
+    assert (j["value"].values == p["value"].values).all()
     vals = np.array(
         [v for k, v in zip(t["kind"].to_pylist(), t["value"].to_pylist()) if k == "png"]
     )
