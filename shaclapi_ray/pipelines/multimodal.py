@@ -4,20 +4,23 @@ Compressed image/audio decode libraries are not available in this
 environment, so the DEFAULT decode step is a stub (clearly marked):
 `decode_stub='fake'` produces a deterministic feature vector from the
 bytes; `decode_stub='error'` raises NotImplementedError exactly where a
-real decoder (PIL/torchaudio/ffmpeg) would plug in. Three REAL paths:
-`decode_stub='bmp'` decodes/resizes/re-encodes uncompressed 24-bit BMP
-payloads with the in-repo numpy codec (no dependencies — see
-encode_bmp/decode_bmp), `decode_stub='png'` does the same for PNG —
-a COMPRESSED format — via the in-repo stdlib-zlib + numpy codec
-(pngcodec.py: all 5 scanline filters, color types 0/2/3/4/6, CRC
-verification), `decode_stub='wav'` featurizes 16-bit PCM WAV
-audio with the stdlib `wave` module + numpy (rate/channels/frames/rms/
-peak/zero-crossings/duration — see encode_wav/decode_wav), and
-`decode_stub='real'` is the PIL ACTIVATION PATH for the remaining
-formats: with pillow installed (`pip install pillow`) the same stages
-handle JPEG/GIF/WebP unchanged (the import is try-gated). Everything
-Ray-side — schema, actor-pool stage shape, batch sizing for large
-binary payloads, output layout — is real and tested in every mode.
+real decoder (PIL/torchaudio/ffmpeg) would plug in. FIVE REAL paths,
+all dependency-free: `decode_stub='bmp'` (in-repo numpy codec,
+encode_bmp/decode_bmp), `decode_stub='png'` (stdlib-zlib + numpy,
+pngcodec.py: all 5 scanline filters, color types 0/2/3/4/6, Adam7,
+CRC verification), `decode_stub='gif'` (from-scratch variable-width
+LZW, gifcodec.py), `decode_stub='jpeg'` (from-scratch baseline AND
+progressive Huffman+DCT, jpegcodec.py), and `decode_stub='wav'`
+(stdlib `wave` + numpy signal features — see encode_wav/decode_wav).
+`decode_stub='real'` remains the PIL ACTIVATION PATH for the one
+format left (WebP); the import is try-gated.
+
+Corrupt payloads are ubiquitous in web crawls, so the decode stages
+take a per-ITEM `on_error` policy: 'raise' (default), 'skip' (drop
+the row) or 'flag' (keep it with decode_ok=False) — one bad image
+never fails a batch task. Everything Ray-side — schema, actor-pool
+stage shape, batch sizing for large binary payloads, output layout —
+is real and tested in every mode.
 """
 
 from __future__ import annotations
@@ -200,14 +203,17 @@ class MediaFeaturizer:
     belongs in __init__ (once per actor). Use small batch_size for large
     payloads so batch x concurrency fits worker heaps."""
 
-    def __init__(self, decode_stub: str = "fake"):
+    def __init__(self, decode_stub: str = "fake", on_error: str = "raise"):
         if decode_stub == "real" and not _HAVE_PIL:
             raise NotImplementedError(
                 "real image decode requires PIL, not available in this "
                 "environment — use decode_stub='fake' (or 'bmp' for real "
                 "no-dependency BMP decode)"
             )
+        if on_error not in ("raise", "skip", "flag"):
+            raise ValueError("on_error must be 'raise', 'skip' or 'flag'")
         self.mode = decode_stub
+        self.on_error = on_error
 
     def _decode(self, raw: bytes) -> np.ndarray:
         if self.mode == "error":
@@ -286,15 +292,34 @@ class MediaFeaturizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(0)
         raws = batch.column(1).to_pylist()
-        feats = [self._decode(r if r is not None else b"") for r in raws]
-        return pa.table(
-            {
-                batch.column_names[0]: ids,
-                "feature": pa.array(
-                    [f.tolist() for f in feats], type=pa.list_(pa.float64())
-                ),
-            }
-        )
+        if self.on_error == "raise":
+            feats = [self._decode(r if r is not None else b"") for r in raws]
+            ok = None
+        else:
+            # corrupt payloads are ubiquitous in web crawls — the error
+            # policy is per ITEM (a bad image must not fail the batch
+            # task): 'skip' drops the row, 'flag' keeps it with ok=False
+            # and an empty feature so downstream joins stay total
+            feats, ok = [], []
+            for r in raws:
+                try:
+                    feats.append(self._decode(r if r is not None else b""))
+                    ok.append(True)
+                except ValueError:
+                    feats.append(np.empty(0, dtype=np.float64))
+                    ok.append(False)
+        cols = {
+            batch.column_names[0]: ids,
+            "feature": pa.array(
+                [f.tolist() for f in feats], type=pa.list_(pa.float64())
+            ),
+        }
+        out = pa.table(cols)
+        if ok is None:
+            return out
+        if self.on_error == "skip":
+            return out.filter(pa.array(ok, pa.bool_()))
+        return out.append_column("decode_ok", pa.array(ok, pa.bool_()))
 
 
 class MediaResizer:
@@ -307,13 +332,22 @@ class MediaResizer:
     strided view, so output sizes, schema and batch shape are the real
     thing."""
 
-    def __init__(self, width: int, height: int, decode_stub: str = "fake"):
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        decode_stub: str = "fake",
+        on_error: str = "raise",
+    ):
         if decode_stub == "real" and not _HAVE_PIL:
             raise NotImplementedError(
                 "real image resize requires PIL, not available in this "
                 "environment — use decode_stub='fake'"
             )
+        if on_error not in ("raise", "skip", "flag"):
+            raise ValueError("on_error must be 'raise', 'skip' or 'flag'")
         self.w, self.h, self.mode = int(width), int(height), decode_stub
+        self.on_error = on_error
 
     def _resize(self, raw: bytes) -> bytes:
         if self.mode == "error":
@@ -352,12 +386,21 @@ class MediaResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(0)
-        out = [
-            self._resize(r if r is not None else b"")
-            for r in batch.column(1).to_pylist()
-        ]
+        raws = batch.column(1).to_pylist()
+        if self.on_error == "raise":
+            out = [self._resize(r if r is not None else b"") for r in raws]
+            ok = None
+        else:
+            out, ok = [], []
+            for r in raws:
+                try:
+                    out.append(self._resize(r if r is not None else b""))
+                    ok.append(True)
+                except ValueError:
+                    out.append(b"")
+                    ok.append(False)
         n = batch.num_rows
-        return pa.table(
+        t = pa.table(
             {
                 batch.column_names[0]: ids,
                 "media": pa.array(out, type=pa.binary()),
@@ -365,6 +408,11 @@ class MediaResizer:
                 "height": pa.array([self.h] * n, pa.int32()),
             }
         )
+        if ok is None:
+            return t
+        if self.on_error == "skip":
+            return t.filter(pa.array(ok, pa.bool_()))
+        return t.append_column("decode_ok", pa.array(ok, pa.bool_()))
 
 
 def resize_media(
@@ -376,14 +424,20 @@ def resize_media(
     batch_size: int = 256,
     concurrency=(1, 4),
     decode_stub: str = "fake",
+    on_error: str = "raise",
 ):
-    """(id, media binary, width, height): actor-pool image resize."""
+    """(id, media binary, width, height): actor-pool image resize.
+    ``on_error`` as in featurize_media ('flag' adds decode_ok, the
+    failed rows carrying empty media bytes)."""
+    if on_error not in ("raise", "skip", "flag"):
+        raise ValueError("on_error must be 'raise', 'skip' or 'flag'")
     return ds.select_columns([id_col, binary_col]).map_batches(
         MediaResizer,
         fn_constructor_kwargs={
             "width": width,
             "height": height,
             "decode_stub": decode_stub,
+            "on_error": on_error,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -484,11 +538,17 @@ def featurize_media(
     batch_size: int = 256,
     concurrency=(1, 4),
     decode_stub: str = "fake",
+    on_error: str = "raise",
 ):
-    """(id, feature list<float64>): actor-pool decode + feature extraction."""
+    """(id, feature list<float64>): actor-pool decode + feature
+    extraction. ``on_error``: 'raise' (default), 'skip' (drop corrupt
+    payloads) or 'flag' (keep rows, add a decode_ok column) — per ITEM,
+    so one bad crawl payload never fails a batch task."""
+    if on_error not in ("raise", "skip", "flag"):
+        raise ValueError("on_error must be 'raise', 'skip' or 'flag'")
     return ds.select_columns([id_col, binary_col]).map_batches(
         MediaFeaturizer,
-        fn_constructor_kwargs={"decode_stub": decode_stub},
+        fn_constructor_kwargs={"decode_stub": decode_stub, "on_error": on_error},
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

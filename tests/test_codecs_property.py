@@ -91,6 +91,58 @@ def test_decoders_loud_valueerror_contract():
                 pass
 
 
+def test_on_error_policies_over_mixed_corpus(ray_session):
+    """A corpus with interleaved valid and corrupt payloads: 'skip'
+    drops exactly the corrupt rows, 'flag' keeps them with
+    decode_ok=False, 'raise' fails the task — per ITEM semantics."""
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.multimodal import featurize_media, resize_media
+
+    rng = np.random.default_rng(3)
+    good = [encode_png(rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)) for _ in range(3)]
+    rows = [
+        ("g0", good[0]),
+        ("bad0", b"\x89PNG but not really"),
+        ("g1", good[1]),
+        ("bad1", good[2][: len(good[2]) // 2]),  # truncated
+        ("g2", good[2]),
+        ("badnull", None),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+    )
+    kept = featurize_media(ds, decode_stub="png", on_error="skip").to_pandas()
+    assert sorted(kept["url"]) == ["g0", "g1", "g2"]
+    flagged = (
+        featurize_media(ds, decode_stub="png", on_error="flag")
+        .to_pandas()
+        .set_index("url")
+    )
+    assert list(flagged.loc[["g0", "g1", "g2"], "decode_ok"]) == [True] * 3
+    assert list(flagged.loc[["bad0", "bad1", "badnull"], "decode_ok"]) == [False] * 3
+    assert len(flagged.loc["bad0", "feature"]) == 0
+    rz = (
+        resize_media(ds, width=4, height=4, decode_stub="png", on_error="flag")
+        .to_pandas()
+        .set_index("url")
+    )
+    assert not rz.loc["bad1", "decode_ok"] and rz.loc["bad1", "media"] == b""
+    assert rz.loc["g0", "decode_ok"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        featurize_media(ds, decode_stub="png", on_error="raise").to_pandas()
+    with _pytest.raises(ValueError, match="on_error"):
+        featurize_media(ds, decode_stub="png", on_error="bogus").to_pandas()
+
+
 @settings(max_examples=20, deadline=None)
 @given(img=_rgb(max_side=16))
 def test_jpeg_idempotent_reencode_converges(img):
