@@ -1677,7 +1677,10 @@ def _media_feat_part(sf_dir: str):
     successive approximation incl. DC approx — over the same images
     via encode_jpeg_progressive(dc_approx=True); its features must
     EQUAL the kind='jpeg' rows by construction, a cross-check baked
-    into the golden itself).
+    into the golden itself) + kind='flac' (the REAL from-scratch FLAC
+    decode — flaccodec.py — over the SAME samples as the wav part,
+    FLAC-compressed; lossless, so its rows must EQUAL the kind='wav'
+    rows — the second in-golden cross-check).
     Sort includes 'value' so the order is total across duplicate-url
     rows (the transform_media advice-fix rationale)."""
     import numpy as np
@@ -1709,6 +1712,24 @@ def _media_feat_part(sf_dir: str):
                 else np.zeros(1, dtype=np.int16)
             )
             outs.append(encode_wav(s, 8000))
+        return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
+
+    def to_flac(batch):
+        import pyarrow as _pa
+
+        from shaclapi_ray.pipelines.flaccodec import encode_flac
+
+        outs = []
+        for raw in batch["html"].to_pylist():
+            b = (raw or b"")[:4000]
+            if len(b) % 2:
+                b = b[:-1]
+            s = (
+                np.frombuffer(b, dtype="<i2")
+                if b
+                else np.zeros(1, dtype=np.int16)
+            )
+            outs.append(encode_flac(s, 8000))
         return _pa.table({"url": batch["url"], "html": _pa.array(outs, _pa.binary())})
 
     def explode(feat_ds, kind):
@@ -1823,6 +1844,15 @@ def _media_feat_part(sf_dir: str):
                 decode_stub="jpeg",
             ),
             "jprog",
+        )
+        + explode(
+            featurize_media(
+                pages().map_batches(
+                    to_flac, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                decode_stub="flac",
+            ),
+            "flac",
         )
     )
     out = (

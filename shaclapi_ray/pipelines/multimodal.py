@@ -146,7 +146,18 @@ def _wav_features(raw: bytes) -> np.ndarray:
     """REAL audio features from a PCM WAV payload: [rate, channels,
     frames, rms, mean, peak, zero_crossings, duration_ms] — FEATURE_DIM
     wide like the image paths."""
-    x, rate = decode_wav(raw)
+    return _signal_features(*decode_wav(raw))
+
+
+def _flac_features(raw: bytes) -> np.ndarray:
+    """Same feature contract over a FLAC payload (flaccodec.py — the
+    compressed speech-corpus format, decoded for real in-repo)."""
+    from shaclapi_ray.pipelines.flaccodec import decode_flac
+
+    return _signal_features(*decode_flac(raw))
+
+
+def _signal_features(x: np.ndarray, rate: int) -> np.ndarray:
     mono = x.astype(np.float64).mean(axis=1) if x.size else np.zeros(0)
     if mono.size:
         rms = float(np.sqrt(np.mean(mono * mono)))
@@ -222,6 +233,10 @@ class MediaFeaturizer:
             # REAL audio decode (stdlib wave + numpy): rate/channels/
             # frames/rms/mean/peak/zero-crossings/duration features
             return _wav_features(raw)
+        if self.mode == "flac":
+            # REAL compressed-audio decode (flaccodec.py — the speech-
+            # corpus format): same feature contract as 'wav'
+            return _flac_features(raw)
         if self.mode in ("bmp", "png", "gif", "jpeg"):
             # REAL decode (in-repo codecs): same feature contract as the
             # PIL path — 16x16 gray resample stats + true dimensions.

@@ -260,13 +260,15 @@ def test_media_golden_carries_png_kind():
         pytest.skip("goldens not generated")
     t = pq.read_table(path)
     kinds = set(t["kind"].to_pylist())
-    assert {"feat", "wav", "png", "gif", "jpeg", "jprog"} <= kinds
-    # the progressive rows must EQUAL the baseline-jpeg rows (same
-    # pixels through the SOF2 path — the in-golden cross-check)
+    assert {"feat", "wav", "png", "gif", "jpeg", "jprog", "flac"} <= kinds
+    # in-golden cross-checks: progressive rows must EQUAL the
+    # baseline-jpeg rows (same pixels through the SOF2 path) and the
+    # flac rows must EQUAL the wav rows (lossless compressed audio)
     df = t.to_pandas()
-    j = df[df.kind == "jpeg"].sort_values(["url", "idx", "value"])
-    p = df[df.kind == "jprog"].sort_values(["url", "idx", "value"])
-    assert (j["value"].values == p["value"].values).all()
+    for a, b in (("jpeg", "jprog"), ("wav", "flac")):
+        x = df[df.kind == a].sort_values(["url", "idx", "value"])
+        y = df[df.kind == b].sort_values(["url", "idx", "value"])
+        assert (x["value"].values == y["value"].values).all(), (a, b)
     vals = np.array(
         [v for k, v in zip(t["kind"].to_pylist(), t["value"].to_pylist()) if k == "png"]
     )
