@@ -168,19 +168,30 @@ _ADAM7 = (
 def _deinterlace(pixels: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     """Adam7: seven independently-filtered sub-images scattered onto the
     full raster. Each pass's scanlines carry their own filter bytes and
-    filter against the PREVIOUS ROW OF THE SAME PASS."""
-    out = np.zeros((h, w, bpp), dtype=np.uint8)
-    pos = 0
+    filter against the PREVIOUS ROW OF THE SAME PASS.
+
+    The expected filtered-byte total is validated against the ACTUAL
+    inflated payload BEFORE the (h, w, bpp) raster is allocated — a
+    forged header claiming 65535x65535 over a 100-byte payload must
+    raise ValueError, not attempt a multi-GiB np.zeros (MemoryError
+    escapes the decode actor pools' on_error ValueError policy)."""
+    passes = []
+    expected = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx if w > x0 else 0
         ph = (h - y0 + dy - 1) // dy if h > y0 else 0
         if pw == 0 or ph == 0:
             continue
+        passes.append((x0, y0, dx, dy, pw, ph))
+        expected += ph * (1 + pw * bpp)
+    if expected != pixels.size:
+        raise ValueError("PNG pixel data has the wrong length")
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
         nbytes = ph * (1 + pw * bpp)
         out[y0::dy, x0::dx] = _unfilter(pixels[pos : pos + nbytes], ph, pw, bpp)
         pos += nbytes
-    if pos != pixels.size:
-        raise ValueError("PNG pixel data has the wrong length")
     return out
 
 
@@ -189,7 +200,17 @@ def decode_png(raw: bytes) -> np.ndarray:
 
     Supports 8-bit color types 0/2/3/4/6, both non-interlaced and
     Adam7-interlaced; verifies chunk CRCs; raises ValueError on
-    anything else (truncation, 16-bit, unknown critical chunks)."""
+    anything else (truncation, 16-bit, unknown critical chunks).
+    Structural parse errors (struct/index) normalize to ValueError like
+    the other codecs, so the featurize/resize actor pools' per-item
+    on_error='skip'/'flag' policy holds for any byte payload."""
+    try:
+        return _decode_png_inner(raw)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG structure: {e}") from e
+
+
+def _decode_png_inner(raw: bytes) -> np.ndarray:
     if len(raw) < len(_SIG) + 25 or raw[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG payload")
     pos = len(_SIG)
@@ -208,6 +229,8 @@ def decode_png(raw: bytes) -> np.ndarray:
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
+            if length != 13:
+                raise ValueError(f"PNG IHDR length {length} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             if length % 3:

@@ -119,8 +119,12 @@ def _em_step(
                 if p and beta[j] > 0.0:
                     expected[w[i:j]] += c * alpha[i] * p * beta[j] / z
     total = sum(expected.values())
-    if total <= 0.0:
-        return probs
+    if total <= 0.0 or not math.isfinite(total):
+        # Degenerate mass (all expected counts zero, or a non-finite
+        # accumulation): fall back to uniform over the surviving pieces
+        # so renormalization can never mint NaN logprobs downstream.
+        u = 1.0 / max(1, len(expected))
+        return {s: u for s in sorted(expected)}
     return {s: e / total for s, e in expected.items()}
 
 
@@ -159,7 +163,15 @@ def train_unigram(
         probs = {s: p for s, p in probs.items() if len(s) == 1}
         probs.update(dict(kept))
         total = sum(probs.values())
-        probs = {s: p / total for s, p in sorted(probs.items())}
+        if total <= 0.0 or not math.isfinite(total):
+            # All survivors underflowed to 0.0 (tiny vocab_size on a tiny
+            # corpus): 0/0 would make every piece NaN and turn Viterbi into
+            # an all-<unk> segmenter. Uniform over survivors is exact here —
+            # any all-zero vector renormalizes to uniform in the limit.
+            u = 1.0 / max(1, len(probs))
+            probs = {s: u for s in sorted(probs)}
+        else:
+            probs = {s: p / total for s, p in sorted(probs.items())}
     pieces = sorted(probs)
     return [(UNK, UNK_LOGP)] + [
         (s, math.log(max(probs[s], 1e-300))) for s in pieces

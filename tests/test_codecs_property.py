@@ -91,6 +91,47 @@ def test_decoders_loud_valueerror_contract():
                 pass
 
 
+def test_png_crc_valid_malformed_chunks_raise_valueerror():
+    """Structurally-corrupt-but-CRC-valid payloads: the loud-ValueError
+    contract must hold even when the chunk checksum passes (ADVICE r4 —
+    a short IHDR previously escaped as struct.error)."""
+    from shaclapi_ray.pipelines.pngcodec import _SIG, _chunk
+
+    import pytest
+
+    # CRC-valid IHDR with length != 13 -> struct.error before the fix
+    short = _SIG + _chunk(b"IHDR", b"\x00" * 7) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(short)
+    long_ = _SIG + _chunk(b"IHDR", b"\x00" * 20) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(long_)
+
+
+def test_png_forged_huge_interlaced_header_no_allocation():
+    """A ~100-byte forged Adam7 PNG claiming 65535x65535 must raise
+    ValueError from the size check BEFORE any raster allocation (a
+    ~12 GiB np.zeros would MemoryError past the on_error policy)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from shaclapi_ray.pipelines.pngcodec import _SIG, _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 1)  # interlace=1
+    idat = zlib.compress(b"\x00" * 64)
+    forged = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    assert len(forged) < 200
+    with pytest.raises(ValueError, match="wrong length"):
+        decode_png(forged)
+    # non-interlaced variant takes the _unfilter guard, same contract
+    ihdr0 = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    forged0 = _SIG + _chunk(b"IHDR", ihdr0) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="wrong length"):
+        decode_png(forged0)
+
+
 def test_on_error_policies_over_mixed_corpus(ray_session):
     """A corpus with interleaved valid and corrupt payloads: 'skip'
     drops exactly the corrupt rows, 'flag' keeps them with

@@ -191,3 +191,32 @@ def test_empty_corpus(ray_session):
     assert vocab[0] == (UNK, -20.0)
     toks = tokenize_corpus_unigram(_ds(["abc"]), vocab).to_pandas()
     assert list(toks["token_ids"][0]) == [UNK_ID] * 3
+
+
+def test_tiny_vocab_logprobs_finite(ray_session):
+    """ADVICE r4 (medium): vocab_size small enough to prune every
+    multi-char piece used to underflow the renormalization to 0/0 and
+    return NaN logprobs for the whole vocab (segment('the') silently
+    became ['<unk>']). The uniform fallback must keep every logprob
+    finite and coverage characters segmentable."""
+    texts = ["the cat sat on the mat", "a dog ate the hat", "the end"]
+    for vs in (1, 2, 3, 4, 6):
+        vocab = train_unigram(_ds(texts), vocab_size=vs, seed_size=2000)
+        assert all(math.isfinite(lp) for _, lp in vocab), f"vocab_size={vs}"
+        logp = {s: lp for s, lp in vocab[1:]}
+        # every seen character survives pruning -> 'the' never maps to UNK
+        assert UNK not in viterbi_segment("the", logp)
+
+
+def test_em_step_degenerate_mass_uniform_fallback():
+    """_em_step with zero/NaN total expected mass returns uniform, not
+    NaN-propagating garbage."""
+    words, counts = ["ab"], np.array([3], np.int64)
+    # probs that cannot cover 'ab' at all -> zero expected mass
+    out = _em_step(words, counts, {"zz": 1.0, "q": 0.5}, max_piece_len=4)
+    vals = sorted(out.values())
+    assert all(math.isfinite(v) for v in vals)
+    assert abs(sum(vals) - 1.0) < 1e-12
+    # NaN-poisoned input probs must not leak NaN through
+    out2 = _em_step(words, counts, {"a": float("nan"), "b": float("nan")}, 4)
+    assert all(math.isfinite(v) for v in out2.values())
