@@ -155,3 +155,63 @@ def test_profile_drift_slot_not_degenerate():
             f"profile-drift verdicts degenerate at {sf}: "
             f"{n_drift}/{len(df)} drifted"
         )
+
+
+def test_cap_profile_not_degenerate():
+    """CAP_K must actually cap (some rows dropped) while keeping rows
+    from every real host at BOTH driver scales — K above the per-host
+    page count would turn the top_hosts slot's kind='cap' part into a
+    pass-through with a still-green hash. SQL-side only."""
+    import duckdb
+
+    from __ray_entry__ import CAP_K
+    from shaclapi_ray.oracles import cap_per_host_sql
+    from shaclapi_ray.pagegen import ensure_pages
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        pages_dir = ensure_pages(sf)
+        total = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{pages_dir}/*.parquet')"
+        ).fetchone()[0]
+        df = duckdb.sql(
+            "SELECT host, count(*) AS n FROM ("
+            + cap_per_host_sql(pages_dir, CAP_K)
+            + ") GROUP BY host"
+        ).df()
+        kept = int(df["n"].sum())
+        assert 0 < kept < total, (
+            f"CAP_K={CAP_K} keeps {kept}/{total} rows at {sf} — the cap "
+            "never fires (or drops everything); fixture hosts carry "
+            "~180/~1800 docs, K must sit below that"
+        )
+        real_hosts = df[df["host"].str.contains("example", na=False)]
+        assert (real_hosts["n"] == CAP_K).any(), (
+            f"no real host is AT the cap at {sf} — K no longer binds"
+        )
+
+
+def test_delta_profile_not_degenerate():
+    """The DELTA_DROP_OLD/DELTA_DROP_NEW/DELTA_CHANGE derivation rules
+    must keep all four snapshot_delta statuses (added/removed/changed/
+    unchanged) populated at BOTH driver scales — losing one silently
+    guts the snapshot_delta slot and the kind='delta'/'profile' parts
+    that share the derivation. SQL-side only."""
+    import duckdb
+
+    from __ray_entry__ import _delta_new_src, _delta_old_src
+    from shaclapi_ray.oracles import snapshot_delta_sql
+    from shaclapi_ray.pagegen import ensure_pages
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        pages_dir = ensure_pages(sf)
+        df = duckdb.sql(
+            "SELECT status, count(*) AS n FROM ("
+            + snapshot_delta_sql(_delta_old_src(pages_dir), _delta_new_src(pages_dir))
+            + ") GROUP BY status"
+        ).df()
+        by = dict(zip(df.status, df.n))
+        for status in ("added", "removed", "changed", "unchanged"):
+            assert by.get(status, 0) > 0, (
+                f"snapshot_delta status '{status}' is empty at {sf} "
+                f"({by}) — check the DELTA_* rules in __ray_entry__.py"
+            )
