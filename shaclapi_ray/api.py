@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import csv
 import os
+import tempfile
 import time
 from typing import Any
 
@@ -52,6 +53,7 @@ _ALIASES = {
     "pagesDir": "pages_dir",
     # reference camelCase aliases (config.py get-with-alias properties)
     "outputDirectory": "output_directory",
+    "simpleResultRowLimit": "simple_result_row_limit",
     "shapeFormat": "schema_format",
     "shape_format": "schema_format",
     "workInParallel": "work_in_parallel",
@@ -90,6 +92,11 @@ _DEFAULTS = {
     # semantic mapping where one exists (see _job_config):
     "config": None,  # JSON config file; direct options override it
     "output_directory": "./output/",  # stats land here when write_stats
+    # 'simple' output collects violations to the driver only up to this
+    # many rows; above it they spill to output_directory parquet and the
+    # result carries violations_path + violations_rows instead. None/0
+    # disables the ceiling (always collect — the pre-r5 behavior).
+    "simple_result_row_limit": 100_000,
     "schema_format": "SHACL",  # JSON | SHACL (loader auto-detects both)
     "work_in_parallel": True,  # False -> num_partitions=1
     "use_selective_queries": True,  # -> JobConfig.scan_pushdown
@@ -214,10 +221,32 @@ def run_job(config: dict[str, Any]) -> dict[str, Any]:
     if cfg["output_format"] == "test":
         result: Any = res.test_output()
     else:
-        result = {
-            "violations": res.violations().to_pandas().to_dict("records"),
-            "counts": res.verdict_counts().to_pylist(),
-        }
+        # ≙ reference in-memory JSON collect (api.py:221-236) below the
+        # ceiling; above it a violation-heavy job would OOM the driver,
+        # so spill to partitioned parquet in output_directory and return
+        # path + counts instead (scale-safe default, VERDICT r4 #4).
+        vio = res.violations().materialize()
+        n_vio = vio.count()
+        limit = cfg["simple_result_row_limit"]
+        limit = int(limit) if limit is not None else 0
+        counts = res.verdict_counts().to_pylist()
+        if limit and n_vio > limit:
+            out_dir = cfg["output_directory"] or tempfile.mkdtemp(
+                prefix="shaclapi_ray_violations_"
+            )
+            vio_dir = os.path.join(out_dir, "violations")
+            os.makedirs(vio_dir, exist_ok=True)
+            vio.write_parquet(vio_dir)
+            result = {
+                "violations_path": vio_dir,
+                "violations_rows": n_vio,
+                "counts": counts,
+            }
+        else:
+            result = {
+                "violations": vio.to_pandas().to_dict("records"),
+                "counts": counts,
+            }
     stats = {
         "total_execution_time": time.time() - t_start,
         "query_time": res.timings.get("pass_a_s", 0.0),

@@ -48,6 +48,9 @@ import ray
 from shaclapi_ray.pipelines.textstats import TOKEN_RE
 
 DSIR_BUCKETS_DEFAULT = 4096
+# dsir_resample(materialize=None) collects to a driver DataFrame only up
+# to this many kept rows; above it the streaming Dataset form is returned
+DSIR_MATERIALIZE_K_CEILING = 1_000_000
 _GUMBEL_MOD = 1 << 53  # exactly representable in float64
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -281,7 +284,7 @@ def dsir_resample(
     n_buckets: int = DSIR_BUCKETS_DEFAULT,
     seed: int = 0,
     target_ds=None,
-    materialize: bool = True,
+    materialize: bool | None = None,
 ):
     """Gumbel-top-k importance resample: the k documents with the
     largest ``dsir_logratio + Gumbel(hash(doc_id))`` keys (ties broken
@@ -293,7 +296,12 @@ def dsir_resample(
     reaches the driver and is never globally sorted.
     ``materialize=False`` returns the selected docs as a streaming
     Dataset instead of a driver DataFrame — the form to use when k
-    itself is corpus-scale."""
+    itself is corpus-scale. The default (None) auto-selects: a driver
+    DataFrame up to ``DSIR_MATERIALIZE_K_CEILING`` kept rows, the
+    streaming Dataset above it, so a corpus-scale k can never OOM the
+    driver by default (VERDICT r4 #4)."""
+    if materialize is None:
+        materialize = k <= DSIR_MATERIALIZE_K_CEILING
     scored = dsir_scores(
         docs_ds, target_col, target_value, n_buckets, target_ds=target_ds
     )
