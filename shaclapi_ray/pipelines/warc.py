@@ -73,14 +73,18 @@ def _check_header_value(v: str) -> str:
     return v
 
 
-def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+def _record(headers: list[tuple[str, str]], payload) -> bytes:
+    """``payload`` may be bytes OR a numpy uint8 view into an Arrow data
+    buffer — join reads it through the buffer protocol either way."""
     head = "".join(f"{k}: {_check_header_value(v)}\r\n" for k, v in headers)
-    return (
-        b"WARC/1.0\r\n"
-        + head.encode("utf-8")
-        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
-        + payload
-        + b"\r\n\r\n"
+    return b"".join(
+        (
+            b"WARC/1.0\r\n",
+            head.encode("utf-8"),
+            f"Content-Length: {len(payload)}\r\n\r\n".encode(),
+            payload,
+            b"\r\n\r\n",
+        )
     )
 
 
@@ -90,10 +94,11 @@ def _page_records(url, ts_us, html, text, lang) -> list[bytes]:
     (the spec only asks for a unique URI; ``urn:md5:`` keeps regenerated
     shards byte-identical)."""
     payload = b"" if html is None else html
-    rid = "urn:md5:" + hashlib.md5(
+    m = hashlib.md5(
         repr((url, ts_us, lang, html is None, len(payload))).encode("utf-8")
-        + payload
-    ).hexdigest()
+    )
+    m.update(payload)  # buffer protocol: bytes or numpy view alike
+    rid = "urn:md5:" + m.hexdigest()
     h = [("WARC-Type", "resource"), ("WARC-Record-ID", rid)]
     if url is not None:
         h.append(("WARC-Target-URI", url))
@@ -116,13 +121,39 @@ def _page_records(url, ts_us, html, text, lang) -> list[bytes]:
         if ts_us is not None:
             h2.append(("WARC-Date", _iso_us(ts_us)))
         h2.append(("Content-Type", "text/plain; charset=utf-8"))
-        recs.append(_record(h2, text.encode("utf-8")))
+        # a str encodes; a numpy view IS the utf-8 bytes (Arrow string
+        # buffers are utf-8), byte-identical either way
+        recs.append(_record(h2, text.encode("utf-8") if isinstance(text, str) else text))
     return recs
 
 
 # ---------------------------------------------------------------------------
 # sink
 # ---------------------------------------------------------------------------
+
+
+def _payload_views(col, n: int) -> list:
+    """Per-row numpy uint8 views into an Arrow binary/string column's
+    data buffer (None for null rows). Zero-copy: slicing the shared data
+    array creates views, so payload bytes are never materialized as
+    Python objects (VERDICT r4 #7 — the md5kernel buffer pattern).
+    For a string column the views ARE the utf-8 bytes."""
+    if col is None:
+        return [None] * n
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(a) == 0:
+        return []
+    large = pa.types.is_large_binary(a.type) or pa.types.is_large_string(a.type)
+    off_dtype = np.int64 if large else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=off_dtype)[
+        a.offset : a.offset + len(a) + 1
+    ]
+    dbuf = a.buffers()[2]
+    data = np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None else np.empty(0, np.uint8)
+    nulls = pa.compute.is_null(a).to_numpy(zero_copy_only=False)
+    return [
+        None if nulls[i] else data[offs[i] : offs[i + 1]] for i in range(len(a))
+    ]
 
 
 class _WarcBlockWriter:
@@ -151,20 +182,29 @@ class _WarcBlockWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _manifest_table([], [], [], [])
-        cols = {}
-        for c in _PAGE_COLS:
-            if c in batch.column_names:
-                col = batch[c]
-                if c == "warc_ts":
-                    col = col.cast(pa.int64())
-                cols[c] = col.to_pylist()
-            else:
-                cols[c] = [None] * batch.num_rows
+        n = batch.num_rows
+
+        def _small(c):
+            # url/ts/lang are header-sized; Python objects are fine here
+            if c not in batch.column_names:
+                return [None] * n
+            col = batch[c]
+            if c == "warc_ts":
+                col = col.cast(pa.int64())
+            return col.to_pylist()
+
+        # html/text payloads move as numpy views into the Arrow data
+        # buffers (the md5kernel pattern) — never copied into Python
+        # objects; md5/gzip/join read them via the buffer protocol
+        htmls = _payload_views(
+            batch["html"] if "html" in batch.column_names else None, n
+        )
+        texts = _payload_views(
+            batch["text"] if "text" in batch.column_names else None, n
+        )
         parts: list[bytes] = []
         idx_rows: list[tuple] = []  # (url, ts, rec_type, digest)
-        for row in zip(
-            cols["url"], cols["warc_ts"], cols["html"], cols["text"], cols["lang"]
-        ):
+        for row in zip(_small("url"), _small("warc_ts"), htmls, texts, _small("lang")):
             recs = _page_records(*row)
             parts.extend(recs)
             if self.index:
@@ -175,8 +215,7 @@ class _WarcBlockWriter:
                 )
                 if text is not None:
                     idx_rows.append(
-                        (url, ts_us, "conversion",
-                         hashlib.md5(text.encode("utf-8")).hexdigest())
+                        (url, ts_us, "conversion", hashlib.md5(text).hexdigest())
                     )
         raw = b"".join(parts)
         name = hashlib.md5(raw).hexdigest()

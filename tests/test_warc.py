@@ -253,3 +253,54 @@ def test_framing_roundtrip(url, ts, html, text, lang):
         assert "warc-date" not in hdrs
     if text is not None:
         assert recs[1][1].decode("utf-8") == text
+
+
+def test_buffer_view_framing_byte_identical_to_python_values(ray_session):
+    """VERDICT r4 #7: the writer frames payloads from numpy views of the
+    Arrow buffers; the shard bytes must equal framing the same rows from
+    plain Python values (incl. nulls, empty strings, sliced/chunked
+    arrays, and non-ascii text whose utf-8 runs through the Arrow string
+    buffer)."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from shaclapi_ray.pipelines.warc import _page_records, write_warc
+
+    rows = [
+        ("https://a.example/x", 1_600_000_000_000_000, b"<html>\x00\xff", "text é中", "en"),
+        (None, None, None, None, None),
+        ("", 1_700_000_000_000_000, b"", "", "de"),
+        ("https://b.example/y", None, b"payload", None, None),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    # slice to force a non-zero Arrow array offset through the view path
+    sliced = pa.concat_tables([t.slice(1)])
+    out_dir = "/tmp/warc_viewtest"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mani = write_warc(
+        ray.data.from_arrow(sliced), out_dir, compress=False
+    )
+    (path,) = mani["path"].to_pylist()
+    shard = open(path, "rb").read()
+    expected = b"".join(
+        b"".join(_page_records(*r)) for r in rows[1:]
+    )
+    assert shard == expected
+    # content-hash shard name derives from the same bytes
+    import hashlib
+
+    assert hashlib.md5(expected).hexdigest() in path
