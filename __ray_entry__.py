@@ -892,8 +892,11 @@ def _q_knn_ivf(sf_dir: str):
     kind='pq' — product-quantized ADC search (pipelines/pq.py, 32×
     smaller codes);
     kind='ivfpq' — the combined IVF-PQ index probe (pipelines/pq.py:
-    bucket pruning AND uint8 codes, the FAISS-IVFADC 100-TB layout).
-    All deterministic -> one golden pins the triple."""
+    bucket pruning AND uint8 codes, the FAISS-IVFADC 100-TB layout);
+    kind='ivfpq_res' — the same probe over a RESIDUAL-encoded index
+    (codebooks fit on v - centroid, the full IVFADC scheme — strictly
+    tighter quantization, r5 golden-pinned per VERDICT r4 #3).
+    All deterministic -> one golden pins the quad."""
     import pandas as pd
 
     from shaclapi_ray.pipelines.knn import knn_ivf
@@ -917,8 +920,19 @@ def _q_knn_ivf(sf_dir: str):
     if hasattr(ivfpq, "to_pandas"):
         ivfpq = ivfpq.to_pandas()
     ivfpq.insert(0, "kind", "ivfpq")
+    ivfpq_res = knn_ivf_pq(
+        _emb(sf_dir),
+        KNN_QUERY_IDS,
+        k=KNN_K,
+        m=8,
+        index_dir=f"/tmp/shaclapi_ray_ivfpq_res_entry/{_sf_name(sf_dir)}",
+        residual=True,
+    )
+    if hasattr(ivfpq_res, "to_pandas"):
+        ivfpq_res = ivfpq_res.to_pandas()
+    ivfpq_res.insert(0, "kind", "ivfpq_res")
     return _sorted(
-        pd.concat([ivf, pq, ivfpq], ignore_index=True),
+        pd.concat([ivf, pq, ivfpq, ivfpq_res], ignore_index=True),
         ["kind", "query_id", "rank"],
     )
 
