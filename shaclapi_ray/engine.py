@@ -376,7 +376,27 @@ class ValidationEngine:
         )
 
     # -- main ----------------------------------------------------------------
-    def run(self, pages_path: str | ray.data.Dataset) -> ValidationResult:
+    def run(
+        self,
+        pages_path: str | ray.data.Dataset,
+        extra_child_events: ray.data.Dataset | None = None,
+        links_override: ray.data.Dataset | None = None,
+    ) -> ValidationResult:
+        """``extra_child_events`` (optional) injects EVENTS_SCHEMA rows —
+        kind='verdict' verdicts reused from persisted state — into the
+        pass-B event view so referential child-valid sets see the FULL
+        snapshot while only a subset of pages streams through the run
+        (incremental.incremental_validate's referential path). Injected
+        rows feed child_valid_urls / the fused child hash sets only; they
+        are excluded from the returned result's events.
+
+        ``links_override`` (optional) replaces the staged ref pipeline's
+        extracted links with a caller-supplied (url, target_url) Dataset.
+        Required when the pages input is a SUBSET of the snapshot and the
+        DAG carries inverse (inbound) refs: inbound counts aggregate
+        links from OTHER rows, so the links table must cover the full
+        corpus even though only delta pages re-run. Counts for urls
+        outside the subset fall out in the colpart left-join."""
         cfg = self.config
         timings: dict[str, float] = {}
         t0 = time.monotonic()
@@ -496,6 +516,10 @@ class ValidationEngine:
         # event pieces accumulate per stage; unions over MATERIALIZED pieces
         # are zero-copy block-ref concatenations (no recompute, no copy)
         pieces: list[ray.data.Dataset] = [events_a.materialize()]
+        injected_piece = None
+        if extra_child_events is not None:
+            injected_piece = extra_child_events.materialize()
+            pieces.append(injected_piece)
 
         def all_events() -> ray.data.Dataset:
             return pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
@@ -512,7 +536,9 @@ class ValidationEngine:
             for c in s.constraints
             if isinstance(c, RefConstraint)
         )
-        if pages_links is not None and non_fused_ref:
+        if links_override is not None and non_fused_ref:
+            links_ds = links_override
+        elif pages_links is not None and non_fused_ref:
             links_ds = extract_links(pages_links, batch_size=cfg.batch_size)
             if non_fused_ref > 1:
                 # reused by several constraints: pay one materialization
@@ -532,7 +558,15 @@ class ValidationEngine:
             and not shapes[sid].is_column_only()
             for sid in shapes
         )
-        events = all_events()
+        if injected_piece is not None:
+            out_pieces = [p for p in pieces if p is not injected_piece]
+            events = (
+                out_pieces[0]
+                if len(out_pieces) == 1
+                else out_pieces[0].union(*out_pieces[1:])
+            )
+        else:
+            events = all_events()
         if emitted_colpart:
             events = _filter_events_not_kind(events, "colpart")
         timings["total_s"] = time.monotonic() - t0

@@ -8,15 +8,23 @@ idea, applied to verdicts instead of content hashes); the QUERYABLE
 per-url delta report between two snapshots (added/removed/changed/
 unchanged rows, SQL-oracle-checked) is ``freshness.snapshot_delta``.
 
-Correctness scope — exact for COLUMN-ONLY shape DAGs: predicate/OR
-constraints are row-local, so an unchanged row's verdict cannot change
-when other rows change. Referential / Unique / Drift constraints
-aggregate over OTHER rows (a changed child page can flip an unchanged
-target's cardinality verdict; a new duplicate flips an old row's
-uniqueness), so verdict reuse would be silently wrong — those DAGs are
-refused loudly (the engine's broadcast-ceiling convention: fail with
-the correct alternative named, never degrade accuracy). The resumable
-full run (`checkpoint.CheckpointedValidation`) is that alternative.
+Correctness scope — exact for column-only AND (r5) REFERENTIAL shape
+DAGs. Predicate/OR constraints are row-local, so an unchanged row's
+verdict cannot change when other rows change. RefConstraints aggregate
+over link targets/sources, so the revalidation set expands from the
+fingerprint delta by the LINK BLAST RADIUS: parents whose links touch
+changed/removed/added child urls, propagated to fixpoint up the
+reference chains over the persisted narrow links table (the exactness
+induction is in ``_ref_blast_radius``'s docstring); the subset engine
+run injects reused verdicts into pass B so child-valid sets see the
+full snapshot, and inverse (inbound) refs get the full-corpus merged
+links table via ``links_override``. Above ``full_run_ratio`` the
+operator falls back to one full run (same contract, fresh state).
+Unique / Drift constraints aggregate over ALL rows (a new duplicate
+flips an arbitrary old row's uniqueness; drift digests span the whole
+partition), so no bounded revalidation set exists — those DAGs refuse
+loudly, with the resumable full run
+(`checkpoint.CheckpointedValidation`) named as the alternative.
 
 State layout (``state_dir``): url-hash-bucketed parquet — the same
 bucket is both the update and the lookup unit —
@@ -24,7 +32,8 @@ bucket is both the update and the lookup unit —
     fps/bucket=<b>/        (url, fp)            row fingerprints
     verdicts/bucket=<b>/   (url, shape_id, valid, reason)
     violations/bucket=<b>/ (url, shape_id, constraint, offending_value)
-    manifest.json          shape ids + fingerprinted columns + counts
+    links/bucket=<b>/      (url, target_url)    ref DAGs only (r5)
+    manifest.json          shape ids + columns + has_refs + counts
 
 The manifest guards staleness: an incremental run against a state
 written for different shapes or columns refuses (reuse would mix
@@ -90,17 +99,65 @@ def _fp_columns(dag) -> list[str]:
     return sorted(cols)
 
 
-def _require_column_only(dag) -> None:
-    bad = [
-        sid for sid, s in dag.shapes.items() if not s.is_column_only()
-    ]
-    if bad:
-        raise ValueError(
-            f"shapes {bad} carry referential/unique/drift constraints, "
-            "which aggregate over other rows — incremental verdict reuse "
-            "would be wrong. Run the full engine (resumable form: "
-            "checkpoint.CheckpointedValidation) for this schema."
-        )
+def _ref_profile(dag) -> tuple[bool, bool, bool]:
+    """(has_refs, has_forward, has_inverse) for an incremental-capable DAG; refuses
+    Unique/Drift loudly (r5: referential DAGs ARE incremental-capable via
+    the link blast radius — only truly global constraints remain out:
+    a new duplicate flips an arbitrary old row's uniqueness and drift
+    digests aggregate the whole partition, so no bounded revalidation
+    set exists for either)."""
+    from shaclapi_ray.shapes.ir import DriftConstraint, RefConstraint, UniqueConstraint
+
+    has_refs = has_fwd = has_inv = False
+    for sid, s in dag.shapes.items():
+        for c in s.constraints:
+            if isinstance(c, (UniqueConstraint, DriftConstraint)):
+                raise ValueError(
+                    f"shape {sid} carries a {type(c).__name__}, which "
+                    "aggregates over ALL rows — no bounded revalidation "
+                    "set exists, incremental verdict reuse would be "
+                    "wrong. Run the full engine (resumable form: "
+                    "checkpoint.CheckpointedValidation) for this schema."
+                )
+            if isinstance(c, RefConstraint):
+                has_refs = True
+                if c.inverse:
+                    has_inv = True
+                else:
+                    has_fwd = True
+            from shaclapi_ray.shapes.ir import OrConstraint, PredicateConstraint
+
+            if isinstance(c, OrConstraint) and not all(
+                isinstance(o, PredicateConstraint) for o in c.options
+            ):
+                raise ValueError(
+                    f"shape {sid}: OR of non-predicate constraints is not "
+                    "incremental-capable (blast radius undefined for "
+                    "disjunctive refs) — run the full engine."
+                )
+    return has_refs, has_fwd, has_inv
+
+
+def _ref_depth(dag) -> int:
+    """Longest shape-reference chain (cycle-guarded) — the fixpoint
+    iteration bound for the blast radius."""
+    memo: dict[str, int] = {}
+
+    def d(sid: str, stack: tuple = ()) -> int:
+        if sid in memo:
+            return memo[sid]
+        if sid in stack:
+            return 0
+        deps = [
+            r
+            for r in dag.shapes[sid].referenced_shapes()
+            if r in dag.shapes
+        ]
+        v = 1 + max((d(r, stack + (sid,)) for r in deps), default=0)
+        memo[sid] = v
+        return v
+
+    return max((d(s) for s in dag.shapes), default=1)
 
 
 def _url_key(col) -> pa.Array:
@@ -142,21 +199,49 @@ def _with_fp(cols: list[str]):
     return fn
 
 
+def _bucketed_links(links_ds):
+    """(url-key, target_url, bucket) — the narrow persisted link table
+    a referential incremental run computes its blast radius over."""
+    from shaclapi_ray.stages.hashset import hash_strings
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = _url_key(batch["url"])
+        b = (hash_strings(key) % STATE_BUCKETS).astype(np.int64)
+        return pa.table(
+            {
+                "url": key,
+                "target_url": batch["target_url"],
+                "bucket": pa.array(b),
+            }
+        )
+
+    return links_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def persist_validation_state(
     state_dir: str,
     pages_ds,
     result: ValidationResult,
 ) -> str:
     """Write the verdict/violation/fingerprint state for a completed
-    validation — the baseline an incremental run diffs against."""
+    validation — the baseline an incremental run diffs against.
+    Referential DAGs (r5) additionally persist the narrow links table
+    (url, target_url) the blast radius walks; Unique/Drift refuse."""
     dag = result.dag
-    _require_column_only(dag)
+    has_refs, _, _ = _ref_profile(dag)
     cols = _fp_columns(dag)
     from shaclapi_ray.stages.hashset import hash_strings
 
     pages_ds.map_batches(
         _with_fp(cols), batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(os.path.join(state_dir, "fps"), partition_cols=["bucket"])
+
+    if has_refs:
+        from shaclapi_ray.stages.links import extract_links
+
+        _bucketed_links(extract_links(pages_ds)).write_parquet(
+            os.path.join(state_dir, "links"), partition_cols=["bucket"]
+        )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (hash_strings(batch["url"]) % STATE_BUCKETS).astype(np.int64)
@@ -177,6 +262,7 @@ def persist_validation_state(
     manifest = {
         "shape_ids": sorted(dag.shapes),
         "columns": cols,
+        "has_refs": has_refs,
         "n_verdicts": n_verdicts,
         "n_buckets": STATE_BUCKETS,
     }
@@ -213,6 +299,142 @@ def _read_state(state_dir: str, name: str, columns: list[str]):
     return read_parquet(os.path.join(state_dir, name), columns=columns)
 
 
+def _member_filter_fn(ref, keep_members: bool):
+    """map_batches fn: keep (or drop) rows whose url-key hash is in the
+    broadcast sorted uint64 set — one ray.put, zero per-task build."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from shaclapi_ray.stages.hashset import hash_strings
+
+        s = ray.get(ref)
+        if not len(batch):
+            return batch
+        h = hash_strings(_url_key(batch["url"]))
+        if s.size == 0:
+            member = np.zeros(len(h), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(s, h), s.size - 1)
+            member = s[pos] == h
+        return batch.filter(pa.array(member if keep_members else ~member))
+
+    return fn
+
+
+def _verdicts_as_events(batch: pa.Table) -> pa.Table:
+    """(url, shape_id, valid, reason) state rows -> EVENTS_SCHEMA
+    kind='verdict' rows for injection into the engine's pass-B view."""
+    from shaclapi_ray.stages.predicates import EVENTS_SCHEMA
+
+    n = batch.num_rows
+    return pa.table(
+        {
+            "url": batch["url"],
+            "shape_id": batch["shape_id"],
+            "kind": pa.array(["verdict"] * n, pa.string()),
+            "valid": batch["valid"],
+            "reason": batch["reason"],
+            "constraint": pa.nulls(n, pa.string()),
+            "offending_value": pa.nulls(n, pa.string()),
+        },
+        schema=EVENTS_SCHEMA,
+    )
+
+
+def _full_fallback(
+    engine, pages_new, out_state_dir: str | None, stats: dict
+) -> "IncrementalResult":
+    """The above-ratio escape: one full engine run over the new corpus,
+    state persisted for the next snapshot — the incremental contract
+    (verdict continuity + fresh state) at full-run cost."""
+    full = engine.run(pages_new)
+    out = IncrementalResult(
+        verdicts=full.verdicts().select_columns(VERDICT_COLS).materialize(),
+        violations=full.violations().select_columns(VIOLATION_COLS).materialize(),
+        delta_result=full,
+        stats=stats,
+    )
+    if out_state_dir is not None:
+        persist_validation_state(out_state_dir, pages_new, full)
+    return out
+
+
+def _edge_scan(links_ds, src_col: str, dst_col: str, member_ref) -> np.ndarray:
+    """Stream a links Dataset; return the sorted unique url-key hashes of
+    ``dst_col`` on rows whose ``src_col`` hash is in the broadcast sorted
+    set (stages/hashset discipline: one ray.put, np.searchsorted per
+    batch, no per-task build). Driver collects 8 B per MATCH — bounded
+    by the true blast radius, i.e. exactly the revalidation work."""
+    from shaclapi_ray.stages.hashset import hash_strings
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = ray.get(member_ref)
+        if not batch.num_rows or s.size == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        h = hash_strings(_url_key(batch[src_col]))
+        pos = np.minimum(np.searchsorted(s, h), s.size - 1)
+        m = s[pos] == h
+        dst = _url_key(batch[dst_col].filter(pa.array(m)))
+        out = np.unique(hash_strings(dst))
+        return pa.table({"h": pa.array(out.view(np.int64))})
+
+    parts = [
+        b["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        for b in links_ds.map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+
+def _ref_blast_radius(
+    seed: np.ndarray,
+    old_links,
+    delta_links,
+    has_fwd: bool,
+    has_inv: bool,
+    max_iters: int,
+) -> np.ndarray:
+    """Fixpoint expansion of the revalidation set over link edges.
+
+    Soundness argument (the induction the equality tests pin): a page
+    NOT in the returned set has (a) an unchanged fingerprint — its
+    column parts and its own outgoing links are unchanged (html is a
+    fingerprint column for ref DAGs) — and (b) no link edge touching any
+    page in the set, in whichever directions the DAG's constraints read:
+    forward refs count the page's OWN links against child-valid targets
+    (targets all outside the set -> their child verdicts are unchanged
+    by induction), inverse refs count INBOUND links from child-valid
+    sources (sources all outside the set, and sources newly linking to
+    it would have changed fingerprints -> in the seed; their links come
+    from ``delta_links``). Hence its verdict under every shape is
+    unchanged and reuse is exact. Iteration propagates verdict flips up
+    reference chains; ``max_iters`` = the DAG's longest chain bounds the
+    fixpoint."""
+    blast = np.unique(seed)
+    for _ in range(max_iters):
+        ref = ray.put(blast)
+        found_parts = []
+        if has_fwd:
+            found_parts.append(_edge_scan(old_links, "target_url", "url", ref))
+        if has_inv:
+            found_parts.append(_edge_scan(old_links, "url", "target_url", ref))
+            if delta_links is not None:
+                found_parts.append(
+                    _edge_scan(delta_links, "url", "target_url", ref)
+                )
+        found = (
+            np.unique(np.concatenate(found_parts))
+            if found_parts
+            else np.empty(0, np.uint64)
+        )
+        add = np.setdiff1d(found, blast)
+        if add.size == 0:
+            break
+        blast = np.union1d(blast, add)
+    return blast
+
+
 def incremental_validate(
     shapes: list[Shape] | str,
     pages_new,
@@ -220,6 +442,7 @@ def incremental_validate(
     config: JobConfig | None = None,
     out_state_dir: str | None = None,
     strategy: str = "broadcast",
+    full_run_ratio: float = 0.5,
 ) -> IncrementalResult:
     """Validate the new snapshot against persisted state: unchanged
     rows (same url, same fingerprint) reuse their stored verdicts and
@@ -228,6 +451,18 @@ def incremental_validate(
     merged state for the next snapshot. ``strategy='join'`` replaces
     the broadcast fingerprint map with hash-partitioned joins (the
     beyond-FP_BROADCAST_LIMIT path).
+
+    REFERENTIAL DAGs (r5, VERDICT r4 #1): the revalidation set expands
+    from the fingerprint delta by the link blast radius — parents whose
+    links touch changed/removed/added child urls, propagated up the
+    reference chains to fixpoint over the persisted narrow links table
+    (see ``_ref_blast_radius`` for the exactness argument). The subset
+    run injects the reused verdicts into the engine's pass-B event view
+    so child-valid sets see the FULL snapshot. When the revalidation
+    set exceeds ``full_run_ratio`` of the new corpus, the engine falls
+    back to a full run (stats['mode']='full_fallback') — at that delta
+    size the blast bookkeeping costs more than it saves. Unique/Drift
+    still refuse loudly (no bounded revalidation set exists).
 
     Contract-violation nuance (duplicate/null urls — the engine
     requires unique urls): both strategies stay output-correct, but on
@@ -239,7 +474,7 @@ def incremental_validate(
         raise ValueError(f"unknown strategy {strategy!r}")
     engine = ValidationEngine(shapes, config)
     dag = engine.dag
-    _require_column_only(dag)
+    has_refs, has_fwd, has_inv = _ref_profile(dag)
     cols = _fp_columns(dag)
 
     with open(os.path.join(state_dir, "manifest.json")) as fh:
@@ -250,6 +485,12 @@ def incremental_validate(
             f"{manifest['shape_ids']} over columns {manifest['columns']}, "
             f"but this run validates {sorted(dag.shapes)} over {cols}. "
             "Run a full validation and persist fresh state."
+        )
+    if bool(manifest.get("has_refs", False)) != has_refs:
+        raise ValueError(
+            "state is stale: its referential profile does not match this "
+            "schema (links table present/absent) — run a full validation "
+            "and persist fresh state."
         )
 
     new_fps = pages_new.map_batches(
@@ -399,51 +640,136 @@ def incremental_validate(
                 )
             )
         )
-    # counted in KEYS: under the engine's unique-url contract keys ==
-    # rows; with pathological duplicate/null urls every colliding key
-    # deterministically revalidates (see the dup flag above), and the
-    # join path may emit multiplied klass rows for them — unique keys
-    # are the strategy-independent measure
-    n_delta = int(changed_hashes.size)
-    # reused rows = state rows NOT in (changed ∪ removed) — both sets
+    # ---- referential blast radius (r5) --------------------------------
+    revalidate_hashes = changed_hashes
+    delta_links = None
+    n_blast_extra = 0
+    if has_refs:
+        from shaclapi_ray.stages.links import extract_links
+
+        old_links = _read_state(state_dir, "links", ["url", "target_url"])
+        if has_inv or out_state_dir is not None:
+            # links of CHANGED pages from the new corpus: inverse blast
+            # needs new/changed sources' edges, and the out-state links
+            # merge replaces exactly these urls' link rows
+            ch_ref = ray.put(changed_hashes)
+            delta_links = extract_links(
+                pages_new.map_batches(
+                    _member_filter_fn(ch_ref, True),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            ).materialize()
+        revalidate_hashes = _ref_blast_radius(
+            np.union1d(changed_hashes, removed_hashes),
+            old_links,
+            delta_links,
+            has_fwd,
+            has_inv,
+            max_iters=_ref_depth(dag),
+        )
+        merged_links = None
+        if has_inv:
+            # inverse refs aggregate INBOUND links from other rows: the
+            # subset run needs the FULL new-corpus links table. Merge =
+            # old rows for urls with unchanged html + fresh delta rows
+            # (== extract_links(pages_new), without re-reading unchanged
+            # html); also reused verbatim by the out-state write below.
+            links_drop = ray.put(np.union1d(changed_hashes, removed_hashes))
+            merged_links = (
+                old_links.map_batches(
+                    _member_filter_fn(links_drop, False),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .union(delta_links.select_columns(["url", "target_url"]))
+                .materialize()
+            )
+        # keys to actually revalidate = blast ∩ new-corpus keys (the
+        # seed holds removed urls too); count by streaming the narrow
+        # materialized fingerprint table — 8 B per MATCH driver-side
+        from shaclapi_ray.stages.hashset import hash_strings as _hs2
+
+        matched_parts = []
+        for b in new_fps.iter_batches(batch_format="pyarrow"):
+            h = _hs2(_url_key(b["url"]))
+            if revalidate_hashes.size:
+                pos = np.minimum(
+                    np.searchsorted(revalidate_hashes, h),
+                    revalidate_hashes.size - 1,
+                )
+                matched_parts.append(np.unique(h[revalidate_hashes[pos] == h]))
+        present = (
+            np.unique(np.concatenate(matched_parts))
+            if matched_parts
+            else np.empty(0, np.uint64)
+        )
+        n_delta = int(present.size)
+        n_blast_extra = int(
+            np.setdiff1d(present, changed_hashes).size
+        )
+        if n_new_corpus and n_delta / n_new_corpus > full_run_ratio:
+            return _full_fallback(
+                engine,
+                pages_new,
+                out_state_dir,
+                stats={
+                    "mode": "full_fallback",
+                    "n_new_corpus": n_new_corpus,
+                    "n_delta": n_delta,
+                    "n_blast": n_blast_extra,
+                    "n_removed": int(removed_hashes.size),
+                    "full_run_ratio": full_run_ratio,
+                },
+            )
+    else:
+        # counted in KEYS: under the engine's unique-url contract keys ==
+        # rows; with pathological duplicate/null urls every colliding key
+        # deterministically revalidates (see the dup flag above), and the
+        # join path may emit multiplied klass rows for them — unique keys
+        # are the strategy-independent measure
+        n_delta = int(changed_hashes.size)
+    # reused rows = state rows NOT in (revalidate ∪ removed) — both sets
     # are DELTA-bounded (small between adjacent snapshots), so this is
     # the only broadcast the reuse path ships
-    drop_ref = ray.put(np.union1d(changed_hashes, removed_hashes))
-    changed_ref = ray.put(changed_hashes)
-
-    def _member_filter(ref, keep_members: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            s = ray.get(ref)
-            if not len(batch):
-                return batch
-            h = hash_strings(_url_key(batch["url"]))
-            if s.size == 0:
-                member = np.zeros(len(h), dtype=bool)
-            else:
-                pos = np.minimum(np.searchsorted(s, h), s.size - 1)
-                member = s[pos] == h
-            return batch.filter(pa.array(member if keep_members else ~member))
-
-        return fn
+    drop_ref = ray.put(np.union1d(revalidate_hashes, removed_hashes))
+    changed_ref = ray.put(revalidate_hashes)
 
     delta_pages = pages_new.map_batches(
-        _member_filter(changed_ref, True),
+        _member_filter_fn(changed_ref, True),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    delta_result = engine.run(delta_pages) if n_delta else None
 
     reused_verdicts = _read_state(state_dir, "verdicts", VERDICT_COLS).map_batches(
-        _member_filter(drop_ref, False),
+        _member_filter_fn(drop_ref, False),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     reused_violations = _read_state(
         state_dir, "violations", VIOLATION_COLS
     ).map_batches(
-        _member_filter(drop_ref, False),
+        _member_filter_fn(drop_ref, False),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+    extra_events = None
+    if has_refs and n_delta:
+        # the subset run's ref pass must see the FULL snapshot's child
+        # verdicts: inject the reused rows as kind='verdict' events (the
+        # engine excludes them from its returned result)
+        extra_events = reused_verdicts.map_batches(
+            _verdicts_as_events, batch_format="pyarrow", zero_copy_batch=True
+        )
+    delta_result = (
+        engine.run(
+            delta_pages,
+            extra_child_events=extra_events,
+            links_override=(merged_links if has_refs else None),
+        )
+        if n_delta
+        else None
     )
 
     if delta_result is not None:
@@ -457,9 +783,11 @@ def incremental_validate(
         verdicts, violations = reused_verdicts, reused_violations
 
     stats = {
+        "mode": "incremental",
         "n_new_corpus": n_new_corpus,
         "n_unchanged": n_new_corpus - n_delta,
         "n_delta": n_delta,
+        "n_blast": n_blast_extra,
         "n_removed": int(removed_hashes.size),
         "n_state_verdicts": manifest.get("n_verdicts", None),
     }
@@ -481,6 +809,31 @@ def incremental_validate(
         new_fps.select_columns(["url", "fp", "bucket"]).write_parquet(
             os.path.join(out_state_dir, "fps"), partition_cols=["bucket"]
         )
+        if has_refs:
+            # merged links = old rows for urls with unchanged html (a
+            # blasted-but-unchanged page keeps its links) + fresh rows
+            # for changed urls; removed urls drop. Equals
+            # extract_links(pages_new) without re-reading unchanged html.
+            if merged_links is not None:
+                out_links = merged_links
+            else:
+                links_drop = ray.put(
+                    np.union1d(changed_hashes, removed_hashes)
+                )
+                out_links = _read_state(
+                    state_dir, "links", ["url", "target_url"]
+                ).map_batches(
+                    _member_filter_fn(links_drop, False),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                if delta_links is not None:
+                    out_links = out_links.union(
+                        delta_links.select_columns(["url", "target_url"])
+                    )
+            _bucketed_links(out_links).write_parquet(
+                os.path.join(out_state_dir, "links"), partition_cols=["bucket"]
+            )
         for name, ds in (("verdicts", out.verdicts), ("violations", out.violations)):
             ds.map_batches(
                 add_bucket, batch_format="pyarrow", zero_copy_batch=True
@@ -492,6 +845,7 @@ def incremental_validate(
                 {
                     "shape_ids": sorted(dag.shapes),
                     "columns": cols,
+                    "has_refs": has_refs,
                     "n_verdicts": out.verdicts.count(),
                     "n_buckets": STATE_BUCKETS,
                 },

@@ -166,11 +166,30 @@ def test_join_strategy_identical(snapshots):
     assert a.stats == b.stats
 
 
-def test_refuses_non_column_shapes(snapshots):
+def test_refuses_unique_and_drift_shapes(snapshots):
+    """r5: referential DAGs are incremental-capable (see
+    test_incremental_referential.py); only the truly global constraints
+    — unique, drift — still refuse (no bounded revalidation set)."""
+    from shaclapi_ray.fixtures import drift_shape, unique_url_shape
+    from shaclapi_ray.io import read_parquet
+
+    for shape in (unique_url_shape(), drift_shape()):
+        with pytest.raises(ValueError, match="aggregates over ALL rows"):
+            incremental_validate(
+                [shape],
+                read_parquet(snapshots["v2_dir"]),
+                snapshots["state"],
+            )
+
+
+def test_referential_against_column_state_refuses_stale(snapshots):
+    """A referential schema against state persisted for a column-only
+    schema must refuse as STALE (no links table there), never silently
+    compute."""
     from shaclapi_ray.fixtures import linked_page_shape, target_page_shape
     from shaclapi_ray.io import read_parquet
 
-    with pytest.raises(ValueError, match="referential/unique/drift"):
+    with pytest.raises(ValueError, match="stale"):
         incremental_validate(
             [target_page_shape(), linked_page_shape()],
             read_parquet(snapshots["v2_dir"]),
