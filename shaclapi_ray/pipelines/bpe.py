@@ -35,16 +35,12 @@ import pyarrow as pa
 END = "▁"  # end-of-word sentinel symbol (never a corpus char at train time)
 
 
-def _word_counts(docs_ds) -> tuple[list[str], np.ndarray]:
-    """Distinct whitespace tokens + exact corpus counts (driver-held;
-    vocabulary-proportional, ceiling-checked)."""
+def _word_count_ds(docs_ds):
+    """The distributed (token, cnt) word-frequency Dataset — one
+    pre-aggregated pass + keyed combine; NOT collected to the driver."""
     import polars as pl
-    import ray
 
-    from shaclapi_ray.pipelines.textstats import (
-        VOCAB_BROADCAST_LIMIT,
-        _explode_tokens,
-    )
+    from shaclapi_ray.pipelines.textstats import _explode_tokens
     from shaclapi_ray.stages.aggregates import combine_partials
 
     def tf_partial(batch: pa.Table) -> pa.Table:
@@ -55,13 +51,21 @@ def _word_counts(docs_ds) -> tuple[list[str], np.ndarray]:
         )
         return counts.rename({"t": "token"}).to_arrow()
 
-    tf = combine_partials(
+    return combine_partials(
         docs_ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True),
         "token",
         "cnt",
         "cnt",
         "auto",
     )
+
+
+def _word_counts(docs_ds) -> tuple[list[str], np.ndarray]:
+    """Distinct whitespace tokens + exact corpus counts (driver-held;
+    vocabulary-proportional, ceiling-checked)."""
+    from shaclapi_ray.pipelines.textstats import VOCAB_BROADCAST_LIMIT
+
+    tf = _word_count_ds(docs_ds)
     words, counts = [], []
     for b in tf.iter_batches(batch_format="pyarrow"):
         words.extend(b["token"].to_pylist())
@@ -69,68 +73,51 @@ def _word_counts(docs_ds) -> tuple[list[str], np.ndarray]:
     if len(words) > VOCAB_BROADCAST_LIMIT:
         raise ValueError(
             f"vocabulary has {len(words)} words (> {VOCAB_BROADCAST_LIMIT}); "
-            "pass train_bpe(..., sample_fraction=...) to train on a "
-            "deterministic subsample at this scale"
+            "use train_bpe(..., strategy='sharded') to train on the full "
+            "corpus at any vocabulary, or sample_fraction=... for a "
+            "deterministic subsample"
         )
     cnt = np.concatenate(counts) if counts else np.empty(0, np.int64)
     order = np.argsort(np.asarray(words, dtype=object), kind="stable")
     return [words[i] for i in order], cnt[order]
 
 
-def train_bpe(
-    docs_ds,
-    n_merges: int = 200,
-    sample_fraction: float | None = None,
-    seed: int = 0,
-) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges from the corpus. Returns the ranked
-    merge list [(left, right), ...]. Ties in pair frequency break
-    lexicographically (deterministic across layouts).
+class _MergeState:
+    """The BPE merge-loop state over a set of (word, count) rows: symbol
+    sequences, pair frequencies, and the pair->words inverted index.
+    ONE implementation shared by the driver path (full vocabulary) and
+    each shard actor (its partition) — the repo's kernel-sharing rule,
+    so the two training paths cannot drift. All counts are exact
+    integers; every operation here is partition-decomposable (pair
+    counts sum over disjoint word sets)."""
 
-    ``sample_fraction`` is the documented escape hatch for corpora whose
-    distinct-word vocabulary exceeds VOCAB_BROADCAST_LIMIT: train on a
-    DETERMINISTIC doc-id-hash subsample (``textstats.sample_corpus`` —
-    reproducible across runs, block layouts and cluster sizes, unlike
-    ``Dataset.random_sample``), so the learned merge table is still
-    golden-pinnable."""
-    import collections
+    def __init__(self, words: list[str], counts):
+        import collections
 
-    if sample_fraction is not None and sample_fraction < 1.0:
-        from shaclapi_ray.pipelines.textstats import sample_corpus
-
-        docs_ds = sample_corpus(docs_ds, sample_fraction, seed=seed)
-
-    words, counts = _word_counts(docs_ds)
-    # symbol sequences per distinct word (word-end marker on the last
-    # symbol keeps merges from crossing word boundaries)
-    seqs = [tuple(w) + (END,) for w in words]
-    pair_freq: collections.Counter = collections.Counter()
-    pair_words: dict[tuple[str, str], set[int]] = collections.defaultdict(set)
-    for wi, seq in enumerate(seqs):
-        c = int(counts[wi])
-        for a, b in zip(seq, seq[1:]):
-            pair_freq[(a, b)] += c
-            pair_words[(a, b)].add(wi)
-
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        if not pair_freq:
-            break
-        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_freq[best] <= 0:
-            break
-        merges.append(best)
-        merged = best[0] + best[1]
-        for wi in list(pair_words.pop(best, ())):
-            seq = seqs[wi]
-            c = int(counts[wi])
-            # remove old pair contributions for this word
+        self.counts = [int(c) for c in counts]
+        self.seqs = [tuple(w) + (END,) for w in words]
+        self.pair_freq: dict = collections.Counter()
+        self.pair_words: dict = collections.defaultdict(set)
+        for wi, seq in enumerate(self.seqs):
+            c = self.counts[wi]
             for a, b in zip(seq, seq[1:]):
-                pair_freq[(a, b)] -= c
-                if pair_freq[(a, b)] <= 0:
-                    del pair_freq[(a, b)]
-                pair_words[(a, b)].discard(wi)
-            # apply the merge left-to-right
+                self.pair_freq[(a, b)] += c
+                self.pair_words[(a, b)].add(wi)
+
+    def apply(self, best: tuple[str, str]) -> dict:
+        """Merge ``best`` in every local word containing it; update the
+        local state and return the pair-count DELTA (exact ints — the
+        sharded driver aggregate applies these verbatim)."""
+        import collections
+
+        delta: dict = collections.Counter()
+        merged = best[0] + best[1]
+        for wi in list(self.pair_words.pop(best, ())):
+            seq = self.seqs[wi]
+            c = self.counts[wi]
+            for a, b in zip(seq, seq[1:]):
+                delta[(a, b)] -= c
+                self.pair_words[(a, b)].discard(wi)
             out = []
             i = 0
             while i < len(seq):
@@ -140,10 +127,126 @@ def train_bpe(
                 else:
                     out.append(seq[i])
                     i += 1
-            seqs[wi] = tuple(out)
-            for a, b in zip(seqs[wi], seqs[wi][1:]):
-                pair_freq[(a, b)] += c
-                pair_words[(a, b)].add(wi)
+            self.seqs[wi] = tuple(out)
+            for a, b in zip(self.seqs[wi], self.seqs[wi][1:]):
+                delta[(a, b)] += c
+                self.pair_words[(a, b)].add(wi)
+        for p, d in list(delta.items()):
+            if d == 0:
+                del delta[p]
+                continue
+            self.pair_freq[p] += d
+            if self.pair_freq[p] <= 0:
+                del self.pair_freq[p]
+        return dict(delta)
+
+
+def train_bpe(
+    docs_ds,
+    n_merges: int = 200,
+    sample_fraction: float | None = None,
+    seed: int = 0,
+    strategy: str = "driver",
+    n_shards: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ranked
+    merge list [(left, right), ...]. Ties in pair frequency break
+    lexicographically (deterministic across layouts).
+
+    ``strategy='driver'`` (default) collects the distinct-word table to
+    the driver (ceiling-checked against VOCAB_BROADCAST_LIMIT) and runs
+    the classic merge loop there. ``strategy='sharded'`` (r5, VERDICT
+    r4 #6) is the beyond-ceiling path: the word/sequence state is split
+    across ``n_shards`` Ray actors (block refs only — no word ever
+    crosses the driver) and each round combines exact integer pair-count
+    DELTAS; the driver holds only the (pair -> count) aggregate, whose
+    size is bounded by observed SYMBOL bigrams (alphabet + n_merges
+    squared at worst, saturating in practice) — NOT by the word
+    vocabulary. Merge tables are integer-exact equal between the two
+    strategies (pair counts sum over disjoint word partitions; pinned by
+    test).
+
+    ``sample_fraction`` remains the documented subsample escape hatch
+    (DETERMINISTIC doc-id-hash subsample via ``textstats.sample_corpus``),
+    now the fallback of choice only when even one round per merge is too
+    many."""
+    if strategy not in ("driver", "sharded"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if sample_fraction is not None and sample_fraction < 1.0:
+        from shaclapi_ray.pipelines.textstats import sample_corpus
+
+        docs_ds = sample_corpus(docs_ds, sample_fraction, seed=seed)
+
+    if strategy == "sharded":
+        return _train_bpe_sharded(docs_ds, n_merges, n_shards)
+
+    words, counts = _word_counts(docs_ds)
+    state = _MergeState(words, counts)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not state.pair_freq:
+            break
+        best = min(state.pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if state.pair_freq[best] <= 0:
+            break
+        merges.append(best)
+        state.apply(best)
+    return merges
+
+
+def _train_bpe_sharded(docs_ds, n_merges: int, n_shards: int) -> list[tuple[str, str]]:
+    import collections
+
+    import ray
+
+    @ray.remote
+    class _BpeShard:
+        """Holds one disjoint partition of the distinct-word table as a
+        _MergeState (ANY disjoint split is exact — pair counts are sums
+        over words). load() receives Arrow block refs, so word data
+        moves object-store -> actor without touching the driver."""
+
+        def load(self, *tables) -> None:
+            words: list[str] = []
+            counts: list[int] = []
+            for t in tables:
+                words.extend(t["token"].to_pylist())
+                counts.extend(t["cnt"].to_pylist())
+            self.state = _MergeState(words, counts)
+
+        def pair_counts(self) -> list:
+            return [(a, b, c) for (a, b), c in self.state.pair_freq.items()]
+
+        def apply(self, best: tuple[str, str]) -> dict:
+            return self.state.apply(tuple(best))
+
+    tf = _word_count_ds(docs_ds).materialize()
+    refs = tf.to_arrow_refs()
+    actors = [_BpeShard.remote() for _ in range(max(1, n_shards))]
+    loads = [
+        a.load.remote(*refs[i :: len(actors)]) for i, a in enumerate(actors)
+    ]
+    ray.get(loads)
+
+    pair_freq: collections.Counter = collections.Counter()
+    for part in ray.get([a.pair_counts.remote() for a in actors]):
+        for a_, b_, c_ in part:
+            pair_freq[(a_, b_)] += c_
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_freq:
+            break
+        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_freq[best] <= 0:
+            break
+        merges.append(best)
+        for delta in ray.get([a.apply.remote(best) for a in actors]):
+            for p, d in delta.items():
+                pair_freq[p] += d
+                if pair_freq[p] <= 0:
+                    del pair_freq[p]
+    for a in actors:
+        ray.kill(a)
     return merges
 
 
