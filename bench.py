@@ -598,7 +598,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 def run_scaling_one(pages_dir: str, num_cpus: int, trials: int = 2) -> dict:
     """One parallelism level: fresh Ray session, worker-pool + page-cache
-    warmup, best-of-N headline (referential validation end-to-end)."""
+    warmup, best-of-N over the selected workload. SCALING_PIPELINE
+    (env) picks it: 'headline' (default — referential validation
+    end-to-end) or 'curate' (the composed page-curation chain: URL gate
+    -> latest_snapshot -> host_curation -> cap_per_host; VERDICT r4 #5 —
+    its multi-pass boundary materializations are the low-parallelism
+    risk the headline doesn't exercise)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
     import ray.data
@@ -614,25 +619,50 @@ def run_scaling_one(pages_dir: str, num_cpus: int, trials: int = 2) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from shaclapi_ray.engine import JobConfig, ValidationEngine
-    from shaclapi_ray.fixtures import referential_schema
     from shaclapi_ray.io import _metadata_rows
 
+    workload = os.environ.get("SCALING_PIPELINE", "headline")
     ray.data.range(1_000_000).map_batches(lambda b: b, batch_format="pyarrow").count()
     ray.data.read_parquet(pages_dir).count()
     n_docs = _metadata_rows(pages_dir)
     best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        res = ValidationEngine(
-            referential_schema(), JobConfig(target_shape="LinkedPageShape")
-        ).run(pages_dir)
-        # run() returns with every verdict/violation event materialized;
-        # counting the (pure-union) events dataset is the consume step
-        res.events.count()
-        best = min(best, time.perf_counter() - t0)
+    if workload == "curate":
+        from __ray_entry__ import CAP_K, HOSTCURE_KW, URLQ_KW
+        from shaclapi_ray.pipelines.curate import curate_pages
+
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = curate_pages(
+                ray.data.read_parquet(
+                    pages_dir, columns=["url", "warc_ts", "text"]
+                ),
+                cap_k=CAP_K,
+                urlq_kw=URLQ_KW,
+                **HOSTCURE_KW,
+            )
+            out.count()  # consume the chain
+            best = min(best, time.perf_counter() - t0)
+    else:
+        from shaclapi_ray.engine import JobConfig, ValidationEngine
+        from shaclapi_ray.fixtures import referential_schema
+
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            res = ValidationEngine(
+                referential_schema(), JobConfig(target_shape="LinkedPageShape")
+            ).run(pages_dir)
+            # run() returns with every verdict/violation event
+            # materialized; counting the (pure-union) events dataset is
+            # the consume step
+            res.events.count()
+            best = min(best, time.perf_counter() - t0)
     ray.shutdown()
-    return {"sec": round(best, 3), "docs_per_sec": round(n_docs / best, 1), "n_docs": n_docs}
+    return {
+        "sec": round(best, 3),
+        "docs_per_sec": round(n_docs / best, 1),
+        "n_docs": n_docs,
+        "pipeline": workload,
+    }
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -687,6 +717,7 @@ def run_scaling(sf_dir: str) -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "pipeline": os.environ.get("SCALING_PIPELINE", "headline"),
         "rows": rows,
         f"docs_per_sec_{lo}": tp_lo,
         f"docs_per_sec_{hi}": tp_hi,

@@ -75,11 +75,14 @@ def _seed_vocab(
     return {s: v / total for s, v in sorted(vocab.items())}
 
 
-def _em_step(
-    words: list[str], counts: np.ndarray, probs: dict[str, float], max_piece_len: int
+def _expected_counts(
+    words: list[str], counts, probs: dict[str, float], max_piece_len: int
 ) -> dict[str, float]:
-    """One forward-backward E-step + M-step over the distinct-word table.
-    Returns the re-normalized expected counts (the new probs)."""
+    """Raw forward-backward expected piece counts over a word set — the
+    E-step accumulation WITHOUT normalization. Partition-decomposable:
+    per-word contributions are independent, so shard partials sum to the
+    full-table result (up to float add order — the sharded trainer's
+    documented ~1e-12 tolerance, the nb_classify_sharded precedent)."""
     expected: dict[str, float] = {s: 0.0 for s in probs}
     for w, c in zip(words, counts):
         c = float(c)
@@ -118,6 +121,10 @@ def _em_step(
                 p = probs.get(w[i:j])
                 if p and beta[j] > 0.0:
                     expected[w[i:j]] += c * alpha[i] * p * beta[j] / z
+    return expected
+
+
+def _normalize_expected(expected: dict[str, float]) -> dict[str, float]:
     total = sum(expected.values())
     if total <= 0.0 or not math.isfinite(total):
         # Degenerate mass (all expected counts zero, or a non-finite
@@ -128,32 +135,26 @@ def _em_step(
     return {s: e / total for s, e in expected.items()}
 
 
-def train_unigram(
-    docs_ds,
-    vocab_size: int = 400,
-    seed_size: int = 2000,
-    max_piece_len: int = 8,
-    em_iters: int = 2,
-    prune_keep: float = 0.75,
-    sample_fraction: float | None = None,
-    seed: int = 0,
+def _em_step(
+    words: list[str], counts: np.ndarray, probs: dict[str, float], max_piece_len: int
+) -> dict[str, float]:
+    """One forward-backward E-step + M-step over the distinct-word table.
+    Returns the re-normalized expected counts (the new probs)."""
+    return _normalize_expected(_expected_counts(words, counts, probs, max_piece_len))
+
+
+def _train_loop(
+    probs: dict[str, float],
+    vocab_size: int,
+    em_iters: int,
+    prune_keep: float,
+    em_fn,
 ) -> list[tuple[str, float]]:
-    """Learn the unigram-LM vocabulary. Returns [(piece, logprob), ...]
-    with UNK prepended at index 0 — the id space `tokenize_corpus_unigram`
-    emits. Single characters are never pruned, so every seen word stays
-    coverable."""
-    from shaclapi_ray.pipelines.bpe import _word_counts
-
-    if sample_fraction is not None and sample_fraction < 1.0:
-        from shaclapi_ray.pipelines.textstats import sample_corpus
-
-        docs_ds = sample_corpus(docs_ds, sample_fraction, seed=seed)
-
-    words, counts = _word_counts(docs_ds)
-    probs = _seed_vocab(words, counts, seed_size, max_piece_len)
+    """The EM + prune loop, shared verbatim by the driver and sharded
+    trainers (kernel-sharing rule — only the E-step executor differs)."""
     while True:
         for _ in range(em_iters):
-            probs = _em_step(words, counts, probs, max_piece_len)
+            probs = em_fn(probs)
         n_multi_target = max(0, vocab_size - sum(1 for s in probs if len(s) == 1))
         multi = [(s, p) for s, p in probs.items() if len(s) > 1]
         if len(multi) <= n_multi_target:
@@ -176,6 +177,166 @@ def train_unigram(
     return [(UNK, UNK_LOGP)] + [
         (s, math.log(max(probs[s], 1e-300))) for s in pieces
     ]
+
+
+def train_unigram(
+    docs_ds,
+    vocab_size: int = 400,
+    seed_size: int = 2000,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    prune_keep: float = 0.75,
+    sample_fraction: float | None = None,
+    seed: int = 0,
+    strategy: str = "driver",
+    n_shards: int = 8,
+) -> list[tuple[str, float]]:
+    """Learn the unigram-LM vocabulary. Returns [(piece, logprob), ...]
+    with UNK prepended at index 0 — the id space `tokenize_corpus_unigram`
+    emits. Single characters are never pruned, so every seen word stays
+    coverable.
+
+    ``strategy='sharded'`` (r5, VERDICT r4 #6) is the beyond-ceiling
+    path: the word table never reaches the driver — seeding runs as a
+    distributed substring-count combine + sort/limit top-k (EXACTLY the
+    driver selection: integer counts, (count desc, piece asc) ties),
+    and each E-step shards the forward-backward over word-partition
+    actors whose float partials the driver sums (identical math per
+    word; sums reassociate — the nb_classify_sharded ~1e-12 precedent).
+    The driver holds only vocab-bounded state (<= seed_size pieces)."""
+    if strategy not in ("driver", "sharded"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if sample_fraction is not None and sample_fraction < 1.0:
+        from shaclapi_ray.pipelines.textstats import sample_corpus
+
+        docs_ds = sample_corpus(docs_ds, sample_fraction, seed=seed)
+
+    if strategy == "sharded":
+        return _train_unigram_sharded(
+            docs_ds, vocab_size, seed_size, max_piece_len, em_iters,
+            prune_keep, n_shards,
+        )
+
+    from shaclapi_ray.pipelines.bpe import _word_counts
+
+    words, counts = _word_counts(docs_ds)
+    probs = _seed_vocab(words, counts, seed_size, max_piece_len)
+    return _train_loop(
+        probs,
+        vocab_size,
+        em_iters,
+        prune_keep,
+        lambda p: _em_step(words, counts, p, max_piece_len),
+    )
+
+
+def _seed_vocab_distributed(tf_ds, seed_size: int, max_piece_len: int):
+    """_seed_vocab over a distributed (token, cnt) Dataset: substring
+    counts explode per batch into a keyed combine; single chars collect
+    (alphabet-bounded); multi pieces select by a distributed
+    sort + limit. Selection and normalization are EXACTLY the driver
+    path's (integer counts sum exactly in any order below 2^53; the
+    (count desc, piece asc) tie-break is total)."""
+    from shaclapi_ray.stages.aggregates import combine_partials
+
+    def sub_partial(batch: pa.Table) -> pa.Table:
+        freq: dict[str, int] = {}
+        for w, c in zip(batch["token"].to_pylist(), batch["cnt"].to_pylist()):
+            n = len(w)
+            for i in range(n):
+                top = min(n, i + max_piece_len)
+                for j in range(i + 1, top + 1):
+                    s = w[i:j]
+                    freq[s] = freq.get(s, 0) + c
+        return pa.table(
+            {
+                "piece": pa.array(list(freq), pa.string()),
+                "cnt": pa.array(list(freq.values()), pa.int64()),
+            }
+        )
+
+    pf = combine_partials(
+        tf_ds.map_batches(sub_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "piece",
+        "cnt",
+        "cnt",
+        "auto",
+    ).materialize()
+    import pyarrow.compute as pc
+
+    def only_chars(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.utf8_length(t["piece"]), 1))
+
+    def only_multi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(pc.utf8_length(t["piece"]), 1))
+
+    chars: dict[str, int] = {}
+    for b in pf.map_batches(
+        only_chars, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        chars.update(zip(b["piece"].to_pylist(), b["cnt"].to_pylist()))
+    k = max(0, seed_size - len(chars))
+    multi: dict[str, int] = {}
+    if k:
+        top = (
+            pf.map_batches(only_multi, batch_format="pyarrow", zero_copy_batch=True)
+            .sort([("cnt", "descending"), ("piece", "ascending")])
+            .limit(k)
+        )
+        for b in top.iter_batches(batch_format="pyarrow"):
+            multi.update(zip(b["piece"].to_pylist(), b["cnt"].to_pylist()))
+    vocab = {s: float(c) for s, c in chars.items()}
+    vocab.update({s: float(c) for s, c in multi.items()})
+    total = sum(vocab.values())
+    if total <= 0.0:
+        return {}
+    return {s: v / total for s, v in sorted(vocab.items())}
+
+
+def _train_unigram_sharded(
+    docs_ds,
+    vocab_size: int,
+    seed_size: int,
+    max_piece_len: int,
+    em_iters: int,
+    prune_keep: float,
+    n_shards: int,
+) -> list[tuple[str, float]]:
+    import ray
+
+    from shaclapi_ray.pipelines.bpe import _word_count_ds
+
+    tf = _word_count_ds(docs_ds).materialize()
+    probs = _seed_vocab_distributed(tf, seed_size, max_piece_len)
+
+    @ray.remote
+    class _UgShard:
+        def load(self, *tables) -> None:
+            self.words: list[str] = []
+            self.counts: list[int] = []
+            for t in tables:
+                self.words.extend(t["token"].to_pylist())
+                self.counts.extend(t["cnt"].to_pylist())
+
+        def expected(self, probs: dict, mpl: int) -> dict:
+            return _expected_counts(self.words, self.counts, probs, mpl)
+
+    refs = tf.to_arrow_refs()
+    actors = [_UgShard.remote() for _ in range(max(1, n_shards))]
+    ray.get([a.load.remote(*refs[i :: len(actors)]) for i, a in enumerate(actors)])
+
+    def em_fn(p: dict[str, float]) -> dict[str, float]:
+        agg = {s: 0.0 for s in p}
+        for part in ray.get([a.expected.remote(p, max_piece_len) for a in actors]):
+            for s, v in part.items():
+                agg[s] += v
+        return _normalize_expected(agg)
+
+    try:
+        return _train_loop(probs, vocab_size, em_iters, prune_keep, em_fn)
+    finally:
+        for a in actors:
+            ray.kill(a)
 
 
 def unigram_self_tokenize(docs_ds, vocab_size: int = 400, seed_size: int = 2000):

@@ -29,6 +29,7 @@ _NOT_CONSTANTS = {
     "GRAFT_PARITY_SF",  # pytest env knob (documented in Commands)
     "SCALING_ROWS",  # bench.py env knob
     "SCALING_ROUNDS",
+    "SCALING_PIPELINE",
     "ROW_NUMBER",  # SQL window function
     "ZLIB_VERSION",  # fixtures/goldens/ZLIB_VERSION.txt (checked below)
 }
