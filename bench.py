@@ -630,6 +630,12 @@ def run_scaling_one(pages_dir: str, num_cpus: int, trials: int = 2) -> dict:
         from __ray_entry__ import CAP_K, HOSTCURE_KW, URLQ_KW
         from shaclapi_ray.pipelines.curate import curate_pages
 
+        # SCALING_CURATE_STRATEGY picks the multi-pass stages' path:
+        # 'broadcast' (driver-built filter sets — the small-delta shape)
+        # or 'join' (hash-partitioned — the shape a 10^12-row corpus
+        # with every host over cap actually needs; the synthetic pages
+        # table is exactly that regime, see BASELINE.md r5)
+        strat = os.environ.get("SCALING_CURATE_STRATEGY", "broadcast")
         for _ in range(trials):
             t0 = time.perf_counter()
             out = curate_pages(
@@ -638,6 +644,9 @@ def run_scaling_one(pages_dir: str, num_cpus: int, trials: int = 2) -> dict:
                 ),
                 cap_k=CAP_K,
                 urlq_kw=URLQ_KW,
+                latest_strategy=strat,
+                host_strategy=strat,
+                cap_strategy=strat,
                 **HOSTCURE_KW,
             )
             out.count()  # consume the chain

@@ -220,3 +220,44 @@ def test_em_step_degenerate_mass_uniform_fallback():
     # NaN-poisoned input probs must not leak NaN through
     out2 = _em_step(words, counts, {"a": float("nan"), "b": float("nan")}, 4)
     assert all(math.isfinite(v) for v in out2.values())
+
+
+def test_sharded_training_matches_driver(ray_session):
+    """VERDICT r4 #6 (unigram half): strategy='sharded' — distributed
+    substring-count seeding + actor-sharded EM — must produce the same
+    piece vocabulary with logprobs equal to ~1e-9 (float partials
+    reassociate across shards; seeding itself is integer-exact). Checked
+    across shard counts on a corpus whose EM actually concentrates."""
+    texts = [
+        "internationalization international nation nationalize",
+        "the cat sat on the mat the bat",
+        "banana bandana ananas anna",
+    ] * 4
+    want = train_unigram(_ds(texts, blocks=3), vocab_size=48, seed_size=300)
+    assert len(want) > 10
+    for n_shards in (1, 3, 7):
+        got = train_unigram(
+            _ds(texts, blocks=3), vocab_size=48, seed_size=300,
+            strategy="sharded", n_shards=n_shards,
+        )
+        assert [p for p, _ in got] == [p for p, _ in want], f"n_shards={n_shards}"
+        for (pw, lw), (pg, lg) in zip(want, got):
+            assert abs(lw - lg) < 1e-9, (pw, lw, lg)
+    with pytest.raises(ValueError, match="strategy"):
+        train_unigram(_ds(texts), strategy="bogus")
+
+
+def test_sharded_seed_vocab_exact(ray_session):
+    """The distributed seeding is EXACTLY the driver's _seed_vocab
+    (integer substring counts; (count desc, piece asc) top-k; identical
+    normalization divisions)."""
+    from shaclapi_ray.pipelines.bpe import _word_count_ds, _word_counts
+    from shaclapi_ray.pipelines.unigram import _seed_vocab, _seed_vocab_distributed
+
+    texts = ["aa ab abc abcd the theme them", "zz the banana"] * 3
+    words, counts = _word_counts(_ds(texts))
+    want = _seed_vocab(words, counts, seed_size=20, max_piece_len=4)
+    got = _seed_vocab_distributed(
+        _word_count_ds(_ds(texts, blocks=4)).materialize(), 20, 4
+    )
+    assert got == want  # exact, not approx — integer counts
