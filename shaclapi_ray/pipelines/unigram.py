@@ -280,7 +280,7 @@ def _seed_vocab_distributed(tf_ds, seed_size: int, max_piece_len: int):
     if k:
         top = (
             pf.map_batches(only_multi, batch_format="pyarrow", zero_copy_batch=True)
-            .sort([("cnt", "descending"), ("piece", "ascending")])
+            .sort(["cnt", "piece"], descending=[True, False])
             .limit(k)
         )
         for b in top.iter_batches(batch_format="pyarrow"):
