@@ -149,10 +149,26 @@ def _q_url_canonicalize(sf_dir: str):
 
 
 def _q_linked_page_verdicts(sf_dir: str):
-    from shaclapi_ray.engine import JobConfig, ValidationEngine
-    from shaclapi_ray.fixtures import referential_schema
+    """Forward referential verdicts, kind-tagged union (r5):
+    kind='full' — one engine run over the pages table;
+    kind='incref' — the SAME verdicts produced by REFERENTIAL
+    INCREMENTAL validation (VERDICT r4 #1): a derived v1 snapshot
+    (ts-shifted len%10==0 rows, len%10==3 rows absent) is fully
+    validated, its state persisted (fingerprints + verdicts + links),
+    and `incremental_validate` brings it to the real table — adds,
+    changes, and the link blast radius all fire. Incremental == full
+    run is the operator's contract, so the oracle is the same SQL
+    twice; a hash match driver-checks the whole blast machinery."""
+    import shutil
+    import tempfile
 
-    from shaclapi_ray.engine import _filter_events
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from shaclapi_ray.engine import JobConfig, ValidationEngine, _filter_events
+    from shaclapi_ray.fixtures import referential_schema
 
     res = ValidationEngine(
         referential_schema(), JobConfig(target_shape="LinkedPageShape")
@@ -160,7 +176,64 @@ def _q_linked_page_verdicts(sf_dir: str):
     v = _filter_events(res.verdicts(), shape_id="LinkedPageShape").select_columns(
         ["url", "valid"]
     )
-    return _sorted(v, ["url", "valid"])
+    full = _sorted(v, ["url", "valid"])
+    full.insert(0, "kind", "full")
+
+    OLD_TS_US = np.int64(-1_000_000_000_000_000)  # far outside the window
+
+    def to_v1(batch: pa.Table) -> pa.Table:
+        tl = (
+            pc.utf8_length(pc.fill_null(batch["text"], ""))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            % 10
+        )
+        t = batch.filter(pa.array(tl != 3))
+        tl2 = (
+            pc.utf8_length(pc.fill_null(t["text"], ""))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            % 10
+        )
+        ts = (
+            t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+        )
+        ts[tl2 == 0] = OLD_TS_US
+        return t.set_column(
+            t.schema.get_field_index("warc_ts"),
+            "warc_ts",
+            pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        )
+
+    import ray.data
+
+    from shaclapi_ray.incremental import (
+        incremental_validate,
+        persist_validation_state,
+    )
+
+    v1 = ray.data.read_parquet(_pages(sf_dir)).map_batches(
+        to_v1, batch_format="pyarrow", zero_copy_batch=True
+    )
+    state = tempfile.mkdtemp(prefix="shaclapi_ray_incref_")
+    try:
+        r1 = ValidationEngine(
+            referential_schema(), JobConfig(target_shape="LinkedPageShape")
+        ).run(v1)
+        persist_validation_state(state, v1, r1)
+        inc = incremental_validate(
+            referential_schema(),
+            ray.data.read_parquet(_pages(sf_dir)),
+            state,
+            config=JobConfig(target_shape="LinkedPageShape"),
+        )
+        iv = inc.verdicts.to_pandas()
+        iv = iv[iv["shape_id"] == "LinkedPageShape"][["url", "valid"]]
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    iv = iv.sort_values(["url", "valid"], kind="mergesort").reset_index(drop=True)
+    iv.insert(0, "kind", "incref")
+    return pd.concat([full, iv], ignore_index=True)
 
 
 def _q_inverse_linked_verdicts(sf_dir: str):
@@ -2371,7 +2444,14 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         ),
         "extract_canonicalize": extract_canon_sql,
         "top_hosts": top_hosts_union_sql,
-        "linked_page_verdicts": o.linked_page_verdicts_sql(pages_dir),
+        # kind='incref' is the referential-incremental path, whose
+        # contract is exact equality with the full run — same SQL twice
+        "linked_page_verdicts": f"""
+SELECT 'full' AS kind, url, valid FROM ({o.linked_page_verdicts_sql(pages_dir)})
+UNION ALL
+SELECT 'incref' AS kind, url, valid FROM ({o.linked_page_verdicts_sql(pages_dir)})
+ORDER BY kind, url, valid
+""",
         "inverse_linked_verdicts": o.inverse_linked_verdicts_sql(pages_dir),
         "unique_url_verdicts": o.unique_url_verdicts_sql(pages_dir),
         "verdict_counts": f"""

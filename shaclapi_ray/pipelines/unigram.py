@@ -321,7 +321,15 @@ def _train_unigram_sharded(
         def expected(self, probs: dict, mpl: int) -> dict:
             return _expected_counts(self.words, self.counts, probs, mpl)
 
-    refs = tf.to_arrow_refs()
+    # LAYOUT-INDEPENDENT shard assignment: sorted word ranges split by
+    # row count. Upstream block layout varies with context (combine
+    # mode, block-size settings); float partials reassociate at shard
+    # boundaries, so shard CONTENTS must be a pure function of
+    # (word set, n_shards) or near-tie prune rankings flip run-to-run.
+    # With n_shards=1 the single shard IS the driver's sorted word
+    # order — exact equality, not just tolerance.
+    sharded = tf.sort("token").repartition(max(1, n_shards)).materialize()
+    refs = sharded.to_arrow_refs()
     actors = [_UgShard.remote() for _ in range(max(1, n_shards))]
     ray.get([a.load.remote(*refs[i :: len(actors)]) for i, a in enumerate(actors)])
 
