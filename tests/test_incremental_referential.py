@@ -242,3 +242,23 @@ def test_full_fallback_above_ratio(snaps):
     assert inc2.stats["n_delta"] <= max(n_colliding, 1) + inc2.stats["n_blast"]
     assert inc2.stats["n_delta"] < inc2.stats["n_new_corpus"] / 10
     _assert_equal(inc2, FWD(), snaps["v2_dir"])
+
+
+def test_forward_ref_join_strategy_equals_broadcast(snaps):
+    """The fingerprint-delta 'join' strategy (beyond-FP_BROADCAST_LIMIT
+    path) composed with the referential blast radius must produce the
+    same verdicts as broadcast — and as the full run."""
+    from shaclapi_ray.io import read_parquet
+
+    state = _persist_v1(snaps, FWD(), "state_fwd")
+    inc_b = incremental_validate(
+        FWD(), read_parquet(snaps["v2_dir"]), state, strategy="broadcast"
+    )
+    inc_j = incremental_validate(
+        FWD(), read_parquet(snaps["v2_dir"]), state, strategy="join"
+    )
+    vb = _sorted_pd(inc_b.verdicts, V_COLS)
+    vj = _sorted_pd(inc_j.verdicts, V_COLS)
+    pd.testing.assert_frame_equal(vb, vj)
+    _assert_equal(inc_j, FWD(), snaps["v2_dir"])
+    assert inc_j.stats["n_blast"] > 0
