@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="run one registered training-data operator (api.run_pipeline)",
     )
+    p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="cross-snapshot incremental validation (api.run_incremental; "
+        "requires state_dir in the config)",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -67,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
             out = api.run_pipeline(config)
         elif args.validation:
             out = api.validation_and_statistics(config)
+        elif args.incremental:
+            out = api.run_incremental(config)
         else:
             out = api.run_job(config)
         print(json.dumps(out, default=str))

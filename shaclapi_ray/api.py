@@ -54,6 +54,10 @@ _ALIASES = {
     # reference camelCase aliases (config.py get-with-alias properties)
     "outputDirectory": "output_directory",
     "simpleResultRowLimit": "simple_result_row_limit",
+    "stateDir": "state_dir",
+    "outStateDir": "out_state_dir",
+    "incrementalStrategy": "incremental_strategy",
+    "fullRunRatio": "full_run_ratio",
     "shapeFormat": "schema_format",
     "shape_format": "schema_format",
     "workInParallel": "work_in_parallel",
@@ -97,6 +101,11 @@ _DEFAULTS = {
     # result carries violations_path + violations_rows instead. None/0
     # disables the ceiling (always collect — the pre-r5 behavior).
     "simple_result_row_limit": 100_000,
+    # incremental (cross-snapshot) validation route (run_incremental):
+    "state_dir": None,  # persisted state of the previous snapshot
+    "out_state_dir": None,  # where to persist the merged state
+    "incremental_strategy": "broadcast",  # or 'join' beyond the fp ceiling
+    "full_run_ratio": 0.5,  # referential fallback threshold
     "schema_format": "SHACL",  # JSON | SHACL (loader auto-detects both)
     "work_in_parallel": True,  # False -> num_partitions=1
     "use_selective_queries": True,  # -> JobConfig.scan_pushdown
@@ -265,6 +274,51 @@ def run_job(config: dict[str, Any]) -> dict[str, Any]:
         if stats_file:
             _write_stats_csv(stats_file, stats)
     return {"result": result, "stats": stats, "order": res.order}
+
+
+def run_incremental(config: dict[str, Any]) -> dict[str, Any]:
+    """Cross-snapshot incremental validation from a JSON config (r5 —
+    the CLI/config seam over incremental.incremental_validate; no
+    reference analog, see that module's docstring for semantics).
+
+    Required keys: schema (schema_dir/shapes), pages_dir (the NEW
+    snapshot), state_dir (persisted state of the previous one — create
+    it with a full run + incremental.persist_validation_state, or a
+    prior run_incremental with out_state_dir). Optional: out_state_dir,
+    incremental_strategy ('broadcast'|'join'), full_run_ratio,
+    output_directory (verdict/violation parquet lands there — tables
+    are NEVER collected to the driver; only counts + stats return)."""
+    cfg = _norm_config(config)
+    if not cfg["state_dir"]:
+        raise ValueError("run_incremental requires 'state_dir'")
+    from shaclapi_ray.incremental import incremental_validate
+    from shaclapi_ray.io import read_parquet
+
+    t_start = time.time()
+    inc = incremental_validate(
+        _shapes(cfg),
+        read_parquet(cfg["pages_dir"]),
+        cfg["state_dir"],
+        config=_job_config(cfg),
+        out_state_dir=cfg["out_state_dir"],
+        strategy=cfg["incremental_strategy"],
+        full_run_ratio=float(cfg["full_run_ratio"]),
+    )
+    result: dict[str, Any] = {
+        "stats": dict(inc.stats),
+        "n_verdicts": inc.verdicts.count(),
+        "n_violations": inc.violations.count(),
+        "total_execution_time": time.time() - t_start,
+    }
+    if cfg["output_directory"]:
+        os.makedirs(cfg["output_directory"], exist_ok=True)
+        vdir = os.path.join(cfg["output_directory"], "verdicts")
+        xdir = os.path.join(cfg["output_directory"], "violations")
+        inc.verdicts.write_parquet(vdir)
+        inc.violations.write_parquet(xdir)
+        result["verdicts_path"] = vdir
+        result["violations_path"] = xdir
+    return result
 
 
 def validation_and_statistics(config: dict[str, Any]) -> dict[str, Any]:

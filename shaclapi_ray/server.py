@@ -4,6 +4,7 @@
     POST /multiprocessing  ≙ run.py:21-34  -> api.run_job
     POST /validation       ≙ run.py:37-48  -> api.validation_and_statistics
     POST /reduce           ≙ run.py:51-62  -> api.only_reduce_shape_schema
+    POST /incremental      (no reference analog) -> api.run_incremental
     POST /pipeline         (extension)     -> api.run_pipeline
     GET  /healthcheck      -> {"status": "ok"}
 
@@ -66,6 +67,7 @@ class Handler(BaseHTTPRequestHandler):
             "/multiprocessing": api.run_job,
             "/validation": api.validation_and_statistics,
             "/reduce": api.only_reduce_shape_schema,
+            "/incremental": api.run_incremental,
             "/pipeline": api.run_pipeline,  # extension: operator registry
         }
         fn = routes.get(self.path)

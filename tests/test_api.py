@@ -419,3 +419,58 @@ def test_dsir_resample_auto_materialize_ceiling(ray_session):
     forced = d.dsir_resample(ds, k=d.DSIR_MATERIALIZE_K_CEILING + 1, materialize=True)
     assert isinstance(forced, pd.DataFrame)
     assert sorted(forced["doc_id"]) == list(range(40))
+
+
+def test_run_incremental_route(ray_session, small_pages_dir, tmp_path):
+    """r5: the config/CLI/HTTP seam over incremental validation —
+    counts + stats return, tables land as parquet, state round-trips."""
+    import pyarrow.parquet as pq
+
+    from shaclapi_ray.engine import JobConfig, ValidationEngine
+    from shaclapi_ray.incremental import persist_validation_state
+    from shaclapi_ray.io import read_parquet
+
+    schemas = SCHEMAS_REDUCED
+    res = ValidationEngine(
+        api._shapes(api._norm_config({"schema_dir": schemas})), JobConfig()
+    ).run(small_pages_dir)
+    state = str(tmp_path / "state")
+    persist_validation_state(state, read_parquet(small_pages_dir), res)
+
+    out = api.run_incremental(
+        {
+            "schema_dir": schemas,
+            "pages_dir": small_pages_dir,
+            "stateDir": state,  # camelCase alias
+            "outStateDir": str(tmp_path / "state2"),
+            "output_directory": str(tmp_path / "out"),
+        }
+    )
+    assert out["stats"]["mode"] == "incremental"
+    assert out["n_verdicts"] == res.verdicts().count()
+    got = pq.read_table(out["verdicts_path"])
+    assert got.num_rows == out["n_verdicts"]
+    # second hop from the persisted out-state, unchanged corpus
+    out2 = api.run_incremental(
+        {
+            "schema_dir": schemas,
+            "pages_dir": small_pages_dir,
+            "state_dir": str(tmp_path / "state2"),
+        }
+    )
+    assert out2["stats"]["n_delta"] <= 2  # only colliding ''/null keys
+    with pytest.raises(ValueError, match="state_dir"):
+        api.run_incremental({"schema_dir": schemas, "pages_dir": small_pages_dir})
+
+
+def test_incremental_surface_wiring():
+    """CLI flag and HTTP route both dispatch to api.run_incremental."""
+    import shaclapi_ray.__main__ as cli_mod
+
+    import inspect
+
+    src = inspect.getsource(cli_mod)
+    assert "--incremental" in src and "run_incremental" in src
+    import shaclapi_ray.server as srv
+
+    assert "run_incremental" in inspect.getsource(srv)
