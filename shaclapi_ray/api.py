@@ -517,6 +517,10 @@ def run_pipeline(config: dict[str, Any]) -> dict[str, Any]:
             out = out.materialize()
             n = out.count()
             out.write_csv(config["output"])
+        elif ofmt in ("orc", "feather"):
+            from shaclapi_ray.io import write_table_files
+
+            _, n = write_table_files(out, config["output"], fmt=ofmt)
         else:
             raise ValueError(f"unsupported output_format {ofmt!r}")
         result = {"rows": int(n), "output": config["output"]}
