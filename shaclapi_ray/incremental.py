@@ -647,7 +647,12 @@ def incremental_validate(
     if has_refs:
         from shaclapi_ray.stages.links import extract_links
 
-        old_links = _read_state(state_dir, "links", ["url", "target_url"])
+        # materialized once: the blast fixpoint re-scans this table per
+        # iteration (DAG-depth times) — object-store blocks beat
+        # re-reading parquet each round; spillable at corpus scale
+        old_links = _read_state(
+            state_dir, "links", ["url", "target_url"]
+        ).materialize()
         if has_inv or out_state_dir is not None:
             # links of CHANGED pages from the new corpus: inverse blast
             # needs new/changed sources' edges, and the out-state links
