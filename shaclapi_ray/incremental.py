@@ -29,7 +29,7 @@ loudly, with the resumable full run
 State layout (``state_dir``): url-hash-bucketed parquet — the same
 bucket is both the update and the lookup unit —
 
-    fps/bucket=<b>/        (url, fp)            row fingerprints
+    fps/bucket=<b>/        (url, fp, hu)        row fingerprints + url hash (r5)
     verdicts/bucket=<b>/   (url, shape_id, valid, reason)
     violations/bucket=<b>/ (url, shape_id, constraint, offending_value)
     links/bucket=<b>/      (url, target_url)    ref DAGs only (r5)
@@ -170,9 +170,12 @@ def _url_key(col) -> pa.Array:
 
 
 def _with_fp(cols: list[str]):
-    """map_batches fn: (url-key, fp uint64-as-int64, bucket) per row —
-    fp over the null-marked, unit-separated column concat; the url
-    column is emitted in verdict serialization (see _url_key)."""
+    """map_batches fn: (url-key, fp uint64-as-int64, hu url-hash, bucket)
+    per row — fp over the null-marked, unit-separated column concat; the
+    url column is emitted in verdict serialization (see _url_key). ``hu``
+    (r5) persists the url-key hash the workers already computed for
+    bucketing, so the driver's classification pass consumes numpy
+    columns directly instead of re-hashing every url string serially."""
     import polars as pl
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -187,16 +190,33 @@ def _with_fp(cols: list[str]):
         from shaclapi_ray.stages.hashset import hash_strings
 
         key = _url_key(batch["url"])
-        bucket = (hash_strings(key) % STATE_BUCKETS).astype(np.int64)
+        h = hash_strings(key)
+        bucket = (h % STATE_BUCKETS).astype(np.int64)
         return pa.table(
             {
                 "url": key,
                 "fp": pa.array(fp.view(np.int64)),
+                "hu": pa.array(h.view(np.int64)),
                 "bucket": pa.array(bucket),
             }
         )
 
     return fn
+
+
+def _state_has_hu(state_dir: str) -> bool:
+    """Whether the persisted fps table carries the r5 ``hu`` column
+    (pre-r5 states lack it — the classifier falls back to driver-side
+    hashing for those)."""
+    import pyarrow.dataset as pads
+
+    try:
+        schema = pads.dataset(
+            os.path.join(state_dir, "fps"), format="parquet", partitioning="hive"
+        ).schema
+    except Exception:
+        return False
+    return "hu" in schema.names
 
 
 def _bucketed_links(links_ds):
@@ -277,6 +297,7 @@ class IncrementalResult:
     violations: ray.data.Dataset
     delta_result: ValidationResult | None
     stats: dict = field(default_factory=dict)
+    timings: dict = field(default_factory=dict)  # per-section wall s
 
 
 def _collect_url_hashes(ds) -> np.ndarray:
@@ -493,10 +514,22 @@ def incremental_validate(
             "and persist fresh state."
         )
 
+    import time as _time
+
+    _timings: dict[str, float] = {}
+    _t0 = _time.monotonic()
     new_fps = pages_new.map_batches(
         _with_fp(cols), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    old_fps = _read_state(state_dir, "fps", ["url", "fp"])
+    _timings["fp_new_s"] = _time.monotonic() - _t0
+    _t0 = _time.monotonic()
+    old_has_hu = _state_has_hu(state_dir)
+    # broadcast classification with hu needs NO url strings at all —
+    # don't ship them to the driver; the join path keys on url
+    if old_has_hu and strategy == "broadcast":
+        old_fps = _read_state(state_dir, "fps", ["fp", "hu"])
+    else:
+        old_fps = _read_state(state_dir, "fps", ["url", "fp"])
 
     from shaclapi_ray.stages.hashset import build_hash_map, hash_strings
 
@@ -507,19 +540,43 @@ def incremental_validate(
                 f"state holds {n_old} fingerprints (> {FP_BROADCAST_LIMIT}); "
                 "use strategy='join' at this scale"
             )
-        url_chunks, fp_chunks = [], []
-        for b in old_fps.iter_batches(batch_format="pyarrow"):
-            url_chunks.append(_url_key(b["url"]))
-            fp_chunks.append(b["fp"].to_numpy(zero_copy_only=False))
-        urls = (
-            pa.concat_arrays(url_chunks)
-            if url_chunks
-            else pa.array([], type=pa.string())
-        )
-        fps = (
-            np.concatenate(fp_chunks) if fp_chunks else np.empty(0, dtype=np.int64)
-        )
-        hk, hv = build_hash_map(urls, fps)
+        if old_has_hu:
+            # r5 fast path: hashes were computed data-parallel at persist
+            # time; the driver only concatenates + sorts numpy columns
+            hu_chunks, fp_chunks = [], []
+            for b in old_fps.iter_batches(batch_format="pyarrow"):
+                hu_chunks.append(
+                    b["hu"].to_numpy(zero_copy_only=False).view(np.uint64)
+                )
+                fp_chunks.append(b["fp"].to_numpy(zero_copy_only=False))
+            hus = (
+                np.concatenate(hu_chunks)
+                if hu_chunks
+                else np.empty(0, np.uint64)
+            )
+            fps = (
+                np.concatenate(fp_chunks)
+                if fp_chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            order = np.argsort(hus)
+            hk, hv = hus[order], fps[order]
+        else:
+            url_chunks, fp_chunks = [], []
+            for b in old_fps.iter_batches(batch_format="pyarrow"):
+                url_chunks.append(_url_key(b["url"]))
+                fp_chunks.append(b["fp"].to_numpy(zero_copy_only=False))
+            urls = (
+                pa.concat_arrays(url_chunks)
+                if url_chunks
+                else pa.array([], type=pa.string())
+            )
+            fps = (
+                np.concatenate(fp_chunks)
+                if fp_chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            hk, hv = build_hash_map(urls, fps)
         # keys with multiple state rows (duplicate urls; all null urls
         # share the 'null' key) can't be tracked individually — flag
         # them so they classify changed DETERMINISTICALLY (revalidate),
@@ -539,8 +596,12 @@ def incremental_validate(
         changed_parts: list[np.ndarray] = []
         all_parts: list[np.ndarray] = []
         n_new_corpus = 0
-        for b in new_fps.iter_batches(batch_format="pyarrow"):
-            h = hash_strings(_url_key(b["url"]))
+        for b in new_fps.select_columns(["hu", "fp"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            # hu was computed in the parallel fp pass — no driver hashing,
+            # and the projection keeps url strings off the driver stream
+            h = b["hu"].to_numpy(zero_copy_only=False).view(np.uint64)
             fp = b["fp"].to_numpy(zero_copy_only=False)
             n_new_corpus += len(h)
             if hk.size:
@@ -565,7 +626,10 @@ def incremental_validate(
 
         nparts = clamp_partitions(None)
         renamed = old_fps.map_batches(
-            lambda t: t.rename_columns(["j_url", "old_fp"]),
+            # select THEN rename: r5 states carry an extra hu column
+            lambda t: t.select(["url", "fp"]).rename_columns(
+                ["j_url", "old_fp"]
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -640,6 +704,8 @@ def incremental_validate(
                 )
             )
         )
+    _timings["classify_s"] = _time.monotonic() - _t0
+    _t0 = _time.monotonic()
     # ---- referential blast radius (r5) --------------------------------
     revalidate_hashes = changed_hashes
     delta_links = None
@@ -693,11 +759,11 @@ def incremental_validate(
         # keys to actually revalidate = blast ∩ new-corpus keys (the
         # seed holds removed urls too); count by streaming the narrow
         # materialized fingerprint table — 8 B per MATCH driver-side
-        from shaclapi_ray.stages.hashset import hash_strings as _hs2
-
         matched_parts = []
-        for b in new_fps.iter_batches(batch_format="pyarrow"):
-            h = _hs2(_url_key(b["url"]))
+        for b in new_fps.select_columns(["hu"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            h = b["hu"].to_numpy(zero_copy_only=False).view(np.uint64)
             if revalidate_hashes.size:
                 pos = np.minimum(
                     np.searchsorted(revalidate_hashes, h),
@@ -740,6 +806,7 @@ def incremental_validate(
     drop_ref = ray.put(np.union1d(revalidate_hashes, removed_hashes))
     changed_ref = ray.put(revalidate_hashes)
 
+    _timings["blast_s"] = _time.monotonic() - _t0
     delta_pages = pages_new.map_batches(
         _member_filter_fn(changed_ref, True),
         batch_format="pyarrow",
@@ -767,6 +834,7 @@ def incremental_validate(
         extra_events = reused_verdicts.map_batches(
             _verdicts_as_events, batch_format="pyarrow", zero_copy_batch=True
         )
+    _t0 = _time.monotonic()
     delta_result = (
         engine.run(
             delta_pages,
@@ -776,6 +844,8 @@ def incremental_validate(
         if n_delta
         else None
     )
+    _timings["delta_run_s"] = _time.monotonic() - _t0
+    _t0 = _time.monotonic()
 
     if delta_result is not None:
         verdicts = reused_verdicts.union(
@@ -803,6 +873,8 @@ def incremental_validate(
         delta_result=delta_result,
         stats=stats,
     )
+    _timings["merge_s"] = _time.monotonic() - _t0
+    _t0 = _time.monotonic()
 
     if out_state_dir is not None:
         from shaclapi_ray.stages.hashset import hash_strings as _hs
@@ -811,7 +883,7 @@ def incremental_validate(
             b = (_hs(batch["url"]) % STATE_BUCKETS).astype(np.int64)
             return batch.append_column("bucket", pa.array(b))
 
-        new_fps.select_columns(["url", "fp", "bucket"]).write_parquet(
+        new_fps.select_columns(["url", "fp", "hu", "bucket"]).write_parquet(
             os.path.join(out_state_dir, "fps"), partition_cols=["bucket"]
         )
         if has_refs:
@@ -857,4 +929,8 @@ def incremental_validate(
                 fh,
             )
 
+    _timings["out_state_s"] = _time.monotonic() - _t0
+    # timings live OUTSIDE stats: stats is the semantic (comparable)
+    # record — strategy-equality tests pin it — while wall times vary
+    out.timings = {k: round(v, 3) for k, v in _timings.items()}
     return out
