@@ -4,16 +4,19 @@ Compressed image/audio decode libraries are not available in this
 environment, so the DEFAULT decode step is a stub (clearly marked):
 `decode_stub='fake'` produces a deterministic feature vector from the
 bytes; `decode_stub='error'` raises NotImplementedError exactly where a
-real decoder (PIL/torchaudio/ffmpeg) would plug in. FIVE REAL paths,
+real decoder (PIL/torchaudio/ffmpeg) would plug in. SIX REAL paths,
 all dependency-free: `decode_stub='bmp'` (in-repo numpy codec,
 encode_bmp/decode_bmp), `decode_stub='png'` (stdlib-zlib + numpy,
 pngcodec.py: all 5 scanline filters, color types 0/2/3/4/6, Adam7,
 CRC verification), `decode_stub='gif'` (from-scratch variable-width
 LZW, gifcodec.py), `decode_stub='jpeg'` (from-scratch baseline AND
-progressive Huffman+DCT, jpegcodec.py), and `decode_stub='wav'`
+progressive Huffman+DCT, jpegcodec.py), `decode_stub='webp'`
+(from-scratch VP8L — WebP lossless — webpcodec.py, r5; lossy VP8 stays
+on the PIL seam), and `decode_stub='wav'`
 (stdlib `wave` + numpy signal features — see encode_wav/decode_wav).
 `decode_stub='real'` remains the PIL ACTIVATION PATH for the one
-format left (WebP); the import is try-gated.
+format left (LOSSY WebP — a VP8 intra-frame loop is a video codec,
+out of honest from-scratch scope); the import is try-gated.
 
 Corrupt payloads are ubiquitous in web crawls, so the decode stages
 take a per-ITEM `on_error` policy: 'raise' (default), 'skip' (drop
@@ -237,7 +240,7 @@ class MediaFeaturizer:
             # REAL compressed-audio decode (flaccodec.py — the speech-
             # corpus format): same feature contract as 'wav'
             return _flac_features(raw)
-        if self.mode in ("bmp", "png", "gif", "jpeg"):
+        if self.mode in ("bmp", "png", "gif", "jpeg", "webp"):
             # REAL decode (in-repo codecs): same feature contract as the
             # PIL path — 16x16 gray resample stats + true dimensions.
             # 'png' handles DEFLATE via stdlib zlib + numpy (pngcodec.py:
@@ -245,12 +248,19 @@ class MediaFeaturizer:
             # from-scratch variable-width LZW decoder (gifcodec.py);
             # 'jpeg' the from-scratch baseline Huffman+DCT decoder
             # (jpegcodec.py: 4:4:4/4:2:2/4:2:0, restart markers)
-            rgb = {
-                "bmp": decode_bmp,
-                "png": decode_png,
-                "gif": decode_gif,
-                "jpeg": decode_jpeg,
-            }[self.mode](raw)
+            if self.mode == "webp":
+                # r5: from-scratch VP8L (WebP-lossless) decoder —
+                # webpcodec.py; lossy VP8 stays on the PIL seam
+                from shaclapi_ray.pipelines.webpcodec import decode_webp_lossless
+
+                rgb = decode_webp_lossless(raw)
+            else:
+                rgb = {
+                    "bmp": decode_bmp,
+                    "png": decode_png,
+                    "gif": decode_gif,
+                    "jpeg": decode_jpeg,
+                }[self.mode](raw)
             px = _gray(_nn_resize(rgb, 16, 16))
             return np.array(
                 [
@@ -383,6 +393,18 @@ class MediaResizer:
             # REAL baseline JPEG path (jpegcodec.py); re-encode is lossy
             # by nature — pixel-proximity, never byte equality
             return encode_jpeg(_nn_resize(decode_jpeg(raw), self.w, self.h))
+        if self.mode == "webp":
+            # REAL VP8L path (webpcodec.py, r5): lossless both ways, so
+            # decoded pixels round-trip exactly (bytes are deterministic
+            # too — no zlib involvement — but pixels stay the contract)
+            from shaclapi_ray.pipelines.webpcodec import (
+                decode_webp_lossless,
+                encode_webp_lossless,
+            )
+
+            return encode_webp_lossless(
+                _nn_resize(decode_webp_lossless(raw), self.w, self.h)
+            )
         if self.mode == "real":  # pragma: no cover - pillow absent here
             import io
 
