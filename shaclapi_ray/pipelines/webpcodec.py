@@ -424,13 +424,11 @@ def _color_delta(t: np.uint8, c: np.ndarray) -> np.ndarray:
 def _apply_color_transform_inverse(
     img: np.ndarray, tiles: np.ndarray, bits: int
 ) -> None:
-    """img (h, w, 4) ARGB in place; tiles (th, tw, 4) transform pixels
-    whose channels encode (green_to_red=red ch, green_to_blue=blue ch,
-    red_to_blue=... spec packs: cross-color element in tile pixel:
-    green_to_red in RED byte, green_to_blue in BLUE? — spec packing:
-    the transform pixel is ARGB with green_to_red in the BLUE channel?
-    We use libwebp's packing: green_to_red = b, green_to_blue = g,
-    red_to_blue = r of the tile pixel."""
+    """img (h, w, 4) ARGB in place. Each tile pixel packs the
+    cross-color element as (green_to_red = BLUE channel, green_to_blue
+    = GREEN channel, red_to_blue = RED channel); the inverse adds the
+    signed >>5 deltas in spec order — red from green first, then blue
+    from green AND from the UPDATED red."""
     h, w, _ = img.shape
     for y in range(h):
         ty = tiles[y >> bits]
