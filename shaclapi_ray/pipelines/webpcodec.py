@@ -647,18 +647,29 @@ def _decode_entropy_image(
     return px, n_groups, cache_bits
 
 
-def decode_webp_lossless(raw: bytes) -> np.ndarray:
+MAX_PIXELS_DEFAULT = 1 << 24  # 16M px (~64 MB raster)
+
+
+def decode_webp_lossless(raw: bytes, max_pixels: int = MAX_PIXELS_DEFAULT) -> np.ndarray:
     """WebP-lossless bytes -> (h, w, 3) uint8 RGB (alpha dropped, like
     decode_png). Loud ValueError for anything outside the VP8L scope —
     incl. lossy 'VP8 ' and 'VP8X'-wrapped payloads (those name what they
-    are in the error, so the multimodal seam can report precisely)."""
+    are in the error, so the multimodal seam can report precisely).
+
+    ``max_pixels`` guards the decode allocation against forged headers
+    over untrusted crawl payloads. Unlike PNG (where expected byte
+    counts can be validated against the inflated payload — the r4
+    ADVICE guard), VP8L can LEGALLY encode a 2^14 x 2^14 solid image in
+    ~30 bytes (zero-bit single-symbol codes), so no payload-size
+    consistency check exists; a hard pixel cap — raise, don't allocate
+    — is the only sound guard. Raise it explicitly for trusted inputs."""
     try:
-        return _decode_inner(raw)
+        return _decode_inner(raw, max_pixels)
     except (struct.error, IndexError) as e:  # loud-ValueError contract
         raise ValueError(f"corrupt WebP structure: {e}") from e
 
 
-def _decode_inner(raw: bytes) -> np.ndarray:
+def _decode_inner(raw: bytes, max_pixels: int = MAX_PIXELS_DEFAULT) -> np.ndarray:
     if len(raw) < 20 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     (riff_size,) = struct.unpack_from("<I", raw, 4)
@@ -680,6 +691,10 @@ def _decode_inner(raw: bytes) -> np.ndarray:
     br = _BitReader(data[1:])
     w = br.read(14) + 1
     h = br.read(14) + 1
+    if w * h > max_pixels:
+        raise ValueError(
+            f"VP8L header claims {w}x{h} pixels (> max_pixels={max_pixels})"
+        )
     br.read(1)  # alpha-used hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")

@@ -226,3 +226,32 @@ def test_resize_media_webp_lossless_roundtrip(ray_session):
     from shaclapi_ray.pipelines.multimodal import _nn_resize
 
     assert np.array_equal(back, _nn_resize(img, 6, 5))
+
+
+def test_max_pixels_guard_no_allocation():
+    """A ~30-byte forged/legal header claiming 16383x16383 must raise
+    from the pixel cap BEFORE any raster allocation (no payload-size
+    consistency check exists for VP8L — see decode_webp_lossless)."""
+    solid = encode_webp_lossless(np.zeros((1, 1, 3), np.uint8))
+    # patch the dimension bits to claim 16383x16383 (14 bits each, LSB
+    # first right after the signature byte inside the VP8L chunk)
+    data = bytearray(solid)
+    bw = _BitWriter()
+    bw.write(16382, 14)
+    bw.write(16382, 14)
+    dims = bw.getvalue()
+    off = 21  # RIFF(12) + 'VP8L'+size(8) + signature(1)
+    # 28 dimension bits = 3 full bytes + the low nibble of the 4th
+    data[off] = dims[0]
+    data[off + 1] = dims[1]
+    data[off + 2] = dims[2]
+    data[off + 3] = (data[off + 3] & ~0x0F) | (dims[3] & 0x0F)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_webp_lossless(bytes(data))
+    # the cap is a dial, not a constant: a legit image over a small cap
+    # raises, and the explicit opt-in admits it
+    img = _rng_img(1, 3, 3)
+    enc = encode_webp_lossless(img)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_webp_lossless(enc, max_pixels=4)
+    assert np.array_equal(decode_webp_lossless(enc, max_pixels=9), img)
